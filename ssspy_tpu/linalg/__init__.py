@@ -1,0 +1,23 @@
+from ._solve import solve
+from .cubic import cbrt
+from .eigh import eigh, eigh2
+from .inv import inv2
+from .lqpqm import lqpqm2
+from .mean import gmeanmh
+from .polynomial import solve_cubic
+from .quadratic import quadratic
+from .sqrtm import invsqrtmh, sqrtmh
+
+__all__ = [
+    "cbrt",
+    "quadratic",
+    "inv2",
+    "eigh",
+    "eigh2",
+    "sqrtmh",
+    "invsqrtmh",
+    "gmeanmh",
+    "solve_cubic",
+    "lqpqm2",
+    "solve",
+]

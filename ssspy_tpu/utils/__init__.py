@@ -1,0 +1,8 @@
+from .flooring import choose_flooring_fn
+from .select_pair import combination_pair_selector, sequential_pair_selector
+
+__all__ = [
+    "choose_flooring_fn",
+    "sequential_pair_selector",
+    "combination_pair_selector",
+]
