@@ -63,6 +63,11 @@ def lqpqm2(
     is_singular = singular_fn(norm)
 
     # --- singular branch (v = 0): rank-1 step along the top eigenvector.
+    # Note: the reference (ssspy/linalg/lqpqm.py:86) indexes
+    # ``sigma_singular[:, -1]`` which selects the last *row* of the
+    # eigenvector matrix rather than the top eigenvector (last column).
+    # We implement the mathematically correct column; outputs agree in norm
+    # (rows/columns of a unitary matrix are unit vectors) but not direction.
     phi_max = phi[..., -1]
     sigma_max = sigma[..., :, -1]
     lamb_singular = jnp.maximum(z, phi_max)

@@ -83,9 +83,15 @@ def test_lqpqm2_matches_reference():
     theirs = lqpqm2_ref(H.copy(), v.copy(), z.copy(), max_iter=10)
     # non-singular bins: exact parity
     assert np.allclose(ours[1:], theirs[1:], atol=1e-6)
-    # singular bin: solution is scale * top-eigenvector, defined up to phase
-    # (np vs jnp eigh use different but equally valid phase conventions)
-    assert np.allclose(np.abs(ours[0]), np.abs(theirs[0]), atol=1e-6)
+    # singular bin: the reference indexes the last *row* of the eigenvector
+    # matrix (ssspy/linalg/lqpqm.py:86) where the math calls for the top
+    # eigenvector (last column); we implement the column. The norms agree.
+    assert np.isclose(np.linalg.norm(ours[0]), np.linalg.norm(theirs[0]), atol=1e-6)
+    # and ours lies along the top eigenvector of H[0]
+    _, sigma = np.linalg.eigh(H[0])
+    top = sigma[:, -1]
+    cos = np.abs(np.vdot(top, ours[0])) / (np.linalg.norm(ours[0]) + 1e-30)
+    assert np.isclose(cos, 1.0, atol=1e-8)
 
 
 @requires_reference
