@@ -1,8 +1,9 @@
 """Batched linear solve with matrix/vector RHS broadcasting.
 
-The reference needs a numpy>=2 shim (ssspy/linalg/_solve.py:9-21);
-``jnp.linalg.solve`` already treats ``b`` with ``a.ndim == b.ndim + 1`` as a
-stack of vectors, so this is a direct alias kept for API parity.
+Same role as the reference's numpy>=2 shim (ssspy/linalg/_solve.py:9-21):
+``jax.numpy.linalg.solve`` (like numpy>=2) treats an RHS with
+``a.ndim == b.ndim + 1`` as ambiguous, so stacks of vectors are promoted to
+column matrices explicitly.
 """
 
 import jax.numpy as jnp
@@ -10,4 +11,8 @@ import jax.numpy as jnp
 
 def solve(a, b):
     """Solve ``a x = b`` batched; ``b`` may be a stack of vectors or matrices."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim == b.ndim + 1:
+        return jnp.linalg.solve(a, b[..., None])[..., 0]
     return jnp.linalg.solve(a, b)

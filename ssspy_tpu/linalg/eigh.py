@@ -55,6 +55,16 @@ def _eigh2_standard(C):
     v0 = x0 / nx
     v1 = x1 / nx
 
+    # Deterministic gauge: rotate so the larger-magnitude component is real
+    # positive (eigenvector phase is arbitrary; pin it for reproducibility).
+    if jnp.iscomplexobj(C):
+        pick = jnp.abs(v0) >= jnp.abs(v1)
+        anchor = jnp.where(pick, v0, v1)
+        mag = jnp.abs(anchor)
+        phase = jnp.where(mag > 0, anchor / jnp.where(mag > 0, mag, 1), jnp.ones_like(anchor))
+        v0 = v0 * phase.conj()
+        v1 = v1 * phase.conj()
+
     # Second eigenvector: orthogonal complement in C^2.
     s0 = -jnp.conj(v1)
     s1 = jnp.conj(v0)

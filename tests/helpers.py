@@ -27,6 +27,20 @@ def random_hermitian(rng, shape, psd: bool = False, complex: bool = True):
     return (A + AH) / 2
 
 
+def assert_allclose_up_to_phase(a, b, atol=1e-8):
+    """Assert complex arrays match up to one phase per trailing row.
+
+    Rows are the last axis; the relative phase is estimated from the inner
+    product and divided out before comparison.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    inner = np.sum(a * b.conj(), axis=-1, keepdims=True)
+    mag = np.abs(inner)
+    phase = np.where(mag > 0, inner / np.where(mag > 0, mag, 1), 1)
+    np.testing.assert_allclose(a, phase * b, atol=atol, rtol=0)
+
+
 def si_sdr(estimate: np.ndarray, target: np.ndarray) -> float:
     """Scale-invariant SDR in dB between 1-D signals."""
     alpha = np.sum(estimate * target) / np.sum(target**2)
