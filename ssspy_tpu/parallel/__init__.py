@@ -1,1 +1,143 @@
-"""Device-mesh sharding helpers (frequency-bin / batch axes over ICI)."""
+"""Device-mesh scaling for BSS separation runs.
+
+The reference (ssspy) is single-process NumPy; its only "parallelism" is
+vectorization over frequency bins (SURVEY.md §2.7). On TPU the same math
+scales over a 2-D :class:`jax.sharding.Mesh`:
+
+- ``dp`` axis — data parallelism over an utterance batch (a new leading
+  axis the reference does not have; it amortizes compilation and feeds
+  the MXU, since demixing matrices are tiny M<=8),
+- ``bin`` axis — sequence-style parallelism over the frequency axis:
+  every per-bin demixing update (IP1/IP2/ISS/ILRMA/...) is independent
+  across bins, so the inner loop needs **zero collectives**; only loss
+  reductions cross shards (XLA inserts ``psum`` over ICI automatically).
+
+Tensor/pipeline/expert parallelism are intentionally absent: there is no
+tensor large enough to split (cf. SURVEY.md §2.7 checklist).
+"""
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_spec",
+    "shard_batched_run",
+    "batched_auxiva_ip1_step",
+    "make_batched_auxiva_runner",
+]
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis_names: Tuple[str, str] = ("dp", "bin"),
+    shape: Optional[Tuple[int, int]] = None,
+) -> Mesh:
+    """Build a 2-D ``(dp, bin)`` mesh over the available devices.
+
+    With ``shape=None`` the device count is factorized as evenly as
+    possible (e.g. 8 -> (2, 4), 4 -> (2, 2), 1 -> (1, 1)).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        dp = 1
+        for cand in range(int(np.sqrt(n)), 0, -1):
+            if n % cand == 0:
+                dp = cand
+                break
+        shape = (dp, n // dp)
+    assert shape[0] * shape[1] == n, f"mesh shape {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_spec(mesh: Mesh, *, bin_axis: int, ndim: int) -> P:
+    """PartitionSpec for a batched spectrogram-like array: leading axis on
+    ``dp``, ``bin_axis`` on ``bin``, everything else replicated."""
+    names = [None] * ndim
+    names[0] = mesh.axis_names[0]
+    names[bin_axis] = mesh.axis_names[1]
+    return P(*names)
+
+
+def _laplace_weight(Y, eps=1e-10):
+    """AuxIVA super-Gaussian MM weight ``G'(||y||)/(2||y||)`` (Laplace)."""
+    norm = jnp.linalg.norm(Y, axis=-2)  # (N, T) over bins
+    return 1.0 / jnp.maximum(norm, eps)
+
+
+def auxiva_ip1_step(X, W, eps=1e-10):
+    """One AuxIVA-IP1 iteration for a single utterance.
+
+    ``X``: mixture ``(M, I, T)``; ``W``: demixing ``(I, N, M)``.
+    Weighted covariance + sequential IP sweep — the per-iteration hot
+    path (reference ssspy/bss/iva.py:1736-1793), expressed as batched
+    einsum/solve over the full bin axis so XLA tiles it onto the MXU.
+    """
+    Y = jnp.einsum("inm,mit->nit", W, X)
+    varphi = _laplace_weight(Y, eps)  # (N, T)
+    n_frames = X.shape[-1]
+    U = jnp.einsum("nt,pit,qit->inpq", varphi.astype(X.dtype), X, X.conj()) / n_frames
+
+    n_sources, n_channels = W.shape[-2], W.shape[-1]
+    E = jnp.eye(n_sources, n_channels, dtype=W.dtype)
+
+    def body(src, W):
+        U_n = U[:, src]  # (I, M, M)
+        e_n = jnp.broadcast_to(E[src], (W.shape[0], n_channels))
+        w = jnp.linalg.solve(W @ U_n, e_n[..., None])[..., 0]
+        wUw = jnp.einsum("bm,bmn,bn->b", w.conj(), U_n, w).real
+        w = w.conj() / jnp.sqrt(jnp.maximum(wUw, eps))[:, None].astype(W.dtype)
+        return lax.dynamic_update_slice(W, w[:, None, :], (0, src, 0))
+
+    W = lax.fori_loop(0, n_sources, body, W)
+    return W
+
+
+batched_auxiva_ip1_step = jax.vmap(auxiva_ip1_step, in_axes=(0, 0))
+
+
+def shard_batched_run(
+    mesh: Mesh,
+    step_fn: Callable,
+    *,
+    x_bin_axis: int = 2,
+    w_bin_axis: int = 1,
+) -> Callable:
+    """Jit ``run(X, W, n_iter)`` with ``(dp, bin)`` shardings over ``mesh``.
+
+    ``step_fn(X, W) -> W`` must be batched over a leading utterance axis.
+    Returns a compiled runner executing ``n_iter`` steps as one
+    ``lax.scan`` XLA program; per-bin independence means the scan body
+    issues no collectives.
+    """
+    x_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=x_bin_axis, ndim=4))
+    w_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=w_bin_axis, ndim=4))
+
+    def run(X, W, n_iter):
+        def body(W, _):
+            return step_fn(X, W), None
+
+        W, _ = lax.scan(body, W, None, length=n_iter)
+        return W
+
+    return jax.jit(
+        run,
+        in_shardings=(x_sharding, w_sharding),
+        out_shardings=w_sharding,
+        static_argnums=(2,),
+    )
+
+
+def make_batched_auxiva_runner(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded multi-utterance AuxIVA-IP1 runner (the flagship fast path)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_batched_run(mesh, batched_auxiva_ip1_step)
