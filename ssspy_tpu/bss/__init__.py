@@ -1,6 +1,10 @@
-"""BSS algorithm families (populated bottom-up; see SURVEY.md §7)."""
+"""BSS algorithm families (populated bottom-up; see SURVEY.md §7).
 
-from . import iva
+Parity: the reference eagerly imports ica/fdica/iva/ilrma/mnmf
+(ssspy/bss/__init__.py:1-3); the rest are importable submodules.
+"""
+
+from . import fdica, ica, iva
 from .base import IterativeMethodBase
 
-__all__ = ["iva", "IterativeMethodBase"]
+__all__ = ["ica", "fdica", "iva", "IterativeMethodBase"]
