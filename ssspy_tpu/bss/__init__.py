@@ -4,7 +4,7 @@ Parity: the reference eagerly imports ica/fdica/iva/ilrma/mnmf
 (ssspy/bss/__init__.py:1-3); the rest are importable submodules.
 """
 
-from . import fdica, ica, iva
+from . import fdica, ica, ilrma, iva
 from .base import IterativeMethodBase
 
-__all__ = ["ica", "fdica", "iva", "IterativeMethodBase"]
+__all__ = ["ica", "fdica", "iva", "ilrma", "IterativeMethodBase"]
