@@ -4,7 +4,17 @@ Parity: the reference eagerly imports ica/fdica/iva/ilrma/mnmf
 (ssspy/bss/__init__.py:1-3); the rest are importable submodules.
 """
 
-from . import fdica, ica, ilrma, iva
+from . import admmbss, fdica, hva, ica, ilrma, iva, pdsbss, proxbss
 from .base import IterativeMethodBase
 
-__all__ = ["ica", "fdica", "iva", "ilrma", "IterativeMethodBase"]
+__all__ = [
+    "ica",
+    "fdica",
+    "iva",
+    "ilrma",
+    "proxbss",
+    "pdsbss",
+    "admmbss",
+    "hva",
+    "IterativeMethodBase",
+]

@@ -1,0 +1,164 @@
+"""Harmonic vector analysis (HVA).
+
+Parity target: ssspy/bss/hva.py (MaskingPDSHVA, MaskingADMMHVA, HVA).
+The harmonic cepstral mask (ssspy/bss/hva.py:81-115): log-magnitude ->
+irfft over the bin axis (cepstrum) -> cosine shrinkage applied
+``mask_iter`` times -> irfft back -> softmax-power mask. All FFTs are
+``jnp.fft.irfft`` batched over (sources, frames).
+"""
+
+import functools
+import math
+from typing import Callable, List, Optional, Union
+
+import jax.numpy as jnp
+
+from ..special.flooring import identity, max_flooring
+from .admmbss import MaskingADMMBSS
+from .pdsbss import MaskingPDSBSS
+
+__all__ = ["MaskingPDSHVA", "MaskingADMMHVA", "HVA"]
+
+EPS = 1e-10
+
+
+def _make_harmonic_mask_fn(method):
+    """Cepstral-shrinkage mask closure over the method instance."""
+
+    def mask_fn(y):
+        n_sources, n_bins, _ = y.shape
+
+        if method.attenuation is None:
+            method.attenuation = 1 / n_sources
+        gamma = method.attenuation
+
+        y = method.flooring_fn(jnp.abs(y))
+        zeta = jnp.log(y)
+        zeta_mean = zeta.mean(axis=1, keepdims=True)
+        rho = zeta - zeta_mean
+        nu = jnp.fft.irfft(rho, axis=1, norm="backward")[:, :n_bins]
+        varsigma = jnp.minimum(1, nu)
+
+        for _ in range(method.mask_iter):
+            varsigma = (1 - jnp.cos(math.pi * varsigma)) / 2
+
+        xi = jnp.fft.irfft(varsigma * nu, axis=1, norm="forward")[:, :n_bins]
+        varrho = xi + zeta_mean
+        v = jnp.exp(2 * varrho)
+        return (v / v.sum(axis=0)) ** gamma
+
+    return mask_fn
+
+
+class MaskingPDSHVA(MaskingPDSBSS):
+    """HVA via masking PDS (parity: ssspy/bss/hva.py:20-155)."""
+
+    def __init__(
+        self,
+        mu1: float = 1,
+        mu2: float = 1,
+        alpha: float = None,
+        relaxation: float = 1,
+        attenuation: Optional[float] = None,
+        mask_iter: int = 1,
+        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        callbacks: Optional[Union[Callable, List[Callable]]] = None,
+        scale_restoration: bool = True,
+        record_loss: Optional[bool] = None,
+        reference_id: int = 0,
+    ) -> None:
+        super().__init__(
+            mu1=mu1,
+            mu2=mu2,
+            alpha=alpha,
+            relaxation=relaxation,
+            penalty_fn=None,
+            mask_fn=_make_harmonic_mask_fn(self),
+            callbacks=callbacks,
+            scale_restoration=scale_restoration,
+            record_loss=record_loss,
+            reference_id=reference_id,
+        )
+
+        self.attenuation = attenuation
+        self.mask_iter = mask_iter
+        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+
+    def __repr__(self) -> str:
+        s = "MaskingPDSHVA("
+        s += "mu1={mu1}, mu2={mu2}"
+        s += ", relaxation={relaxation}"
+        if self.attenuation is not None:
+            s += ", attenuation={attenuation}"
+        s += ", mask_iter={mask_iter}"
+        s += ", scale_restoration={scale_restoration}"
+        s += ", record_loss={record_loss}"
+        if self.scale_restoration:
+            s += ", reference_id={reference_id}"
+        s += ")"
+        return s.format(**self.__dict__)
+
+
+class MaskingADMMHVA(MaskingADMMBSS):
+    """HVA via masking ADMM (parity: ssspy/bss/hva.py:158-275)."""
+
+    def __init__(
+        self,
+        rho: float = 1,
+        alpha: float = None,
+        relaxation: float = 1,
+        attenuation: Optional[float] = None,
+        mask_iter: int = 1,
+        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        callbacks: Optional[Union[Callable, List[Callable]]] = None,
+        scale_restoration: bool = True,
+        record_loss: Optional[bool] = None,
+        reference_id: int = 0,
+    ) -> None:
+        super().__init__(
+            rho=rho,
+            alpha=alpha,
+            relaxation=relaxation,
+            penalty_fn=None,
+            mask_fn=_make_harmonic_mask_fn(self),
+            callbacks=callbacks,
+            scale_restoration=scale_restoration,
+            record_loss=record_loss,
+            reference_id=reference_id,
+        )
+
+        self.attenuation = attenuation
+        self.mask_iter = mask_iter
+        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+
+    def __repr__(self) -> str:
+        s = "MaskingADMMHVA("
+        s += "rho={rho}"
+        s += ", relaxation={relaxation}"
+        if self.attenuation is not None:
+            s += ", attenuation={attenuation}"
+        s += ", mask_iter={mask_iter}"
+        s += ", scale_restoration={scale_restoration}"
+        s += ", record_loss={record_loss}"
+        if self.scale_restoration:
+            s += ", reference_id={reference_id}"
+        s += ")"
+        return s.format(**self.__dict__)
+
+
+class HVA(MaskingPDSHVA):
+    """Alias of :class:`MaskingPDSHVA` (parity: ssspy/bss/hva.py:278-298)."""
+
+    def __repr__(self) -> str:
+        s = "HVA("
+        s += "mu1={mu1}, mu2={mu2}"
+        s += ", relaxation={relaxation}"
+        if self.attenuation is not None:
+            s += ", attenuation={attenuation}"
+        s += ", mask_iter={mask_iter}"
+        s += ", scale_restoration={scale_restoration}"
+        s += ", record_loss={record_loss}"
+        if self.scale_restoration:
+            s += ", reference_id={reference_id}"
+        s += ")"
+        return s.format(**self.__dict__)

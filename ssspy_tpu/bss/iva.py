@@ -47,6 +47,8 @@ __all__ = [
     "FastIVA",
     "FasterIVA",
     "AuxIVA",
+    "PDSIVA",
+    "ADMMIVA",
     "GradLaplaceIVA",
     "GradGaussIVA",
     "NaturalGradLaplaceIVA",
@@ -750,6 +752,107 @@ class AuxIVA(AuxIVABase):
             )
         else:
             super().apply_minimal_distortion_principle()
+
+
+class PDSIVA:
+    """IVA by primal-dual splitting (parity: ssspy/bss/iva.py:2217-2277).
+
+    Thin specialization of :class:`ssspy_tpu.bss.pdsbss.PDSBSS` with the
+    L21 vector-norm contrast and its group-shrinkage prox as defaults.
+    Implemented as a factory to avoid a circular import at module load.
+    """
+
+    def __new__(
+        cls,
+        mu1: float = 1,
+        mu2: float = 1,
+        alpha: float = None,
+        relaxation: float = 1,
+        contrast_fn: Callable = None,
+        prox_penalty: Callable = None,
+        callbacks: Optional[Union[Callable, List[Callable]]] = None,
+        scale_restoration: Union[bool, str] = True,
+        record_loss: bool = True,
+        reference_id: int = 0,
+    ):
+        from ..linalg import prox as _prox
+        from .pdsbss import PDSBSS
+
+        contrast_fn, prox_penalty, penalty_fn = _iva_prox_defaults(
+            contrast_fn, prox_penalty, _prox
+        )
+
+        method = PDSBSS(
+            mu1=mu1,
+            mu2=mu2,
+            alpha=alpha,
+            relaxation=relaxation,
+            penalty_fn=penalty_fn,
+            prox_penalty=prox_penalty,
+            callbacks=callbacks,
+            scale_restoration=scale_restoration,
+            record_loss=record_loss,
+            reference_id=reference_id,
+        )
+        method.contrast_fn = contrast_fn
+        return method
+
+
+class ADMMIVA:
+    """IVA by ADMM (parity: ssspy/bss/iva.py:2280-2338)."""
+
+    def __new__(
+        cls,
+        rho: float = 1,
+        alpha: float = None,
+        relaxation: float = 1,
+        contrast_fn: Callable = None,
+        prox_penalty: Callable = None,
+        callbacks: Optional[Union[Callable, List[Callable]]] = None,
+        scale_restoration: Union[bool, str] = True,
+        record_loss: bool = True,
+        reference_id: int = 0,
+    ):
+        from ..linalg import prox as _prox
+        from .admmbss import ADMMBSS
+
+        contrast_fn, prox_penalty, penalty_fn = _iva_prox_defaults(
+            contrast_fn, prox_penalty, _prox
+        )
+
+        method = ADMMBSS(
+            rho=rho,
+            alpha=alpha,
+            relaxation=relaxation,
+            penalty_fn=penalty_fn,
+            prox_penalty=prox_penalty,
+            callbacks=callbacks,
+            scale_restoration=scale_restoration,
+            record_loss=record_loss,
+            reference_id=reference_id,
+        )
+        method.contrast_fn = contrast_fn
+        return method
+
+
+def _iva_prox_defaults(contrast_fn, prox_penalty, _prox):
+    """Default L21 contrast + group-shrinkage prox for PDS/ADMM IVA."""
+    if contrast_fn is not None and prox_penalty is None:
+        raise ValueError("Set prox_penalty.")
+    elif contrast_fn is None and prox_penalty is not None:
+        raise ValueError("Set contrast_fn.")
+    elif contrast_fn is None and prox_penalty is None:
+
+        def contrast_fn(y):
+            return jnp.linalg.norm(y, axis=1)
+
+        def prox_penalty(x, step_size: float = 1):
+            return _prox.l21(x, step_size=step_size, axis2=1)
+
+    def penalty_fn(y):
+        return jnp.sum(contrast_fn(y))
+
+    return contrast_fn, prox_penalty, penalty_fn
 
 
 class GradLaplaceIVA(GradIVA):
