@@ -4,7 +4,7 @@ Parity: the reference eagerly imports ica/fdica/iva/ilrma/mnmf
 (ssspy/bss/__init__.py:1-3); the rest are importable submodules.
 """
 
-from . import admmbss, fdica, hva, ica, ilrma, iva, pdsbss, proxbss
+from . import admmbss, cacgmm, fdica, hva, ica, ilrma, iva, pdsbss, proxbss
 from .base import IterativeMethodBase
 
 __all__ = [
@@ -16,5 +16,6 @@ __all__ = [
     "pdsbss",
     "admmbss",
     "hva",
+    "cacgmm",
     "IterativeMethodBase",
 ]
