@@ -4,7 +4,7 @@ Parity: the reference eagerly imports ica/fdica/iva/ilrma/mnmf
 (ssspy/bss/__init__.py:1-3); the rest are importable submodules.
 """
 
-from . import admmbss, cacgmm, fdica, hva, ica, ilrma, iva, mnmf, pdsbss, proxbss
+from . import admmbss, cacgmm, fdica, hva, ica, ilrma, ipsdta, iva, mnmf, pdsbss, proxbss
 from .base import IterativeMethodBase
 
 __all__ = [
@@ -12,6 +12,7 @@ __all__ = [
     "fdica",
     "iva",
     "ilrma",
+    "ipsdta",
     "mnmf",
     "proxbss",
     "pdsbss",
