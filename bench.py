@@ -3,13 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 - value: iterations/sec of the jitted ssspy_tpu runner on the current
-  default JAX backend (TPU when available).
+  default JAX backend (TPU when available) using the split-complex
+  fast path (planar [real, imag] f32 — TPU MXUs have no complex
+  datapath, and the axon TPU runtime rejects complex dtypes).
 - vs_baseline: speedup over the NumPy reference (tky823/ssspy) measured
-  live on this host's CPU when /root/reference is importable, otherwise
-  against a recorded CPU denominator.
+  live on this host's CPU when /root/reference is importable.
 
 Workload matches BASELINE.md: 16 kHz, 10 s, 8 channels, STFT n_fft=512
-hop=256 (257 bins x ~627 frames), 100 AuxIVA iterations.
+hop=256 (257 bins x ~627 frames), 100 AuxIVA iterations. The STFT runs
+on the host (it is not part of the benchmarked iteration loop).
 """
 
 import json
@@ -24,17 +26,12 @@ DURATION_S = 10.0
 N_FFT, HOP = 512, 256
 N_ITER = 100
 
-# NumPy reference its/sec for this exact workload, measured on this image's
-# CPU (fallback when /root/reference is not importable at bench time).
-FALLBACK_NUMPY_ITERS_PER_SEC = None  # filled from calibration run if needed
-
 
 def make_mixture(seed=0):
     """Synthetic convolutive 8-ch mixture (no dataset download: zero egress)."""
     rng = np.random.default_rng(seed)
     n_samples = int(SAMPLE_RATE * DURATION_S)
     sources = rng.laplace(size=(N_CHANNELS, n_samples))
-    # short random FIR mixing (convolutive, 32 taps)
     taps = rng.standard_normal((N_CHANNELS, N_CHANNELS, 32)) * np.exp(
         -0.2 * np.arange(32)
     )
@@ -45,18 +42,28 @@ def make_mixture(seed=0):
     return mix
 
 
-def bench_jax(spectrogram):
-    import jax
-    import jax.numpy as jnp
+def host_stft(x, n_fft=N_FFT, hop=HOP):
+    """scipy-convention STFT on the host (numpy only)."""
+    win = np.hanning(n_fft + 1)[:-1]
+    pad = n_fft // 2
+    x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    n_frames = (x.shape[-1] - n_fft) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = x[..., idx] * win
+    return np.fft.rfft(frames, axis=-1).swapaxes(-2, -1) / win.sum()
 
-    from ssspy_tpu.parallel import make_batched_auxiva_runner, make_mesh
+
+def bench_jax(spectrogram):
+    from ssspy_tpu.parallel import make_batched_auxiva_runner_sc, make_mesh
 
     mesh = make_mesh()
-    runner = make_batched_auxiva_runner(mesh)
+    runner = make_batched_auxiva_runner_sc(mesh)
 
-    X = jnp.asarray(spectrogram[None], dtype=jnp.complex64)  # (1, M, I, T)
-    n_bins = X.shape[2]
-    W = jnp.tile(jnp.eye(N_CHANNELS, dtype=jnp.complex64), (1, n_bins, 1, 1))
+    # split-complex batch of 1 utterance: (1, 2, M, I, T) f32
+    X = np.stack([spectrogram.real, spectrogram.imag]).astype(np.float32)[None]
+    n_bins = X.shape[3]
+    W = np.zeros((1, 2, n_bins, N_CHANNELS, N_CHANNELS), dtype=np.float32)
+    W[:, 0] = np.eye(N_CHANNELS, dtype=np.float32)
 
     runner(X, W, N_ITER).block_until_ready()  # compile
     t0 = time.perf_counter()
@@ -89,15 +96,10 @@ def bench_numpy(spectrogram, n_iter=10):
 
 def main():
     mix = make_mixture()
-
-    from ssspy_tpu.transform import stft
-
-    spec = np.asarray(stft(mix, n_fft=N_FFT, hop_length=HOP))
+    spec = host_stft(mix)
 
     jax_ips = bench_jax(spec)
     np_ips = bench_numpy(spec)
-    if np_ips is None:
-        np_ips = FALLBACK_NUMPY_ITERS_PER_SEC
 
     vs_baseline = (jax_ips / np_ips) if np_ips else None
     print(

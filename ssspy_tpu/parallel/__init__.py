@@ -30,6 +30,8 @@ __all__ = [
     "shard_batched_run",
     "batched_auxiva_ip1_step",
     "make_batched_auxiva_runner",
+    "batched_auxiva_ip1_step_sc",
+    "make_batched_auxiva_runner_sc",
 ]
 
 
@@ -137,7 +139,50 @@ def shard_batched_run(
 
 
 def make_batched_auxiva_runner(mesh: Optional[Mesh] = None) -> Callable:
-    """Sharded multi-utterance AuxIVA-IP1 runner (the flagship fast path)."""
+    """Sharded multi-utterance AuxIVA-IP1 runner (complex64 path)."""
     if mesh is None:
         mesh = make_mesh()
     return shard_batched_run(mesh, batched_auxiva_ip1_step)
+
+
+# ---- split-complex fast path (planar [real, imag] leading axis) ------------
+#
+# TPU MXUs have no complex datapath and some TPU runtimes reject complex
+# dtypes entirely; the production fast path carries (2, ...) f32 arrays.
+# See ssspy_tpu.ops.splitc.
+
+
+def _sc_step(Xs, Ws):
+    from ..ops.splitc import auxiva_ip1_step_sc
+
+    return auxiva_ip1_step_sc(Xs, Ws)
+
+
+batched_auxiva_ip1_step_sc = jax.vmap(_sc_step, in_axes=(0, 0))
+
+
+def make_batched_auxiva_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex AuxIVA-IP1 runner.
+
+    ``X``: ``(batch, 2, M, I, T)`` f32 sharded (dp, -, -, bin, -);
+    ``W``: ``(batch, 2, I, N, M)`` f32 sharded (dp, -, bin, -, -).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+
+    x_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=3, ndim=5))
+    w_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=2, ndim=5))
+
+    def run(X, W, n_iter):
+        def body(W, _):
+            return batched_auxiva_ip1_step_sc(X, W), None
+
+        W, _ = lax.scan(body, W, None, length=n_iter)
+        return W
+
+    return jax.jit(
+        run,
+        in_shardings=(x_sharding, w_sharding),
+        out_shardings=w_sharding,
+        static_argnums=(2,),
+    )

@@ -1,0 +1,59 @@
+"""Split-complex kernel parity vs the complex64 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssspy_tpu.ops.splitc import auxiva_ip1_step_sc, csolve, from_split, to_split
+from ssspy_tpu.parallel import auxiva_ip1_step
+
+
+def test_csolve_matches_complex():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((7, 5, 5)) + 1j * rng.standard_normal((7, 5, 5))
+    A = A + 5 * np.eye(5)
+    b = rng.standard_normal((7, 5)) + 1j * rng.standard_normal((7, 5))
+
+    xr, xi = csolve(
+        jnp.asarray(A.real), jnp.asarray(A.imag), jnp.asarray(b.real), jnp.asarray(b.imag)
+    )
+    x_ref = np.linalg.solve(A, b[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(xr) + 1j * np.asarray(xi), x_ref, atol=1e-10)
+
+
+def test_auxiva_step_matches_complex_path():
+    rng = np.random.default_rng(1)
+    M, I, T = 3, 17, 50
+    X = (rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))).astype(
+        np.complex64
+    )
+    W = np.tile(np.eye(M, dtype=np.complex64), (I, 1, 1))
+
+    # several iterations to propagate any divergence
+    Xs = jnp.asarray(to_split(X))
+    Ws = jnp.asarray(to_split(W))
+    Wc = jnp.asarray(W)
+    for _ in range(3):
+        Ws = auxiva_ip1_step_sc(Xs, Ws)
+        Wc = auxiva_ip1_step(jnp.asarray(X), Wc)
+
+    W_sc = from_split(np.asarray(Ws))
+    np.testing.assert_allclose(W_sc, np.asarray(Wc), atol=2e-4)
+
+
+def test_auxiva_step_sc_jit_and_x64():
+    """Jitted split-complex step agrees with float64 complex at tight tol."""
+    rng = np.random.default_rng(2)
+    M, I, T = 2, 9, 30
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+    W = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))  # f64 under x64 tests
+    Ws = jnp.asarray(np.stack([W.real, W.imag]))
+    step = jax.jit(auxiva_ip1_step_sc)
+    Ws = step(Xs, Ws)
+
+    Wc = auxiva_ip1_step(jnp.asarray(X), jnp.asarray(W))
+    np.testing.assert_allclose(
+        np.asarray(Ws[0]) + 1j * np.asarray(Ws[1]), np.asarray(Wc), atol=1e-10
+    )
