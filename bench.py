@@ -35,6 +35,13 @@ def make_mixture(seed=0):
     taps = rng.standard_normal((N_CHANNELS, N_CHANNELS, 32)) * np.exp(
         -0.2 * np.arange(32)
     )
+    try:
+        from ssspy_tpu import native
+
+        if native.available():
+            return native.convolutive_mix(sources, taps)
+    except Exception:
+        pass
     mix = np.zeros_like(sources)
     for m in range(N_CHANNELS):
         for n in range(N_CHANNELS):

@@ -29,3 +29,7 @@ __all__ = [
     "transform",
     "utils",
 ]
+
+from . import native, ops, parallel  # noqa: E402  (host runtime + fast paths)
+
+__all__ += ["native", "ops", "parallel"]
