@@ -22,7 +22,9 @@ __all__ = [
     "from_split",
     "block_embed",
     "csolve",
+    "ip1_sweep_sc",
     "auxiva_ip1_step_sc",
+    "gauss_ilrma_ip1_step_sc",
 ]
 
 
@@ -65,32 +67,39 @@ def _csep(Wr, Wi, Xr, Xi):
     return Yr, Yi
 
 
-def auxiva_ip1_step_sc(Xs, Ws, eps=1e-10):
+def auxiva_ip1_step_sc(Xs, Ws, eps=1e-10, covariance_impl: str = "auto"):
     """One AuxIVA-IP1 iteration in split-complex form.
 
     ``Xs``: mixture ``(2, M, I, T)`` f32; ``Ws``: demixing ``(2, I, N, M)``
     f32. Same math as :func:`ssspy_tpu.parallel.auxiva_ip1_step`
     (reference ssspy/bss/iva.py:1736-1793) with every complex op
-    decomposed into real einsums feeding the MXU.
+    decomposed into real einsums feeding the MXU. ``covariance_impl``
+    selects the weighted-covariance backend (see
+    :func:`ssspy_tpu.ops.pallas_kernels.weighted_covariance_sc`).
     """
+    from .pallas_kernels import weighted_covariance_sc
+
     Xr, Xi = Xs[0], Xs[1]
     Wr, Wi = Ws[0], Ws[1]
-    n_frames = Xr.shape[-1]
 
     Yr, Yi = _csep(Wr, Wi, Xr, Xi)
     norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
     varphi = 1.0 / jnp.maximum(norm, eps)
 
     # U[i,n] = E[varphi x x^H]; Hermitian: Ur symmetric, Ui antisymmetric
-    Ur = (
-        jnp.einsum("nt,pit,qit->inpq", varphi, Xr, Xr)
-        + jnp.einsum("nt,pit,qit->inpq", varphi, Xi, Xi)
-    ) / n_frames
-    Ui = (
-        jnp.einsum("nt,pit,qit->inpq", varphi, Xi, Xr)
-        - jnp.einsum("nt,pit,qit->inpq", varphi, Xr, Xi)
-    ) / n_frames
+    Ur, Ui = weighted_covariance_sc(Xr, Xi, varphi, impl=covariance_impl)
+    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps)
+    return jnp.stack([Wr, Wi], axis=0)
 
+
+def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10):
+    """Sequential IP1 source sweep on planar operands.
+
+    ``W``: ``(I, N, M)`` pair; ``U``: ``(I, N, M, M)`` pair (Hermitian
+    per source). Each source update solves ``(W U_n) w = e_n`` and
+    normalizes by ``sqrt(w^H U_n w)``; later sources see earlier updates
+    (reference ssspy/bss/_update_spatial_model.py:17-78).
+    """
     n_bins, n_sources, n_channels = Wr.shape
 
     def body(src, carry):
@@ -118,5 +127,63 @@ def auxiva_ip1_step_sc(Xs, Ws, eps=1e-10):
         Wi = lax.dynamic_update_slice(Wi, (-wi / denom)[:, None, :], (0, src, 0))
         return Wr, Wi
 
-    Wr, Wi = lax.fori_loop(0, n_sources, body, (Wr, Wi))
-    return jnp.stack([Wr, Wi], axis=0)
+    return lax.fori_loop(0, n_sources, body, (Wr, Wi))
+
+
+def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-10):
+    """One GaussILRMA MM+IP1 iteration in split-complex form.
+
+    Mirrors ``GaussILRMA.update_once`` (reference ssspy/bss/ilrma.py:
+    900-922, MM source updates :1051-1204, IP1 spatial :1440-1507,
+    power normalization :365-444) for the non-partitioning model with
+    only real NMF factors and planar complex filters.
+
+    ``Xs``: ``(2, M, I, T)`` f32; ``Ws``: ``(2, I, N, M)`` f32;
+    ``T``: basis ``(N, I, K)``; ``V``: activation ``(N, K, T)``.
+    Returns ``(Ws, T, V)``.
+    """
+    p = domain
+    p2p = (p + 2) / p
+    exp = p / (p + 2)
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+
+    def power(Wr, Wi):
+        Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+        return Yr**2 + Yi**2  # (N, I, T)
+
+    Y2 = power(Wr, Wi)
+
+    # basis MM update
+    R = jnp.maximum(T @ V, eps)  # (N, I, T)
+    num = jnp.einsum("nkt,nit->nik", V, Y2 / (R**p2p))
+    denom = jnp.einsum("nkt,nit->nik", V, 1 / R)
+    T = jnp.maximum(((num / denom) ** exp) * T, eps)
+
+    # activation MM update (with refreshed R)
+    R = jnp.maximum(T @ V, eps)
+    num = jnp.einsum("nik,nit->nkt", T, Y2 / (R**p2p))
+    denom = jnp.einsum("nik,nit->nkt", T, 1 / R)
+    V = jnp.maximum(((num / denom) ** exp) * V, eps)
+
+    # IP1 spatial update with varphi = 1 / R^(2/p)
+    R = jnp.maximum(T @ V, eps)
+    varphi = 1 / (R ** (2 / p))  # (N, I, T) per-bin MM weights
+    n_frames = Xr.shape[-1]
+    Ur = (
+        jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xr)
+        + jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xi)
+    ) / n_frames
+    Ui = (
+        jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xr)
+        - jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xi)
+    ) / n_frames
+    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps)
+
+    # power normalization couples W and T (ssspy/bss/ilrma.py:365-444)
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(power(Wr, Wi), axis=(-2, -1))), eps)  # (N,)
+    Wr = Wr / psi[None, :, None]
+    Wi = Wi / psi[None, :, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Wr, Wi], axis=0), T, V

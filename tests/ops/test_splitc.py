@@ -57,3 +57,35 @@ def test_auxiva_step_sc_jit_and_x64():
     np.testing.assert_allclose(
         np.asarray(Ws[0]) + 1j * np.asarray(Ws[1]), np.asarray(Wc), atol=1e-10
     )
+
+
+def test_gauss_ilrma_step_matches_class():
+    """Split-complex ILRMA step tracks GaussILRMA(IP1, MM, power) exactly."""
+    import jax
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+    from ssspy_tpu.ops.splitc import gauss_ilrma_ip1_step_sc
+
+    rng = np.random.default_rng(5)
+    M, I, T_frames, K = 2, 9, 20, 3
+    X = rng.standard_normal((M, I, T_frames)) + 1j * rng.standard_normal((M, I, T_frames))
+    T0 = rng.random((M, I, K)) + 0.1
+    V0 = rng.random((M, K, T_frames)) + 0.1
+
+    # reference-class path (complex128 under the x64 test config)
+    ilrma = GaussILRMA(n_basis=K, spatial_algorithm="IP", scale_restoration=False)
+    ilrma(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy())
+    W_cls = np.asarray(ilrma.demix_filter)
+
+    # split-complex path (f64 planar under x64)
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+    Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
+    Tb, Vb = jnp.asarray(T0), jnp.asarray(V0)
+    step = jax.jit(gauss_ilrma_ip1_step_sc)
+    for _ in range(3):
+        Ws, Tb, Vb = step(Xs, Ws, Tb, Vb)
+
+    W_sc = np.asarray(Ws[0]) + 1j * np.asarray(Ws[1])
+    np.testing.assert_allclose(W_sc, W_cls, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Vb), np.asarray(ilrma.activation), atol=1e-8)
