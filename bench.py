@@ -61,21 +61,50 @@ def host_stft(x, n_fft=N_FFT, hop=HOP):
 
 
 def bench_jax(spectrogram):
+    import functools
+
+    import jax
+    from jax import lax
+
+    from ssspy_tpu.ops.splitc import auxiva_ip1_step_sc
     from ssspy_tpu.parallel import make_batched_auxiva_runner_sc, make_mesh
 
-    mesh = make_mesh()
-    runner = make_batched_auxiva_runner_sc(mesh)
+    # split-complex single utterance: (2, M, I, T) f32, resident on device
+    X = jax.device_put(
+        np.stack([spectrogram.real, spectrogram.imag]).astype(np.float32)
+    )
+    n_bins = X.shape[2]
+    W0 = np.zeros((2, n_bins, N_CHANNELS, N_CHANNELS), dtype=np.float32)
+    W0[0] = np.eye(N_CHANNELS, dtype=np.float32)
+    W = jax.device_put(W0)
 
-    # split-complex batch of 1 utterance: (1, 2, M, I, T) f32
-    X = np.stack([spectrogram.real, spectrogram.imag]).astype(np.float32)[None]
-    n_bins = X.shape[3]
-    W = np.zeros((1, 2, n_bins, N_CHANNELS, N_CHANNELS), dtype=np.float32)
-    W[:, 0] = np.eye(N_CHANNELS, dtype=np.float32)
+    if len(jax.devices()) > 1:
+        mesh = make_mesh()
+        sharded = make_batched_auxiva_runner_sc(mesh)
 
-    runner(X, W, N_ITER).block_until_ready()  # compile
+        def runner(X, W, n):
+            return sharded(X[None], W[None], n)[0]
+
+    else:
+        step = auxiva_ip1_step_sc
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def runner(X, W, n):
+            return lax.scan(lambda w, _: (step(X, w), None), W, None, length=n)[0]
+
+    np.asarray(runner(X, W, N_ITER))  # compile + force one full execution
+    # chain the filter through repeated calls (every execution is
+    # data-dependent on the previous) and force a host readback of the
+    # final filter: on remote-execution backends block_until_ready() can
+    # resolve before the computation finishes, so the device-to-host copy
+    # of the result is the only trustworthy completion barrier.
+    reps = 3
+    W_t = W
     t0 = time.perf_counter()
-    runner(X, W, N_ITER).block_until_ready()
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        W_t = runner(X, W_t, N_ITER)
+    np.asarray(W_t)
+    dt = (time.perf_counter() - t0) / reps
     return N_ITER / dt
 
 
