@@ -13,6 +13,7 @@ The complex M x M solve becomes one real 2M x 2M solve via the
 standard block embedding ``[[Ar, -Ai], [Ai, Ar]] [xr; xi] = [br; bi]``.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -22,6 +23,7 @@ __all__ = [
     "from_split",
     "block_embed",
     "csolve",
+    "gauss_jordan_solve",
     "ip1_sweep_sc",
     "auxiva_ip1_step_sc",
     "gauss_ilrma_ip1_step_sc",
@@ -47,15 +49,59 @@ def block_embed(Ar, Ai):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def csolve(Ar, Ai, br, bi):
+def gauss_jordan_solve(A, b):
+    """Batched dense solve by Gauss-Jordan elimination with partial pivoting.
+
+    ``A``: ``(..., n, n)``; ``b``: ``(..., n)``. Pure vectorized
+    elementwise/reduction ops — on TPU this runs on the VPU and is an
+    order of magnitude faster than XLA's batched LU path for the small
+    systems (n <= 16) the IP sweeps solve; numerically it applies the
+    same partial pivoting as LU.
+    """
+    n = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)  # (..., n, n+1)
+    rows = jnp.arange(n)
+
+    def body(k, M):
+        col = jnp.abs(M[..., :, k])  # (..., n)
+        eligible = jnp.where(rows >= k, 0.0, -jnp.inf)
+        p = jnp.argmax(col + eligible, axis=-1)  # (...,) pivot row >= k
+
+        # swap rows k and p via a batched permutation gather
+        perm = jnp.broadcast_to(rows, M.shape[:-1])
+        perm = jnp.where(rows == k, p[..., None], perm)
+        perm = jnp.where(rows == p[..., None], k, perm)
+        M = jnp.take_along_axis(M, perm[..., None], axis=-2)
+
+        pivot_row = jax.lax.dynamic_index_in_dim(M, k, axis=-2, keepdims=False)
+        pivot = jax.lax.dynamic_index_in_dim(pivot_row, k, axis=-1, keepdims=True)
+        pivot_row = pivot_row / pivot  # (..., n+1)
+
+        factor = M[..., :, k]  # (..., n)
+        M = M - factor[..., None] * pivot_row[..., None, :]
+        # restore the normalized pivot row (it eliminated itself above)
+        M = jnp.where((rows == k)[:, None], pivot_row[..., None, :], M)
+        return M
+
+    M = lax.fori_loop(0, n, body, M)
+    return M[..., n]
+
+
+def csolve(Ar, Ai, br, bi, impl: str = "auto"):
     """Solve complex ``A x = b`` with planar operands.
 
     ``A``: ``(..., M, M)`` pair; ``b``: ``(..., M)`` pair. Returns the
-    ``(xr, xi)`` pair via one real ``2M x 2M`` batched solve.
+    ``(xr, xi)`` pair via one real ``2M x 2M`` batched solve
+    (Gauss-Jordan on TPU, LAPACK-backed ``jnp.linalg.solve`` on CPU).
     """
     A2 = block_embed(Ar, Ai)
     b2 = jnp.concatenate([br, bi], axis=-1)
-    x2 = jnp.linalg.solve(A2, b2[..., None])[..., 0]
+    if impl == "auto":
+        impl = "gj" if jax.default_backend() not in ("cpu",) else "lu"
+    if impl == "gj":
+        x2 = gauss_jordan_solve(A2, b2)
+    else:
+        x2 = jnp.linalg.solve(A2, b2[..., None])[..., 0]
     n = br.shape[-1]
     return x2[..., :n], x2[..., n:]
 

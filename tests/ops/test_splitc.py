@@ -89,3 +89,32 @@ def test_gauss_ilrma_step_matches_class():
     np.testing.assert_allclose(W_sc, W_cls, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Vb), np.asarray(ilrma.activation), atol=1e-8)
+
+
+def test_gauss_jordan_solve_matches_lapack():
+    rng = np.random.default_rng(9)
+    from ssspy_tpu.ops.splitc import gauss_jordan_solve
+
+    A = rng.standard_normal((64, 16, 16))
+    b = rng.standard_normal((64, 16))
+    x = np.asarray(gauss_jordan_solve(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b[..., None])[..., 0], atol=1e-7)
+
+    # partial pivoting handles a zero leading pivot
+    A[:, 0, 0] = 0.0
+    x = np.asarray(gauss_jordan_solve(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b[..., None])[..., 0], atol=1e-6)
+
+
+def test_csolve_gj_impl_matches_lu():
+    rng = np.random.default_rng(10)
+    from ssspy_tpu.ops.splitc import csolve
+
+    A = rng.standard_normal((31, 8, 8)) + 1j * rng.standard_normal((31, 8, 8))
+    A = A + 8 * np.eye(8)
+    b = rng.standard_normal((31, 8)) + 1j * rng.standard_normal((31, 8))
+    args = [jnp.asarray(v) for v in (A.real, A.imag, b.real, b.imag)]
+    xr_lu, xi_lu = csolve(*args, impl="lu")
+    xr_gj, xi_gj = csolve(*args, impl="gj")
+    np.testing.assert_allclose(np.asarray(xr_gj), np.asarray(xr_lu), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(xi_gj), np.asarray(xi_lu), atol=1e-9)
