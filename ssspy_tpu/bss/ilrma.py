@@ -123,7 +123,10 @@ class ILRMABase(IterativeMethodBase):
         self.n_sources, self.n_channels = n_sources, n_channels
         self.n_bins, self.n_frames = n_bins, n_frames
 
-        if not hasattr(self, "demix_filter"):
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            # re-init on a repeat call after a demix-free (ISS/IPA) run
             W = jnp.tile(jnp.eye(n_sources, n_channels, dtype=X.dtype), (n_bins, 1, 1))
         else:
             W = None if self.demix_filter is None else jnp.asarray(self.demix_filter).copy()

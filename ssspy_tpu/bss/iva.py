@@ -132,7 +132,12 @@ class IVABase(IterativeMethodBase):
         self.n_sources, self.n_channels = n_sources, n_channels
         self.n_bins, self.n_frames = n_bins, n_frames
 
-        if not hasattr(self, "demix_filter"):
+        # re-init when missing, or when a previous demix-free (ISS/IPA) run
+        # left None behind and no explicit warm start was given this call —
+        # the reference would crash on such a second call (iva.py:171-194)
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
             W = jnp.tile(
                 jnp.eye(n_sources, n_channels, dtype=X.dtype), (n_bins, 1, 1)
             )

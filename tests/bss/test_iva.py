@@ -273,3 +273,17 @@ def test_faster_iva_matches_reference():
     # eigen-phase gauge may differ; compare magnitudes + loss
     assert np.allclose(np.abs(Y_ours), np.abs(Y_theirs), atol=1e-6)
     assert np.allclose(ours.loss, theirs.loss, atol=1e-6)
+
+
+def test_auxiva_iss_instance_reuse():
+    """A demix-free (ISS) instance can separate a second mixture.
+
+    The reference crashes on the second call (its _reset keeps
+    demix_filter=None and then matmuls None); here _reset re-initializes
+    unless None was explicitly passed as a warm-start kwarg.
+    """
+    X = _mixture(n_sources=2)
+    iva = AuxIVA(spatial_algorithm="ISS", contrast_fn=contrast_fn, d_contrast_fn=d_contrast_fn)
+    Y1 = np.asarray(iva(X, n_iter=2))
+    Y2 = np.asarray(iva(X, n_iter=2))
+    np.testing.assert_allclose(Y1, Y2, atol=1e-6)
