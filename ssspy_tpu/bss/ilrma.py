@@ -132,7 +132,9 @@ class ILRMABase(IterativeMethodBase):
             W = None if self.demix_filter is None else jnp.asarray(self.demix_filter).copy()
 
         self.demix_filter = W
-        self.output = None if W is None else _separate(X, W)
+        if W is not None or not hasattr(self, "output"):
+            # W=None with an ``output=`` kwarg is a demix-free warm start
+            self.output = None if W is None else _separate(X, W)
 
         self._init_nmf()
 

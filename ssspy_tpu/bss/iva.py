@@ -145,7 +145,11 @@ class IVABase(IterativeMethodBase):
             W = None if self.demix_filter is None else jnp.asarray(self.demix_filter).copy()
 
         self.demix_filter = W
-        self.output = self.separate(X, demix_filter=W)
+        separated = self.separate(X, demix_filter=W)
+        if separated is not None or not hasattr(self, "output"):
+            # W=None with an ``output=`` kwarg is a demix-free warm start;
+            # keep the provided spectrogram instead of clobbering it
+            self.output = separated
 
     def separate(self, input, demix_filter):
         """Apply demixing filters: ``(M,I,T) -> (N,I,T)``."""
