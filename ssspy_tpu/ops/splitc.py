@@ -209,7 +209,7 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10):
     return lax.fori_loop(0, n_sources, body, (Wr, Wi))
 
 
-def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-10):
+def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     """One GaussILRMA MM+IP1 iteration in split-complex form.
 
     Mirrors ``GaussILRMA.update_once`` (reference ssspy/bss/ilrma.py:
@@ -220,6 +220,12 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-10):
     ``Xs``: ``(2, M, I, T)`` f32; ``Ws``: ``(2, I, N, M)`` f32;
     ``T``: basis ``(N, I, K)``; ``V``: activation ``(N, K, T)``.
     Returns ``(Ws, T, V)``.
+
+    ``eps`` defaults to 1e-6 rather than the reference's 1e-10: the
+    fast path runs in f32, where ``R**((p+2)/p)`` of a 1e-10-floored
+    model underflows and a collapsed source's power normalization
+    (divide by ~1e-10) saturates the dynamic range after ~150
+    iterations. For f64 parity testing pass ``eps=1e-10``.
     """
     p = domain
     p2p = (p + 2) / p

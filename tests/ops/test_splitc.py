@@ -81,7 +81,8 @@ def test_gauss_ilrma_step_matches_class():
     W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
     Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
     Tb, Vb = jnp.asarray(T0), jnp.asarray(V0)
-    step = jax.jit(gauss_ilrma_ip1_step_sc)
+    import functools
+    step = jax.jit(functools.partial(gauss_ilrma_ip1_step_sc, eps=1e-10))
     for _ in range(3):
         Ws, Tb, Vb = step(Xs, Ws, Tb, Vb)
 
