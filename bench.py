@@ -135,7 +135,7 @@ def main():
     spec = host_stft(mix)
 
     jax_ips = bench_jax(spec)
-    np_ips = bench_numpy(spec)
+    np_ips = bench_numpy(spec) or FALLBACK_NUMPY_ITERS_PER_SEC
 
     vs_baseline = (jax_ips / np_ips) if np_ips else None
     print(

@@ -31,5 +31,6 @@ __all__ = [
 ]
 
 from . import native, ops, parallel  # noqa: E402  (host runtime + fast paths)
+from .pipeline import separate  # noqa: E402
 
-__all__ += ["native", "ops", "parallel"]
+__all__ += ["native", "ops", "parallel", "separate"]
