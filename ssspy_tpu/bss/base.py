@@ -81,7 +81,29 @@ class IterativeMethodBase:
 
     # ---- driver ------------------------------------------------------------
 
+    def _scalar_config(self):
+        """Fingerprint of scalar hyperparameters captured by make_step/make_loss.
+
+        The factories close over attributes like ``step_size`` or
+        ``domain`` at trace time; the reference re-reads them every
+        ``update_once``, so a user mutating them between calls (e.g.
+        step-size annealing) must invalidate the compiled programs.
+        """
+        return tuple(
+            sorted(
+                (k, v)
+                for k, v in vars(self).items()
+                if isinstance(v, (int, float, bool, str)) and not k.startswith("_")
+            )
+        )
+
+    def _check_cache_valid(self) -> None:
+        fingerprint = self._scalar_config()
+        if self._jit_cache.get("__config__") != fingerprint:
+            self._jit_cache = {"__config__": fingerprint}
+
     def _cached_jit(self, key, factory):
+        self._check_cache_valid()
         fn = self._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(factory())
@@ -128,6 +150,7 @@ class IterativeMethodBase:
                 for callback in self.callbacks:
                     callback(self)
         else:
+            self._check_cache_valid()
             runner = self._jit_cache.get("runner")
             if runner is None:
                 runner = self._build_runner()

@@ -297,7 +297,7 @@ class CACGMM(CACGMMBase):
     # ---- state plumbing ----------------------------------------------------
 
     def init_state(self):
-        return {"Z": self.unit_input, "alpha": self.mixing, "B": self.covariance}
+        return {"Xu": self.unit_input, "alpha": self.mixing, "B": self.covariance}
 
     def commit_state(self, state) -> None:
         self._state = state
@@ -332,7 +332,7 @@ class CACGMM(CACGMMBase):
         normalization = self.normalization
 
         def step(state):
-            Z, alpha, B = state["Z"], state["alpha"], state["B"]
+            Z, alpha, B = state["Xu"], state["alpha"], state["B"]
 
             # E-step (ssspy/bss/cacgmm.py:629-664)
             log_gamma, ZBZ = _log_posterior_kernel(Z, alpha, B, n_channels, flooring_fn)
@@ -361,7 +361,7 @@ class CACGMM(CACGMMBase):
 
         def loss(state):
             log_gamma, _ = _log_posterior_kernel(
-                state["Z"], state["alpha"], state["B"], n_channels, flooring_fn
+                state["Xu"], state["alpha"], state["B"], n_channels, flooring_fn
             )
             value = -logsumexp(log_gamma, axis=0)  # (I, T)
             return jnp.sum(jnp.mean(value, axis=-1))

@@ -365,18 +365,18 @@ class FastIVABase(IVABase):
         return _separate(z, jnp.asarray(demix_filter))
 
     def init_state(self):
-        return {"Z": self.whitened_input, "W": self.demix_filter}
+        return {"Xw": self.whitened_input, "W": self.demix_filter}
 
     def commit_state(self, state) -> None:
         self._state = state
         self.demix_filter = state["W"]
-        self.output = _separate(state["Z"], state["W"])
+        self.output = _separate(state["Xw"], state["W"])
 
     def make_loss(self):
         contrast_fn = self.contrast_fn
 
         def loss(state):
-            Y = _separate(state["Z"], state["W"])
+            Y = _separate(state["Xw"], state["W"])
             G = contrast_fn(Y)
             return jnp.sum(jnp.mean(G, axis=1))
 
@@ -444,7 +444,7 @@ class FastIVA(FastIVABase):
         dd_contrast_fn = self.dd_contrast_fn
 
         def step(state):
-            Z, W = state["Z"], state["W"]
+            Z, W = state["Xw"], state["W"]
             Y = _separate(Z, W)
             norm = jnp.linalg.norm(Y, axis=1)
             varphi = d_contrast_fn(norm) / flooring_fn(2 * norm)  # (N, T)
@@ -498,7 +498,7 @@ class FasterIVA(FastIVABase):
         d_contrast_fn = self.d_contrast_fn
 
         def step(state):
-            Z, W = state["Z"], state["W"]
+            Z, W = state["Xw"], state["W"]
             Y = _separate(Z, W)
             norm = jnp.linalg.norm(Y, axis=1)
             varphi = d_contrast_fn(norm) / flooring_fn(2 * norm)

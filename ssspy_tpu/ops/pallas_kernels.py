@@ -22,6 +22,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["weighted_covariance_sc"]
 
+# beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
+# f32 plus weights/outputs) approach the ~16 MB/core VMEM budget; the
+# einsum path takes over (correct for any length, ~2x slower on the op)
+_MAX_FRAMES_VMEM = 16384
+
 
 def _wcov_kernel(xr_ref, xi_ref, phi_ref, ur_ref, ui_ref, *, inv_frames, n_sources):
     # xr/xi: (Ib, M, T) bins-major tiles; phi: full (N, T) weights.
@@ -111,7 +116,11 @@ def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
     (pallas on TPU backends, einsum elsewhere).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu",) else "einsum"
+        # the kernel lowers only on TPU targets ("tpu" proper and the
+        # axon PJRT tunnel); GPUs and CPUs take the XLA einsum path
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        fits_vmem = Xr.shape[-1] <= _MAX_FRAMES_VMEM
+        impl = "pallas" if (on_tpu and fits_vmem) else "einsum"
 
     if impl == "einsum":
         return _wcov_einsum(Xr, Xi, varphi)

@@ -128,7 +128,9 @@ def csolve(Ar, Ai, br, bi, impl: str = "auto"):
     A2 = block_embed(Ar, Ai)
     b2 = jnp.concatenate([br, bi], axis=-1)
     if impl == "auto":
-        impl = "gjnp" if jax.default_backend() not in ("cpu",) else "lu"
+        # vectorized Gauss-Jordan pays off on TPU targets; CPUs/GPUs have
+        # fast native batched LU
+        impl = "gjnp" if jax.default_backend() in ("tpu", "axon") else "lu"
     if impl == "gjnp":
         x2 = gauss_jordan_solve_nopivot(A2, b2)
     elif impl == "gj":
@@ -171,7 +173,7 @@ def auxiva_ip1_step_sc(Xs, Ws, eps=1e-10, covariance_impl: str = "auto"):
     return jnp.stack([Wr, Wi], axis=0)
 
 
-def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10):
+def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto"):
     """Sequential IP1 source sweep on planar operands.
 
     ``W``: ``(I, N, M)`` pair; ``U``: ``(I, N, M, M)`` pair (Hermitian
@@ -194,7 +196,7 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10):
         e_n = jnp.zeros((n_channels,), Wr.dtype).at[src].set(1.0)
         br = jnp.broadcast_to(e_n, (n_bins, n_channels))
         bi = jnp.zeros_like(br)
-        wr, wi = csolve(Ar, Ai, br, bi)  # (I, M) pair
+        wr, wi = csolve(Ar, Ai, br, bi, impl=solve_impl)  # (I, M) pair
 
         # z = U_n w;  w^H U_n w = wr.zr + wi.zi (real by Hermitian symmetry)
         zr = (Urn @ wr[..., None])[..., 0] - (Uin @ wi[..., None])[..., 0]

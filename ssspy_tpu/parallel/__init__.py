@@ -112,16 +112,18 @@ def shard_batched_run(
     *,
     x_bin_axis: int = 2,
     w_bin_axis: int = 1,
+    ndim: int = 4,
 ) -> Callable:
     """Jit ``run(X, W, n_iter)`` with ``(dp, bin)`` shardings over ``mesh``.
 
     ``step_fn(X, W) -> W`` must be batched over a leading utterance axis.
     Returns a compiled runner executing ``n_iter`` steps as one
     ``lax.scan`` XLA program; per-bin independence means the scan body
-    issues no collectives.
+    issues no collectives. ``ndim`` is the rank of both batched arrays
+    (4 for complex layouts, 5 for split-complex).
     """
-    x_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=x_bin_axis, ndim=4))
-    w_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=w_bin_axis, ndim=4))
+    x_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=x_bin_axis, ndim=ndim))
+    w_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=w_bin_axis, ndim=ndim))
 
     def run(X, W, n_iter):
         def body(W, _):
@@ -169,20 +171,6 @@ def make_batched_auxiva_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
     """
     if mesh is None:
         mesh = make_mesh()
-
-    x_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=3, ndim=5))
-    w_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=2, ndim=5))
-
-    def run(X, W, n_iter):
-        def body(W, _):
-            return batched_auxiva_ip1_step_sc(X, W), None
-
-        W, _ = lax.scan(body, W, None, length=n_iter)
-        return W
-
-    return jax.jit(
-        run,
-        in_shardings=(x_sharding, w_sharding),
-        out_shardings=w_sharding,
-        static_argnums=(2,),
+    return shard_batched_run(
+        mesh, batched_auxiva_ip1_step_sc, x_bin_axis=3, w_bin_axis=2, ndim=5
     )

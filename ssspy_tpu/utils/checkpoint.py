@@ -35,8 +35,13 @@ _STATE_ATTRS = (
     "dual2",
     "auxiliary1",
     "auxiliary2",
+    "variance",
     "output",
 )
+
+# input-derived scan-state keys that _reset recomputes deterministically;
+# checkpointing them would bloat files and plant bogus warm-start kwargs
+_INPUT_DERIVED_KEYS = frozenset({"X", "Xw", "Xu", "XX"})
 
 
 # scan-state pytree key -> __call__ warm-start kwarg
@@ -71,7 +76,7 @@ def state_dict(method) -> Dict[str, np.ndarray]:
     state = getattr(method, "_state", None)
     if state is not None:
         for key, value in state.items():
-            if key == "X" or value is None:
+            if key in _INPUT_DERIVED_KEYS or value is None:
                 continue
             if key.startswith("T") and key[1:].isdigit():  # IPSDTA parts
                 out[f"basis.{key[1:]}"] = np.asarray(value)
@@ -138,4 +143,5 @@ def resume(method, input, path: str, n_iter: int = 100, **kwargs):
     if loss is not None and method.record_loss:
         method.loss = [float(v) for v in loss]
 
-    return method(input, n_iter=n_iter, initial_call=False, **state, **kwargs)
+    # caller kwargs take precedence over checkpointed state
+    return method(input, n_iter=n_iter, initial_call=False, **{**state, **kwargs})

@@ -287,3 +287,23 @@ def test_auxiva_iss_instance_reuse():
     Y1 = np.asarray(iva(X, n_iter=2))
     Y2 = np.asarray(iva(X, n_iter=2))
     np.testing.assert_allclose(Y1, Y2, atol=1e-6)
+
+
+def test_step_size_annealing_invalidates_compiled_step():
+    """Mutating a scalar hyperparameter between calls takes effect (the
+    reference re-reads attributes every update_once; our compiled step
+    closures must be invalidated on change)."""
+    X = _mixture(n_sources=2)
+    iva = GradLaplaceIVA(step_size=0.1, scale_restoration=False)
+    _ = iva(X, n_iter=2)
+    W1 = np.asarray(iva.demix_filter)
+
+    iva.step_size = 1e-6  # anneal: second run should barely move W
+    _ = iva(X, n_iter=2)
+    W2 = np.asarray(iva.demix_filter)
+    assert np.abs(W2 - W1).max() < 1e-4  # annealed steps are tiny
+
+    iva.step_size = 0.1  # restore: moves again
+    _ = iva(X, n_iter=2)
+    W3 = np.asarray(iva.demix_filter)
+    assert np.abs(W3 - W2).max() > 1e-3

@@ -122,3 +122,30 @@ def test_checkpoint_roundtrip_keys(tmp_path):
     save_checkpoint(path, ilrma)
     state = load_checkpoint(path)
     assert {"demix_filter", "basis", "activation"} <= set(state)
+
+
+def test_checkpoint_excludes_input_derived_state(tmp_path):
+    """Whitened/unit inputs and instant covariances are recomputed by
+    _reset and must not bloat checkpoints or leak as bogus kwargs."""
+    import jax.numpy as jnp
+
+    from ssspy_tpu.bss.iva import FastIVA
+    from ssspy_tpu.bss.mnmf import GaussMNMF
+    from ssspy_tpu.utils.checkpoint import state_dict
+
+    X = _mixture()
+    fast = FastIVA(
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+        dd_contrast_fn=lambda y: jnp.zeros_like(y),
+    )
+    fast(X.copy(), n_iter=1)
+    keys = set(state_dict(fast))
+    assert "latent" not in keys and "Xw" not in keys
+    assert "demix_filter" in keys
+
+    mnmf = GaussMNMF(n_basis=2, rng=np.random.default_rng(0))
+    mnmf(X.copy(), n_iter=1)
+    keys = set(state_dict(mnmf))
+    assert "XX" not in keys
+    assert {"basis", "activation", "spatial"} <= keys
