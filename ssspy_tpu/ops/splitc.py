@@ -27,6 +27,7 @@ __all__ = [
     "gauss_jordan_solve_nopivot",
     "ip1_sweep_sc",
     "auxiva_ip1_step_sc",
+    "auxiva_iss1_step_sc",
     "gauss_ilrma_ip1_step_sc",
 ]
 
@@ -209,6 +210,43 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto"):
         Wi = Wi.at[:, src].set(-wi / denom)
 
     return Wr, Wi
+
+
+def auxiva_iss1_step_sc(Ys, eps=1e-10):
+    """One AuxIVA-ISS1 iteration in split-complex form.
+
+    ``Ys``: separated spectrograms ``(2, N, I, T)`` f32 (ISS carries no
+    demixing matrix — reference ssspy/bss/iva.py:1687-1697 and
+    ssspy/bss/_update_spatial_model.py:146-194). Rank-1 source-steering
+    updates only: no solves, pure elementwise/reduction VPU work.
+    """
+    Yr, Yi = Ys[0], Ys[1]
+    n_sources = Yr.shape[0]
+
+    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    varphi = (1.0 / jnp.maximum(norm, eps))[:, None, :]  # (N, 1, T)
+
+    for src in range(n_sources):
+        Ynr, Yni = Yr[src], Yi[src]  # (I, T)
+        # y_n y_n^* and Y y_n^* in planar parts
+        Yn2 = Ynr**2 + Yni**2
+        YYn_r = Yr * Ynr + Yi * Yni  # Re(Y conj(y_n)), (N, I, T)
+        YYn_i = Yi * Ynr - Yr * Yni  # Im(Y conj(y_n))
+
+        num_r = jnp.mean(varphi * YYn_r, axis=-1)  # (N, I)
+        num_i = jnp.mean(varphi * YYn_i, axis=-1)
+        denom = jnp.maximum(jnp.mean(varphi * Yn2[None], axis=-1), eps)  # (N, I)
+
+        vr = num_r / denom
+        vi = num_i / denom
+        v_self = 1.0 - 1.0 / jnp.sqrt(denom[src])
+        vr = vr.at[src].set(v_self)
+        vi = vi.at[src].set(0.0)
+
+        Yr = Yr - (vr[:, :, None] * Ynr[None] - vi[:, :, None] * Yni[None])
+        Yi = Yi - (vr[:, :, None] * Yni[None] + vi[:, :, None] * Ynr[None])
+
+    return jnp.stack([Yr, Yi], axis=0)
 
 
 def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):

@@ -130,3 +130,25 @@ def test_gauss_jordan_nopivot_matches_on_conditioned_systems():
     b = rng.standard_normal((64, 16))
     x = np.asarray(gauss_jordan_solve_nopivot(jnp.asarray(A), jnp.asarray(b)))
     np.testing.assert_allclose(x, np.linalg.solve(A, b[..., None])[..., 0], atol=1e-8)
+
+
+def test_auxiva_iss1_step_matches_complex_kernel():
+    import jax
+
+    from ssspy_tpu.bss._update_spatial_model import update_by_iss1
+    from ssspy_tpu.ops.splitc import auxiva_iss1_step_sc
+
+    rng = np.random.default_rng(12)
+    N, I, T = 3, 9, 25
+    Y = rng.standard_normal((N, I, T)) + 1j * rng.standard_normal((N, I, T))
+
+    # complex path: IVA ISS weights G'(r)/2r with Laplace contrast = 1/r
+    Ys = jnp.asarray(np.stack([Y.real, Y.imag]))
+    Ys = jax.jit(auxiva_iss1_step_sc)(Ys)
+    Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
+
+    norm = np.maximum(np.linalg.norm(Y, axis=1), 1e-10)
+    varphi = (1.0 / norm)[:, None, :]
+    Y_ref = np.asarray(update_by_iss1(jnp.asarray(Y), jnp.asarray(varphi)))
+
+    np.testing.assert_allclose(Y_sc, Y_ref, atol=1e-10)
