@@ -307,3 +307,18 @@ def test_step_size_annealing_invalidates_compiled_step():
     _ = iva(X, n_iter=2)
     W3 = np.asarray(iva.demix_filter)
     assert np.abs(W3 - W2).max() > 1e-3
+
+
+def test_auxiva_combination_pair_selector():
+    from ssspy_tpu.utils.select_pair import combination_pair_selector
+
+    X = _mixture(n_sources=2)
+    for spatial in ("IP2", "ISS2"):
+        iva = AuxIVA(
+            spatial_algorithm=spatial,
+            contrast_fn=contrast_fn,
+            d_contrast_fn=d_contrast_fn,
+            pair_selector=combination_pair_selector,
+        )
+        Y = np.asarray(iva(X, n_iter=2))
+        assert Y.shape == X.shape and np.all(np.isfinite(Y))
