@@ -30,7 +30,7 @@ __all__ = [
     "utils",
 ]
 
-from . import native, ops, parallel  # noqa: E402  (host runtime + fast paths)
+from . import fast, native, ops, parallel  # noqa: E402  (host runtime + fast paths)
 from .pipeline import separate  # noqa: E402
 
-__all__ += ["native", "ops", "parallel", "separate"]
+__all__ += ["fast", "native", "ops", "parallel", "separate"]

@@ -1,0 +1,141 @@
+"""Production TPU separators over the split-complex fast paths.
+
+The class API (:mod:`ssspy_tpu.bss`) traces complex64 programs — correct
+on CPU and standard TPU backends, where XLA lowers complex arithmetic to
+real pairs. These entry points instead run the hand-written planar
+``[real, imag]`` f32 scans from :mod:`ssspy_tpu.ops.splitc` (the
+measured numbers in BENCHMARKS.md), never materializing a complex array
+on device — required on TPU runtimes without complex support, and
+fastest everywhere else on TPU.
+
+>>> Y, W = fast_auxiva(spectrogram, n_iter=100)              # (N,I,T), (I,N,M)
+>>> Y, (T, V) = fast_gauss_ilrma(spectrogram, n_basis=8, n_iter=100)
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax import lax
+
+from .ops.splitc import (
+    auxiva_ip1_step_sc,
+    auxiva_iss1_step_sc,
+    gauss_ilrma_ip1_step_sc,
+    to_split,
+)
+
+__all__ = ["fast_auxiva", "fast_gauss_ilrma"]
+
+
+def _projection_back_host(Y: np.ndarray, X: np.ndarray, reference_id: int) -> np.ndarray:
+    """Least-squares projection back on the host (numpy complex).
+
+    Same math as :func:`ssspy_tpu.algorithm.projection_back` with a
+    reference spectrogram (reference ssspy/algorithm/projection_back.py:
+    100-121), kept in numpy so no complex array touches the device.
+    """
+    Yb = Y.transpose(1, 0, 2)  # (I, N, T)
+    Xb = X.transpose(1, 0, 2)  # (I, M, T)
+    YH = Yb.transpose(0, 2, 1).conj()
+    scale = (Xb @ YH) @ np.linalg.inv(Yb @ YH)  # (I, M, N)
+    scale = scale[:, reference_id, :]  # (I, N)
+    return Y * scale.T[:, :, None]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _run_auxiva(Xs, carry, n_iter: int, algorithm: str):
+    if algorithm == "IP1":
+        def body(w, _):
+            return auxiva_ip1_step_sc(Xs, w), None
+    else:
+        def body(y, _):
+            return auxiva_iss1_step_sc(y), None
+
+    return lax.scan(body, carry, None, length=n_iter)[0]
+
+
+def fast_auxiva(
+    spectrogram,
+    n_iter: int = 100,
+    algorithm: str = "IP1",
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """AuxLaplaceIVA on the planar f32 fast path.
+
+    ``spectrogram``: complex ``(n_channels, n_bins, n_frames)`` (host
+    array). ``algorithm``: ``"IP1"`` or ``"ISS1"``. Returns
+    ``(separated, demix_filter_or_None)`` as host arrays; projection
+    back runs on the host.
+    """
+    assert algorithm in ("IP1", "ISS1"), f"Not support {algorithm}."
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, _ = X.shape
+    Xs = jax.device_put(to_split(X))
+
+    if algorithm == "IP1":
+        W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+        W0[0] = np.eye(n_channels, dtype=np.float32)
+        Ws = np.asarray(_run_auxiva(Xs, jax.device_put(W0), n_iter, algorithm))
+        W = Ws[0] + 1j * Ws[1]  # (I, N, M) complex on host
+        Y = np.einsum("inm,mit->nit", W, X)
+        if scale_restoration:
+            scale = np.linalg.inv(W)[:, reference_id, :]  # (I, N)
+            W = W * scale[:, :, None]
+            Y = np.einsum("inm,mit->nit", W, X)
+        return Y, W
+
+    Ys = np.asarray(_run_auxiva(Xs, Xs, n_iter, algorithm))
+    Y = Ys[0] + 1j * Ys[1]
+    if scale_restoration:
+        Y = _projection_back_host(Y, X, reference_id)
+    return Y, None
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _run_ilrma(Xs, Ws, TV, n_iter: int):
+    def body(carry, _):
+        W, T, V = carry
+        W, T, V = gauss_ilrma_ip1_step_sc(Xs, W, T, V)
+        return (W, T, V), None
+
+    (W, T, V), _ = lax.scan(body, (Ws,) + TV, None, length=n_iter)
+    return W, T, V
+
+
+def fast_gauss_ilrma(
+    spectrogram,
+    n_basis: int,
+    n_iter: int = 100,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """GaussILRMA (IP1/MM, power normalization) on the planar fast path.
+
+    Returns ``(separated, (basis, activation), demix_filter)`` as host
+    arrays.
+    """
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    rng = np.random.default_rng() if rng is None else rng
+
+    Xs = jax.device_put(to_split(X))
+    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[0] = np.eye(n_channels, dtype=np.float32)
+    T0 = rng.random((n_channels, n_bins, n_basis)).astype(np.float32)
+    V0 = rng.random((n_channels, n_basis, n_frames)).astype(np.float32)
+
+    Ws, T, V = _run_ilrma(
+        Xs, jax.device_put(W0), (jax.device_put(T0), jax.device_put(V0)), n_iter
+    )
+    Ws, T, V = np.asarray(Ws), np.asarray(T), np.asarray(V)
+    W = Ws[0] + 1j * Ws[1]
+    Y = np.einsum("inm,mit->nit", W, X)
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]
+        W = W * scale[:, :, None]
+        Y = np.einsum("inm,mit->nit", W, X)
+    return Y, (T, V), W

@@ -1,0 +1,77 @@
+"""fast.* production separators: parity vs the class API."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssspy_tpu.bss.ilrma import GaussILRMA
+from ssspy_tpu.bss.iva import AuxIVA
+from ssspy_tpu.fast import fast_auxiva, fast_gauss_ilrma
+from ssspy_tpu.transform import stft
+
+
+def _mixture(n_sources=2, n_samples=8000, seed=0):
+    from ssspy_tpu.utils.dataset import download_sample_speech_data
+
+    images, _ = download_sample_speech_data(
+        cache_dir="/tmp/ssspy_tpu_test_data",
+        n_sources=n_sources,
+        max_duration=n_samples / 16000,
+        conv=True,
+        seed=seed,
+    )
+    return np.asarray(stft(images.sum(axis=0), n_fft=256, hop_length=128))
+
+
+def _class_auxiva(X, algo, n_iter):
+    iva = AuxIVA(
+        spatial_algorithm=algo,
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+    )
+    return np.asarray(iva(X.astype(np.complex64).copy(), n_iter=n_iter))
+
+
+@pytest.mark.parametrize("algorithm,class_algo", [("IP1", "IP"), ("ISS1", "ISS")])
+def test_fast_auxiva_matches_class_api(algorithm, class_algo):
+    X = _mixture()
+    Y_fast, W = fast_auxiva(X, n_iter=5, algorithm=algorithm)
+    Y_cls = _class_auxiva(X, class_algo, n_iter=5)
+
+    assert Y_fast.shape == X.shape
+    # f32 planar vs complex64 class path: same trajectory to fp tolerance
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+    if algorithm == "IP1":
+        assert W.shape == (X.shape[1], X.shape[0], X.shape[0])
+
+
+def test_fast_gauss_ilrma_matches_class_api():
+    X = _mixture(seed=1)
+    rng_init = np.random.default_rng(7)
+    n_basis = 2
+    T0 = rng_init.random((2, X.shape[1], n_basis))
+    V0 = rng_init.random((2, n_basis, X.shape[2]))
+
+    class _FixedRng:
+        """Generator stub replaying the fixed NMF init."""
+
+        def __init__(self):
+            self.draws = [T0, V0]
+
+        def random(self, shape):
+            value = self.draws.pop(0)
+            assert value.shape == tuple(shape)
+            return value
+
+    Y_fast, (T, V), W = fast_gauss_ilrma(X, n_basis=n_basis, n_iter=4, rng=_FixedRng())
+
+    ilrma = GaussILRMA(n_basis=n_basis, spatial_algorithm="IP")
+    Y_cls = np.asarray(
+        ilrma(
+            X.astype(np.complex64).copy(),
+            n_iter=4,
+            basis=T0.astype(np.float32),
+            activation=V0.astype(np.float32),
+        )
+    )
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
