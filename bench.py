@@ -134,7 +134,12 @@ def main():
     mix = make_mixture()
     spec = host_stft(mix)
 
-    jax_ips = bench_jax(spec)
+    # the TPU tunnel is occasionally flaky on first contact; retry once
+    try:
+        jax_ips = bench_jax(spec)
+    except Exception:
+        time.sleep(30)
+        jax_ips = bench_jax(spec)
     np_ips = bench_numpy(spec) or FALLBACK_NUMPY_ITERS_PER_SEC
 
     vs_baseline = (jax_ips / np_ips) if np_ips else None
