@@ -26,7 +26,7 @@ from .ops.splitc import (
     to_split,
 )
 
-__all__ = ["fast_auxiva", "fast_gauss_ilrma"]
+__all__ = ["fast_auxiva", "fast_auxiva_batch", "fast_gauss_ilrma"]
 
 
 def _projection_back_host(Y: np.ndarray, X: np.ndarray, reference_id: int) -> np.ndarray:
@@ -92,6 +92,42 @@ def fast_auxiva(
     if scale_restoration:
         Y = _projection_back_host(Y, X, reference_id)
     return Y, None
+
+
+def fast_auxiva_batch(
+    spectrograms,
+    n_iter: int = 100,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+    mesh=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """AuxLaplaceIVA-IP1 over an utterance batch on a ``(dp, bin)`` mesh.
+
+    ``spectrograms``: complex ``(batch, n_channels, n_bins, n_frames)``.
+    The batch axis shards over ``dp`` and the bin axis over ``bin``
+    across all available devices (see :mod:`ssspy_tpu.parallel`);
+    per-utterance shapes must divide the mesh axes. Returns
+    ``(separated (B, N, I, T), demix_filters (B, I, N, M))``.
+    """
+    from .parallel import make_batched_auxiva_runner_sc, make_mesh
+
+    X = np.asarray(spectrograms)
+    n_batch, n_channels, n_bins, _ = X.shape
+
+    mesh = make_mesh() if mesh is None else mesh
+    runner = make_batched_auxiva_runner_sc(mesh)
+
+    Xs = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    W0 = np.zeros((n_batch, 2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[:, 0] = np.eye(n_channels, dtype=np.float32)
+
+    Ws = np.asarray(runner(Xs, W0, n_iter))
+    W = Ws[:, 0] + 1j * Ws[:, 1]  # (B, I, N, M)
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, :, reference_id, :]  # (B, I, N)
+        W = W * scale[..., None]
+    Y = np.einsum("binm,bmit->bnit", W, X)
+    return Y, W
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
