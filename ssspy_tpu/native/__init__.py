@@ -21,6 +21,7 @@ __all__ = [
     "wav_read",
     "wav_write_i16",
     "convolutive_mix",
+    "resample",
 ]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -119,6 +120,16 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int64,
         ctypes.c_int32,
     ]
+    lib.ssspy_resample.restype = ctypes.c_int
+    lib.ssspy_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+    ]
     lib.ssspy_convolutive_mix.restype = ctypes.c_int
     lib.ssspy_convolutive_mix.argtypes = [
         ctypes.POINTER(ctypes.c_double),
@@ -215,6 +226,39 @@ def convolutive_mix(sources: np.ndarray, taps: np.ndarray) -> np.ndarray:
     )
     assert rc == 0
     return out
+
+
+def resample(waveform: np.ndarray, orig_rate: int, target_rate: int, half_width: int = 32) -> np.ndarray:
+    """Windowed-sinc resampling of ``(..., n_samples)`` signals.
+
+    Rational-rate polyphase interpolation with a Hann-windowed sinc of
+    ``half_width`` zero crossings per side (anti-aliased when
+    downsampling). Covers the role scipy's resampling plays in the
+    reference dataset pipeline (ssspy/utils/dataset/mird.py:76-86).
+    """
+    import math
+
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    g = math.gcd(orig_rate, target_rate)
+    p, q = target_rate // g, orig_rate // g
+
+    x = np.ascontiguousarray(waveform, dtype=np.float64)
+    flat = x.reshape(-1, x.shape[-1])
+    n_out = -(-x.shape[-1] * p // q)  # ceil
+    out = np.empty((flat.shape[0], n_out), dtype=np.float64)
+    for row_in, row_out in zip(flat, out):
+        rc = lib.ssspy_resample(
+            row_in.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            row_in.shape[0],
+            row_out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_out,
+            p,
+            q,
+            half_width,
+        )
+        assert rc == 0
+    return out.reshape(x.shape[:-1] + (n_out,))
 
 
 def _error(rc: int, path: str) -> Exception:

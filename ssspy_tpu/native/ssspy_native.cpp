@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstring>
 #include <vector>
+#include <cmath>
 
 extern "C" {
 
@@ -224,6 +225,45 @@ int ssspy_convolutive_mix(const double* sources, const double* taps,
         for (int64_t t = t0; t < t1; ++t) out_m[t] += hl * x[t - shift];
       }
     }
+  }
+  return SSSPY_OK;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Windowed-sinc polyphase resampler (rational rate p/q), Kaiser-free
+// Hann-windowed kernel with `half_width` zero crossings per side.
+// in: (n_in,), out: (ceil(n_in * p / q),). Mirrors the role scipy's
+// resample/resample_poly plays in the reference dataset pipeline
+// (ssspy/utils/dataset/mird.py:76-86).
+int ssspy_resample(const double* in, int64_t n_in, double* out, int64_t n_out,
+                   int64_t p, int64_t q, int64_t half_width) {
+  if (p <= 0 || q <= 0 || half_width <= 0) return SSSPY_ERR_UNSUPPORTED;
+  const double ratio = (double)p / (double)q;
+  const double cutoff = ratio < 1.0 ? ratio : 1.0;  // anti-alias when down
+  const double support = half_width / cutoff;
+
+#pragma omp parallel for
+  for (int64_t j = 0; j < n_out; ++j) {
+    const double center = j / ratio;  // position in input samples
+    const int64_t lo = (int64_t)(center - support) + 1;
+    const int64_t hi = (int64_t)(center + support);
+    double acc = 0.0;
+    for (int64_t i = (lo > 0 ? lo : 0); i <= (hi < n_in - 1 ? hi : n_in - 1);
+         ++i) {
+      const double x = (i - center) * cutoff;
+      double sinc = 1.0;
+      if (x != 0.0) {
+        const double px = 3.14159265358979323846 * x;
+        sinc = sin(px) / px;
+      }
+      const double u = (i - center) / support;  // in [-1, 1]
+      const double win = 0.5 * (1.0 + cos(3.14159265358979323846 * u));
+      acc += sinc * win * cutoff * in[i];
+    }
+    out[j] = acc;
   }
   return SSSPY_OK;
 }

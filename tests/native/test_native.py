@@ -107,3 +107,37 @@ def test_convolutive_mix_even_taps():
         for n in range(2):
             expected[m] += np.convolve(sources[n], taps[m, n], mode="same")
     np.testing.assert_allclose(mix, expected, atol=1e-10)
+
+
+def test_resample_preserves_sine():
+    """Resampling a pure tone preserves frequency and amplitude."""
+    sr_in, sr_out, f0 = 8000, 16000, 440.0
+    t = np.arange(8000) / sr_in
+    x = np.sin(2 * np.pi * f0 * t)
+
+    y = native.resample(x, sr_in, sr_out)
+    assert y.shape[-1] == 16000
+
+    # compare against the ideal tone at the new rate (skip filter edges)
+    t2 = np.arange(y.shape[-1]) / sr_out
+    ref = np.sin(2 * np.pi * f0 * t2)
+    np.testing.assert_allclose(y[200:-200], ref[200:-200], atol=2e-3)
+
+
+def test_resample_downsample_antialias():
+    """Content above the target Nyquist is attenuated on downsampling."""
+    sr_in, sr_out = 16000, 8000
+    t = np.arange(16000) / sr_in
+    x_hi = np.sin(2 * np.pi * 6000.0 * t)  # above 4 kHz target Nyquist
+    y = native.resample(x_hi, sr_in, sr_out)
+    assert np.abs(y[200:-200]).max() < 0.05
+
+    x_lo = np.sin(2 * np.pi * 1000.0 * t)
+    y = native.resample(x_lo, sr_in, sr_out)
+    assert np.abs(y[200:-200]).max() > 0.9
+
+
+def test_resample_multichannel_shape():
+    x = np.random.default_rng(0).standard_normal((3, 4000))
+    y = native.resample(x, 8000, 12000)
+    assert y.shape == (3, 6000)
