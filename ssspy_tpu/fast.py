@@ -21,6 +21,7 @@ from jax import lax
 
 from .ops.splitc import (
     auxiva_ip1_step_sc,
+    auxiva_ip2_step_sc,
     auxiva_iss1_step_sc,
     gauss_ilrma_ip1_step_sc,
     to_split,
@@ -49,6 +50,9 @@ def _run_auxiva(Xs, carry, n_iter: int, algorithm: str):
     if algorithm == "IP1":
         def body(w, _):
             return auxiva_ip1_step_sc(Xs, w), None
+    elif algorithm == "IP2":
+        def body(w, _):
+            return auxiva_ip2_step_sc(Xs, w), None
     else:
         def body(y, _):
             return auxiva_iss1_step_sc(y), None
@@ -66,16 +70,16 @@ def fast_auxiva(
     """AuxLaplaceIVA on the planar f32 fast path.
 
     ``spectrogram``: complex ``(n_channels, n_bins, n_frames)`` (host
-    array). ``algorithm``: ``"IP1"`` or ``"ISS1"``. Returns
+    array). ``algorithm``: ``"IP1"``, ``"IP2"``, or ``"ISS1"``. Returns
     ``(separated, demix_filter_or_None)`` as host arrays; projection
     back runs on the host.
     """
-    assert algorithm in ("IP1", "ISS1"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2", "ISS1"), f"Not support {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, _ = X.shape
     Xs = jax.device_put(to_split(X))
 
-    if algorithm == "IP1":
+    if algorithm in ("IP1", "IP2"):
         W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
         W0[0] = np.eye(n_channels, dtype=np.float32)
         Ws = np.asarray(_run_auxiva(Xs, jax.device_put(W0), n_iter, algorithm))

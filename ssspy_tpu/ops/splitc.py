@@ -27,7 +27,10 @@ __all__ = [
     "gauss_jordan_solve_nopivot",
     "ip1_sweep_sc",
     "auxiva_ip1_step_sc",
+    "auxiva_ip2_step_sc",
     "auxiva_iss1_step_sc",
+    "csolve_matrix",
+    "ip2_pair_update_sc",
     "gauss_ilrma_ip1_step_sc",
 ]
 
@@ -312,3 +315,248 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     T = T / (psi[:, None, None] ** p)
 
     return jnp.stack([Wr, Wi], axis=0), T, V
+
+
+def csolve_matrix(Ar, Ai, Br, Bi, impl: str = "auto"):
+    """Complex solve with a matrix RHS: ``A X = B``.
+
+    ``A``: ``(..., M, M)`` pair; ``B``: ``(..., M, K)`` pair. Returns
+    the ``(Xr, Xi)`` pair of shape ``(..., M, K)`` via one real
+    ``2M x 2M`` solve with ``K`` stacked real right-hand sides.
+    """
+    A2 = block_embed(Ar, Ai)
+    B2 = jnp.concatenate([Br, Bi], axis=-2)  # (..., 2M, K)
+    if impl == "auto":
+        impl = "gjnp" if jax.default_backend() in ("tpu", "axon") else "lu"
+    if impl == "lu":
+        X2 = jnp.linalg.solve(A2, B2)
+    else:
+        n = A2.shape[-1]
+        M = jnp.concatenate([A2, B2], axis=-1)
+        tiny = 1e-20
+        for k in range(n):  # static unroll, pivot-free (see gauss_jordan_solve_nopivot)
+            pivot_row = M[..., k, :]
+            pivot = pivot_row[..., k : k + 1]
+            pivot = jnp.where(
+                jnp.abs(pivot) < tiny, jnp.where(pivot < 0, -tiny, tiny), pivot
+            )
+            pivot_row = pivot_row / pivot
+            factor = M[..., :, k]
+            M = M - factor[..., None] * pivot_row[..., None, :]
+            M = M.at[..., k, :].set(pivot_row)
+        X2 = M[..., n:]
+    m = Br.shape[-2]
+    return X2[..., :m, :], X2[..., m:, :]
+
+
+def _gevd2_sc(a11, a12r, a12i, a22, b11, b12r, b12i, b22, tiny=1e-20):
+    """Scalarized generalized eigendecomposition of Hermitian 2x2 pencils.
+
+    ``A z = lamb B z`` with ``B`` PSD, given as planar components
+    (diagonals real, off-diagonal split). Returns the two eigenvectors
+    ``(lo, hi)`` as planar 2-vectors — the same Cholesky reduction as
+    :func:`ssspy_tpu.linalg.eigh.eigh2` with every 2x2 op expanded to
+    scalar arithmetic (batch-shaped arrays with no trailing matrix dims,
+    which tiles far better than (batch, 2, 2) on TPU lanes).
+    """
+    # Cholesky of B: L = [[l11, 0], [l21, l22]] with complex l21
+    l11 = jnp.sqrt(jnp.maximum(b11, tiny))
+    l21r = b12r / l11  # conj(b12)/l11 -> real part b12r, imag -b12i
+    l21i = -b12i / l11
+    l22 = jnp.sqrt(jnp.maximum(b22 - (l21r**2 + l21i**2), tiny))
+
+    # C = L^-1 A L^-H (Hermitian): with L^-1 = [[1/l11, 0], [-l21/(l11 l22), 1/l22]]
+    inv11 = 1.0 / l11
+    inv22 = 1.0 / l22
+    # s = -l21 / (l11 l22) (complex)
+    sr = -l21r * inv11 * inv22
+    si = -l21i * inv11 * inv22
+
+    # row1 of L^-1 A: [a11/l11, a12/l11]
+    # row2: [s a11 + inv22 conj(a12), s a12 + inv22 a22]
+    c11 = a11 * inv11 * inv11
+    # c12 = (a12/l11) conj(s)* ... expand C = (L^-1 A) L^-H where L^-H cols:
+    # col1 = [inv11, conj(s)]^T? careful: L^-H = (L^-1)^H = [[inv11, conj(s)], [0, inv22]]
+    # C11 = inv11 * (a11 inv11) = a11 inv11^2
+    # C12 = inv11 * (a11 conj(s) + a12 inv22)
+    c12r = inv11 * (a11 * sr + a12r * inv22)
+    c12i = inv11 * (-a11 * si + a12i * inv22)
+    # C22 = (s a11 + inv22 conj(a12)) conj(s) + (s a12 + inv22 a22) inv22
+    t1r = sr * a11 + inv22 * a12r
+    t1i = si * a11 - inv22 * a12i
+    c22 = (t1r * sr + t1i * si) + (sr * a12r - si * a12i) * inv22 + inv22 * inv22 * a22
+    # (c22 is real by Hermitian symmetry; assembled from real parts only)
+
+    # standard 2x2 Hermitian eig of C (ascending)
+    mean = (c11 + c22) / 2
+    radius = jnp.sqrt(((c11 - c22) / 2) ** 2 + c12r**2 + c12i**2)
+    lamb_lo = mean - radius
+    lamb_hi = mean + radius
+
+    def eigvec(lamb):
+        # candidates u = [c12, lamb - c11], w = [lamb - c22, conj(c12)]
+        u0r, u0i, u1r, u1i = c12r, c12i, lamb - c11, jnp.zeros_like(c11)
+        w0r, w0i, w1r, w1i = lamb - c22, jnp.zeros_like(c11), c12r, -c12i
+        nu = u0r**2 + u0i**2 + u1r**2
+        nw = w0r**2 + w1r**2 + w1i**2
+        use_u = nu >= nw
+        x0r = jnp.where(use_u, u0r, w0r)
+        x0i = jnp.where(use_u, u0i, w0i)
+        x1r = jnp.where(use_u, u1r, w1r)
+        x1i = jnp.where(use_u, u1i, w1i)
+        nx = jnp.sqrt(x0r**2 + x0i**2 + x1r**2 + x1i**2)
+        degenerate = nx < tiny * 4
+        x0r = jnp.where(degenerate, jnp.ones_like(x0r), x0r)
+        x0i = jnp.where(degenerate, 0.0, x0i)
+        x1r = jnp.where(degenerate, 0.0, x1r)
+        x1i = jnp.where(degenerate, 0.0, x1i)
+        nx = jnp.where(degenerate, 1.0, nx)
+        v0r, v0i, v1r, v1i = x0r / nx, x0i / nx, x1r / nx, x1i / nx
+
+        # deterministic gauge (matches linalg.eigh2): rotate so the
+        # larger-magnitude component is real positive
+        pick = v0r**2 + v0i**2 >= v1r**2 + v1i**2
+        ar = jnp.where(pick, v0r, v1r)
+        ai = jnp.where(pick, v0i, v1i)
+        mag = jnp.sqrt(ar**2 + ai**2)
+        safe = jnp.maximum(mag, tiny)
+        pr = jnp.where(mag > 0, ar / safe, 1.0)
+        pi = jnp.where(mag > 0, ai / safe, 0.0)
+        # v *= conj(phase)
+        return (
+            v0r * pr + v0i * pi,
+            v0i * pr - v0r * pi,
+            v1r * pr + v1i * pi,
+            v1i * pr - v1r * pi,
+        )
+
+    y_lo = eigvec(lamb_lo)
+    # hi eigenvector: orthogonal complement [-conj(y1), conj(y0)] of the
+    # gauged lo vector (matches linalg.eigh2's construction)
+    y_hi = (-y_lo[2], y_lo[3], y_lo[0], -y_lo[1])
+
+    def back(y):
+        # z = L^-H y: z0 = inv11 y0 + conj(s) y1; z1 = inv22 y1
+        y0r, y0i, y1r, y1i = y
+        z0r = inv11 * y0r + sr * y1r + si * y1i
+        z0i = inv11 * y0i + sr * y1i - si * y1r
+        return z0r, z0i, inv22 * y1r, inv22 * y1i
+
+    return back(y_lo), back(y_hi)
+
+
+def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
+    """One IP2 pair update on planar operands.
+
+    ``W``: ``(I, N, M)`` pair; ``U_m``/``U_n``: ``(I, M, M)`` pairs for
+    the two sources; returns the updated rows ``(I, 2, M)`` pair
+    (parity: ssspy/bss/_update_spatial_model.py:317-395 via the 2x2
+    GEVD of ``P^H U P``).
+    """
+    m, n = pair
+    n_bins, n_sources, n_channels = Wr.shape
+
+    E = np.zeros((n_channels, 2), dtype=np.float32)
+    E[m, 0] = 1.0
+    E[n, 1] = 1.0
+    Er = jnp.broadcast_to(jnp.asarray(E, Wr.dtype), (n_bins, n_channels, 2))
+    Ei = jnp.zeros_like(Er)
+
+    def P_of(Ur_, Ui_):
+        Ar = Wr @ Ur_ - Wi @ Ui_
+        Ai = Wr @ Ui_ + Wi @ Ur_
+        return csolve_matrix(Ar, Ai, Er, Ei)  # (I, M, 2) pair
+
+    def pencil(Pr, Pi, Ur_, Ui_):
+        # G = P^H U P: 2x2 Hermitian planar components. Per-column
+        # matvecs: batched matmuls with a size-2 trailing dim lower
+        # pathologically on TPU (measured ~30x slower than these einsums)
+        def matvec(Mr, v):
+            return jnp.einsum("imk,ik->im", Mr, v)
+
+        UP0r = matvec(Ur_, Pr[..., 0]) - matvec(Ui_, Pi[..., 0])  # (I, M)
+        UP0i = matvec(Ur_, Pi[..., 0]) + matvec(Ui_, Pr[..., 0])
+        UP1r = matvec(Ur_, Pr[..., 1]) - matvec(Ui_, Pi[..., 1])
+        UP1i = matvec(Ur_, Pi[..., 1]) + matvec(Ui_, Pr[..., 1])
+        # G[a, b] = sum_k conj(P[k, a]) UP[k, b]
+        g11 = jnp.sum(Pr[..., 0] * UP0r + Pi[..., 0] * UP0i, axis=-1)
+        g22 = jnp.sum(Pr[..., 1] * UP1r + Pi[..., 1] * UP1i, axis=-1)
+        g12r = jnp.sum(Pr[..., 0] * UP1r + Pi[..., 0] * UP1i, axis=-1)
+        g12i = jnp.sum(Pr[..., 0] * UP1i - Pi[..., 0] * UP1r, axis=-1)
+        return g11, g12r, g12i, g22
+
+    Pm = P_of(Umr, Umi)
+    Pn = P_of(Unr, Uni)
+    Gm = pencil(*Pm, Umr, Umi)
+    Gn = pencil(*Pn, Unr, Uni)
+
+    # GEVD of (G_m, G_n); h_m = eigenvector of the LARGEST eigenvalue
+    _, h_hi = _gevd2_sc(*Gm, *Gn)
+    h_lo, _ = _gevd2_sc(*Gm, *Gn)
+
+    def normalize(h, G):
+        h0r, h0i, h1r, h1i = h
+        g11, g12r, g12i, g22 = G
+        # h^H G h (real)
+        quad = (
+            g11 * (h0r**2 + h0i**2)
+            + g22 * (h1r**2 + h1i**2)
+            + 2 * (g12r * (h0r * h1r + h0i * h1i) - g12i * (h0r * h1i - h0i * h1r))
+        )
+        d = jnp.maximum(jnp.sqrt(jnp.maximum(quad, 0.0)), eps)
+        return h0r / d, h0i / d, h1r / d, h1i / d
+
+    h_m = normalize(h_hi, Gm)
+    h_n = normalize(h_lo, Gn)
+
+    def project(P, h):
+        Pr, Pi = P
+        h0r, h0i, h1r, h1i = h
+        wr = Pr[..., 0] * h0r[:, None] - Pi[..., 0] * h0i[:, None] + Pr[..., 1] * h1r[:, None] - Pi[..., 1] * h1i[:, None]
+        wi = Pr[..., 0] * h0i[:, None] + Pi[..., 0] * h0r[:, None] + Pr[..., 1] * h1i[:, None] + Pi[..., 1] * h1r[:, None]
+        # rows stored conjugated (reference returns w.conj())
+        return wr, -wi
+
+    wm_r, wm_i = project(Pm, h_m)
+    wn_r, wn_i = project(Pn, h_n)
+    return (
+        jnp.stack([wm_r, wn_r], axis=1),
+        jnp.stack([wm_i, wn_i], axis=1),
+    )
+
+
+def auxiva_ip2_step_sc(Xs, Ws, eps=1e-10, covariance_impl: str = "auto"):
+    """One AuxIVA-IP2 iteration in split-complex form.
+
+    Pairwise GEVD updates over the sequential pair schedule with
+    per-pair MM weights (parity: ssspy/bss/iva.py AuxIVA IP2 dispatch).
+    The per-pair weighted covariances go through the fused Pallas
+    kernel (they are the dominant cost: each pair re-reads X).
+    """
+    from .pallas_kernels import weighted_covariance_sc
+
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    n_sources = Wr.shape[1]
+
+    for m in range(n_sources):
+        n = (m + 1) % n_sources
+        # pair separation + weights from the two current rows; static
+        # single-row indexing (tuple indexing lowers to gather/scatter,
+        # which is pathologically slow on TPU)
+        Wr_mn = jnp.stack([Wr[:, m], Wr[:, n]], axis=1)
+        Wi_mn = jnp.stack([Wi[:, m], Wi[:, n]], axis=1)
+        Yr, Yi = _csep(Wr_mn, Wi_mn, Xr, Xi)  # (2, I, T)
+        norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (2, T)
+        varphi = 1.0 / jnp.maximum(norm, eps)
+
+        Ur, Ui = weighted_covariance_sc(Xr, Xi, varphi, impl=covariance_impl)
+        # (I, 2, M, M) pair
+
+        W2r, W2i = ip2_pair_update_sc(
+            Wr, Wi, Ur[:, 0], Ui[:, 0], Ur[:, 1], Ui[:, 1], (m, n), eps=eps
+        )
+        Wr = Wr.at[:, m].set(W2r[:, 0]).at[:, n].set(W2r[:, 1])
+        Wi = Wi.at[:, m].set(W2i[:, 0]).at[:, n].set(W2i[:, 1])
+
+    return jnp.stack([Wr, Wi], axis=0)

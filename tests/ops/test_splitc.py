@@ -152,3 +152,62 @@ def test_auxiva_iss1_step_matches_complex_kernel():
     Y_ref = np.asarray(update_by_iss1(jnp.asarray(Y), jnp.asarray(varphi)))
 
     np.testing.assert_allclose(Y_sc, Y_ref, atol=1e-10)
+
+
+def test_auxiva_ip2_step_matches_class():
+    """Planar IP2 (pairwise scalarized GEVD) tracks the class path exactly."""
+    import jax
+    from ssspy_tpu.bss.iva import AuxIVA
+    from ssspy_tpu.ops.splitc import auxiva_ip2_step_sc
+
+    rng = np.random.default_rng(6)
+    M, I, T = 3, 9, 30
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+    W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+
+    iva = AuxIVA(
+        spatial_algorithm="IP2",
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+        scale_restoration=False,
+    )
+    iva(X.copy(), n_iter=3)
+
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
+    step = jax.jit(auxiva_ip2_step_sc)
+    for _ in range(3):
+        Ws = step(Xs, Ws)
+
+    W_sc = np.asarray(Ws[0]) + 1j * np.asarray(Ws[1])
+    np.testing.assert_allclose(W_sc, np.asarray(iva.demix_filter), atol=1e-10)
+
+
+def test_gevd2_sc_matches_eigh2():
+    from ssspy_tpu.linalg import eigh2
+    from ssspy_tpu.ops.splitc import _gevd2_sc
+
+    rng = np.random.default_rng(7)
+    I = 16
+    A = rng.standard_normal((I, 2, 2)) + 1j * rng.standard_normal((I, 2, 2))
+    A = A @ A.conj().swapaxes(-2, -1) + 2 * np.eye(2)
+    B = rng.standard_normal((I, 2, 2)) + 1j * rng.standard_normal((I, 2, 2))
+    B = B @ B.conj().swapaxes(-2, -1) + 2 * np.eye(2)
+
+    _, H = eigh2(jnp.asarray(A), jnp.asarray(B))
+    H = np.asarray(H)
+
+    args = [
+        jnp.asarray(v)
+        for v in (
+            A[:, 0, 0].real, A[:, 0, 1].real, A[:, 0, 1].imag, A[:, 1, 1].real,
+            B[:, 0, 0].real, B[:, 0, 1].real, B[:, 0, 1].imag, B[:, 1, 1].real,
+        )
+    ]
+    lo, hi = _gevd2_sc(*args)
+    lo = np.stack([np.asarray(lo[0]) + 1j * np.asarray(lo[1]),
+                   np.asarray(lo[2]) + 1j * np.asarray(lo[3])], axis=-1)
+    hi = np.stack([np.asarray(hi[0]) + 1j * np.asarray(hi[1]),
+                   np.asarray(hi[2]) + 1j * np.asarray(hi[3])], axis=-1)
+    np.testing.assert_allclose(lo, H[..., 0], atol=1e-12)
+    np.testing.assert_allclose(hi, H[..., 1], atol=1e-12)

@@ -129,4 +129,11 @@ def test_fast_auxiva_improves_si_sdr():
 def test_fast_auxiva_invalid_algorithm():
     X = _mixture()
     with pytest.raises(AssertionError):
-        fast_auxiva(X, n_iter=1, algorithm="IP2")
+        fast_auxiva(X, n_iter=1, algorithm="IPA")
+
+
+def test_fast_auxiva_ip2_matches_class_api():
+    X = _mixture(seed=5)
+    Y_fast, W = fast_auxiva(X, n_iter=4, algorithm="IP2")
+    Y_cls = _class_auxiva(X, "IP2", n_iter=4)
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
