@@ -23,6 +23,7 @@ from .ops.splitc import (
     auxiva_ip1_step_sc,
     auxiva_ip2_step_sc,
     auxiva_iss1_step_sc,
+    auxiva_iss2_step_sc,
     gauss_ilrma_ip1_step_sc,
     to_split,
 )
@@ -53,6 +54,9 @@ def _run_auxiva(Xs, carry, n_iter: int, algorithm: str):
     elif algorithm == "IP2":
         def body(w, _):
             return auxiva_ip2_step_sc(Xs, w), None
+    elif algorithm == "ISS2":
+        def body(y, _):
+            return auxiva_iss2_step_sc(y), None
     else:
         def body(y, _):
             return auxiva_iss1_step_sc(y), None
@@ -70,11 +74,12 @@ def fast_auxiva(
     """AuxLaplaceIVA on the planar f32 fast path.
 
     ``spectrogram``: complex ``(n_channels, n_bins, n_frames)`` (host
-    array). ``algorithm``: ``"IP1"``, ``"IP2"``, or ``"ISS1"``. Returns
+    array). ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, or
+    ``"ISS2"``. Returns
     ``(separated, demix_filter_or_None)`` as host arrays; projection
     back runs on the host.
     """
-    assert algorithm in ("IP1", "IP2", "ISS1"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2"), f"Not support {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, _ = X.shape
     Xs = jax.device_put(to_split(X))

@@ -29,6 +29,7 @@ __all__ = [
     "auxiva_ip1_step_sc",
     "auxiva_ip2_step_sc",
     "auxiva_iss1_step_sc",
+    "auxiva_iss2_step_sc",
     "csolve_matrix",
     "ip2_pair_update_sc",
     "gauss_ilrma_ip1_step_sc",
@@ -560,3 +561,115 @@ def auxiva_ip2_step_sc(Xs, Ws, eps=1e-10, covariance_impl: str = "auto"):
         Wi = Wi.at[:, m].set(W2i[:, 0]).at[:, n].set(W2i[:, 1])
 
     return jnp.stack([Wr, Wi], axis=0)
+
+
+def auxiva_iss2_step_sc(Ys, eps=1e-10, tiny=1e-20):
+    """One AuxIVA-ISS2 iteration in split-complex form.
+
+    Pairwise source steering on the separated spectrograms: for each
+    sequential pair, the complement rows get rank-2 corrections from a
+    Hermitian 2x2 solve and the pair itself is rotated by the 2x2 GEVD
+    of its weighted covariances (parity:
+    ssspy/bss/_update_spatial_model.py:197-314 with the AuxIVA ISS2
+    weights from ssspy/bss/iva.py). ``Ys``: ``(2, N, I, T)`` f32.
+    """
+    Yr, Yi = Ys[0], Ys[1]
+    n_sources = Yr.shape[0]
+    n_frames = Yr.shape[-1]
+
+    # IVA MM weights computed once per iteration from the entering Y
+    # (the class path passes one varphi into the whole pair sweep)
+    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    varphi = 1.0 / jnp.maximum(norm, eps)
+
+    for m in range(n_sources):
+        n = (m + 1) % n_sources
+        lo, hi = (m, n) if m < n else (n, m)
+        sub = tuple(k for k in range(n_sources) if k != lo and k != hi)
+
+        Ymr, Ymi = Yr[m], Yi[m]  # (I, T)
+        Ynr, Yni = Yr[n], Yi[n]
+
+        # pair power/cross products (shared across all weights)
+        Pm = Ymr**2 + Ymi**2
+        Pn = Ynr**2 + Yni**2
+        Cr = Ymr * Ynr + Ymi * Yni  # Re(Y_m conj(Y_n))
+        Ci = Ymi * Ynr - Ymr * Yni  # Im(Y_m conj(Y_n))
+
+        def pair_stats(phi):
+            # 2x2 Hermitian weighted covariance of the pair: (I,) scalars
+            g11 = jnp.einsum("t,it->i", phi, Pm) / n_frames if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Pm) / n_frames
+            g22 = (jnp.einsum("t,it->i", phi, Pn) if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Pn)) / n_frames
+            g12r = (jnp.einsum("t,it->i", phi, Cr) if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Cr)) / n_frames
+            g12i = (jnp.einsum("t,it->i", phi, Ci) if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Ci)) / n_frames
+            return g11, g12r, g12i, g22
+
+        # ---- complement rows: Y_s += conj(q1) Y_m + conj(q2) Y_n ----------
+        new_r = {}
+        new_i = {}
+        for s in sub:
+            phi_s = varphi[s]  # (T,)
+            g11, g12r, g12i, g22 = pair_stats(phi_s)
+            # F[a] = mean_t phi Y_a conj(Y_s)
+            Ysr, Ysi = Yr[s], Yi[s]
+            f1r = jnp.einsum("t,it->i", phi_s, Ymr * Ysr + Ymi * Ysi) / n_frames
+            f1i = jnp.einsum("t,it->i", phi_s, Ymi * Ysr - Ymr * Ysi) / n_frames
+            f2r = jnp.einsum("t,it->i", phi_s, Ynr * Ysr + Yni * Ysi) / n_frames
+            f2i = jnp.einsum("t,it->i", phi_s, Yni * Ysr - Ynr * Ysi) / n_frames
+
+            det = g11 * g22 - (g12r**2 + g12i**2)
+            det = jnp.where(jnp.abs(det) < tiny, jnp.where(det < 0, -tiny, tiny), det)
+            # q = -G^-1 f with Hermitian G: G^-1 = [[g22, -g12], [-conj(g12), g11]]/det
+            q1r = -(g22 * f1r - (g12r * f2r - g12i * f2i)) / det
+            q1i = -(g22 * f1i - (g12r * f2i + g12i * f2r)) / det
+            q2r = -(-(g12r * f1r + g12i * f1i) + g11 * f2r) / det
+            q2i = -(-(g12r * f1i - g12i * f1r) + g11 * f2i) / det
+
+            # Y_s += conj(q1) Y_m + conj(q2) Y_n  (q per bin)
+            new_r[s] = Yr[s] + (
+                q1r[:, None] * Ymr + q1i[:, None] * Ymi
+                + q2r[:, None] * Ynr + q2i[:, None] * Yni
+            )
+            new_i[s] = Yi[s] + (
+                q1r[:, None] * Ymi - q1i[:, None] * Ymr
+                + q2r[:, None] * Yni - q2i[:, None] * Ynr
+            )
+
+        # ---- pair rows: GEVD rotation --------------------------------------
+        Gm = pair_stats(varphi[m])
+        Gn = pair_stats(varphi[n])
+        h_lo, h_hi = _gevd2_sc(*Gm, *Gn)
+
+        def rotate(h, G):
+            h0r, h0i, h1r, h1i = h
+            g11, g12r, g12i, g22 = G
+            quad = (
+                g11 * (h0r**2 + h0i**2)
+                + g22 * (h1r**2 + h1i**2)
+                + 2 * (g12r * (h0r * h1r + h0i * h1i) - g12i * (h0r * h1i - h0i * h1r))
+            )
+            d = jnp.maximum(jnp.sqrt(jnp.maximum(quad, 0.0)), eps)
+            p0r, p0i, p1r, p1i = h0r / d, h0i / d, h1r / d, h1i / d
+            # y_new = conj(p0) Y_m + conj(p1) Y_n
+            yr = (
+                p0r[:, None] * Ymr + p0i[:, None] * Ymi
+                + p1r[:, None] * Ynr + p1i[:, None] * Yni
+            )
+            yi = (
+                p0r[:, None] * Ymi - p0i[:, None] * Ymr
+                + p1r[:, None] * Yni - p1i[:, None] * Ynr
+            )
+            return yr, yi
+
+        # ascending eigenvalue order: channel m takes the lo column,
+        # channel n the hi column (parity with update_by_iss2)
+        ym = rotate(h_lo, Gm)
+        yn = rotate(h_hi, Gn)
+
+        Yr = Yr.at[m].set(ym[0]).at[n].set(yn[0])
+        Yi = Yi.at[m].set(ym[1]).at[n].set(yn[1])
+        for s in sub:
+            Yr = Yr.at[s].set(new_r[s])
+            Yi = Yi.at[s].set(new_i[s])
+
+    return jnp.stack([Yr, Yi], axis=0)

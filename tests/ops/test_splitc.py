@@ -211,3 +211,28 @@ def test_gevd2_sc_matches_eigh2():
                    np.asarray(hi[2]) + 1j * np.asarray(hi[3])], axis=-1)
     np.testing.assert_allclose(lo, H[..., 0], atol=1e-12)
     np.testing.assert_allclose(hi, H[..., 1], atol=1e-12)
+
+
+def test_auxiva_iss2_step_matches_class():
+    import jax
+    from ssspy_tpu.bss.iva import AuxIVA
+    from ssspy_tpu.ops.splitc import auxiva_iss2_step_sc
+
+    rng = np.random.default_rng(8)
+    M, I, T = 4, 9, 30
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+
+    iva = AuxIVA(
+        spatial_algorithm="ISS2",
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+        scale_restoration=False,
+    )
+    Y_cls = np.asarray(iva(X.copy(), n_iter=3))
+
+    Ys = jnp.asarray(np.stack([X.real, X.imag]))
+    step = jax.jit(auxiva_iss2_step_sc)
+    for _ in range(3):
+        Ys = step(Ys)
+    Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
+    np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-10)

@@ -137,3 +137,11 @@ def test_fast_auxiva_ip2_matches_class_api():
     Y_fast, W = fast_auxiva(X, n_iter=4, algorithm="IP2")
     Y_cls = _class_auxiva(X, "IP2", n_iter=4)
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_auxiva_iss2_matches_class_api():
+    X = _mixture(seed=6)
+    Y_fast, W = fast_auxiva(X, n_iter=4, algorithm="ISS2")
+    Y_cls = _class_auxiva(X, "ISS2", n_iter=4)
+    assert W is None
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
