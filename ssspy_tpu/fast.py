@@ -25,6 +25,7 @@ from .ops.splitc import (
     auxiva_iss1_step_sc,
     auxiva_iss2_step_sc,
     gauss_ilrma_ip1_step_sc,
+    gauss_ilrma_iss1_step_sc,
     to_split,
 )
 
@@ -139,48 +140,64 @@ def fast_auxiva_batch(
     return Y, W
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _run_ilrma(Xs, Ws, TV, n_iter: int):
-    def body(carry, _):
-        W, T, V = carry
-        W, T, V = gauss_ilrma_ip1_step_sc(Xs, W, T, V)
-        return (W, T, V), None
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _run_ilrma(Xs, carry0, TV, n_iter: int, algorithm: str):
+    if algorithm == "IP1":
+        def body(carry, _):
+            W, T, V = carry
+            W, T, V = gauss_ilrma_ip1_step_sc(Xs, W, T, V)
+            return (W, T, V), None
+    else:
+        def body(carry, _):
+            Y, T, V = carry
+            Y, T, V = gauss_ilrma_iss1_step_sc(Y, T, V)
+            return (Y, T, V), None
 
-    (W, T, V), _ = lax.scan(body, (Ws,) + TV, None, length=n_iter)
-    return W, T, V
+    (out, T, V), _ = lax.scan(body, (carry0,) + TV, None, length=n_iter)
+    return out, T, V
 
 
 def fast_gauss_ilrma(
     spectrogram,
     n_basis: int,
     n_iter: int = 100,
+    algorithm: str = "IP1",
     scale_restoration: bool = True,
     reference_id: int = 0,
     rng: Optional[np.random.Generator] = None,
 ):
-    """GaussILRMA (IP1/MM, power normalization) on the planar fast path.
+    """GaussILRMA (MM, power normalization) on the planar fast path.
 
-    Returns ``(separated, (basis, activation), demix_filter)`` as host
+    ``algorithm``: ``"IP1"`` or ``"ISS1"``. Returns
+    ``(separated, (basis, activation), demix_filter_or_None)`` as host
     arrays.
     """
+    assert algorithm in ("IP1", "ISS1"), f"Not support {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
     rng = np.random.default_rng() if rng is None else rng
 
     Xs = jax.device_put(to_split(X))
-    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
-    W0[0] = np.eye(n_channels, dtype=np.float32)
     T0 = rng.random((n_channels, n_bins, n_basis)).astype(np.float32)
     V0 = rng.random((n_channels, n_basis, n_frames)).astype(np.float32)
+    TV = (jax.device_put(T0), jax.device_put(V0))
 
-    Ws, T, V = _run_ilrma(
-        Xs, jax.device_put(W0), (jax.device_put(T0), jax.device_put(V0)), n_iter
-    )
-    Ws, T, V = np.asarray(Ws), np.asarray(T), np.asarray(V)
-    W = Ws[0] + 1j * Ws[1]
-    Y = np.einsum("inm,mit->nit", W, X)
-    if scale_restoration:
-        scale = np.linalg.inv(W)[:, reference_id, :]
-        W = W * scale[:, :, None]
+    if algorithm == "IP1":
+        W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+        W0[0] = np.eye(n_channels, dtype=np.float32)
+        Ws, T, V = _run_ilrma(Xs, jax.device_put(W0), TV, n_iter, algorithm)
+        Ws, T, V = np.asarray(Ws), np.asarray(T), np.asarray(V)
+        W = Ws[0] + 1j * Ws[1]
         Y = np.einsum("inm,mit->nit", W, X)
-    return Y, (T, V), W
+        if scale_restoration:
+            scale = np.linalg.inv(W)[:, reference_id, :]
+            W = W * scale[:, :, None]
+            Y = np.einsum("inm,mit->nit", W, X)
+        return Y, (T, V), W
+
+    Ys, T, V = _run_ilrma(Xs, Xs, TV, n_iter, algorithm)
+    Ys, T, V = np.asarray(Ys), np.asarray(T), np.asarray(V)
+    Y = Ys[0] + 1j * Ys[1]
+    if scale_restoration:
+        Y = _projection_back_host(Y, X, reference_id)
+    return Y, (T, V), None

@@ -30,6 +30,8 @@ __all__ = [
     "auxiva_ip2_step_sc",
     "auxiva_iss1_step_sc",
     "auxiva_iss2_step_sc",
+    "iss1_sweep_sc",
+    "gauss_ilrma_iss1_step_sc",
     "csolve_matrix",
     "ip2_pair_update_sc",
     "gauss_ilrma_ip1_step_sc",
@@ -216,19 +218,15 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto"):
     return Wr, Wi
 
 
-def auxiva_iss1_step_sc(Ys, eps=1e-10):
-    """One AuxIVA-ISS1 iteration in split-complex form.
+def iss1_sweep_sc(Yr, Yi, varphi, eps=1e-10):
+    """ISS1 source-steering sweep with external planar weights.
 
-    ``Ys``: separated spectrograms ``(2, N, I, T)`` f32 (ISS carries no
-    demixing matrix — reference ssspy/bss/iva.py:1687-1697 and
-    ssspy/bss/_update_spatial_model.py:146-194). Rank-1 source-steering
-    updates only: no solves, pure elementwise/reduction VPU work.
+    ``Y``: ``(N, I, T)`` pair; ``varphi``: weights broadcastable to
+    ``(N, I, T)`` (IVA passes per-(source, frame), ILRMA per-bin).
+    Rank-1 updates only — no solves, pure VPU work (reference
+    ssspy/bss/_update_spatial_model.py:146-194).
     """
-    Yr, Yi = Ys[0], Ys[1]
     n_sources = Yr.shape[0]
-
-    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
-    varphi = (1.0 / jnp.maximum(norm, eps))[:, None, :]  # (N, 1, T)
 
     for src in range(n_sources):
         Ynr, Yni = Yr[src], Yi[src]  # (I, T)
@@ -250,7 +248,58 @@ def auxiva_iss1_step_sc(Ys, eps=1e-10):
         Yr = Yr - (vr[:, :, None] * Ynr[None] - vi[:, :, None] * Yni[None])
         Yi = Yi - (vr[:, :, None] * Yni[None] + vi[:, :, None] * Ynr[None])
 
+    return Yr, Yi
+
+
+def auxiva_iss1_step_sc(Ys, eps=1e-10):
+    """One AuxIVA-ISS1 iteration in split-complex form.
+
+    ``Ys``: separated spectrograms ``(2, N, I, T)`` f32 (ISS carries no
+    demixing matrix — reference ssspy/bss/iva.py:1687-1697).
+    """
+    Yr, Yi = Ys[0], Ys[1]
+    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    varphi = (1.0 / jnp.maximum(norm, eps))[:, None, :]  # (N, 1, T)
+    Yr, Yi = iss1_sweep_sc(Yr, Yi, varphi, eps=eps)
     return jnp.stack([Yr, Yi], axis=0)
+
+
+def gauss_ilrma_iss1_step_sc(Ys, T, V, domain: float = 2.0, eps=1e-6):
+    """One GaussILRMA MM+ISS1 iteration in split-complex form.
+
+    Demix-free variant (state is the separated spectrogram; parity:
+    ssspy/bss/ilrma.py ISS dispatch with power normalization applied to
+    ``Y`` directly). Returns ``(Ys, T, V)``.
+    """
+    p = domain
+    p2p = (p + 2) / p
+    exp = p / (p + 2)
+    Yr, Yi = Ys[0], Ys[1]
+
+    Y2 = Yr**2 + Yi**2  # (N, I, T)
+
+    R = jnp.maximum(T @ V, eps)
+    num = jnp.einsum("nkt,nit->nik", V, Y2 / (R**p2p))
+    denom = jnp.einsum("nkt,nit->nik", V, 1 / R)
+    T = jnp.maximum(((num / denom) ** exp) * T, eps)
+
+    R = jnp.maximum(T @ V, eps)
+    num = jnp.einsum("nik,nit->nkt", T, Y2 / (R**p2p))
+    denom = jnp.einsum("nik,nit->nkt", T, 1 / R)
+    V = jnp.maximum(((num / denom) ** exp) * V, eps)
+
+    R = jnp.maximum(T @ V, eps)
+    varphi = 1 / (R ** (2 / p))
+    Yr, Yi = iss1_sweep_sc(Yr, Yi, varphi, eps=eps)
+
+    # power normalization on Y and T (demix-free branch of
+    # ssspy/bss/ilrma.py:365-444)
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
+    Yr = Yr / psi[:, None, None]
+    Yi = Yi / psi[:, None, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Yr, Yi], axis=0), T, V
 
 
 def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):

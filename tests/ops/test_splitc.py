@@ -236,3 +236,31 @@ def test_auxiva_iss2_step_matches_class():
         Ys = step(Ys)
     Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
     np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-10)
+
+
+def test_gauss_ilrma_iss1_step_matches_class():
+    import jax
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+    from ssspy_tpu.ops.splitc import gauss_ilrma_iss1_step_sc
+
+    rng = np.random.default_rng(9)
+    M, I, T_frames, K = 2, 9, 20, 3
+    X = rng.standard_normal((M, I, T_frames)) + 1j * rng.standard_normal((M, I, T_frames))
+    T0 = rng.random((M, I, K)) + 0.1
+    V0 = rng.random((M, K, T_frames)) + 0.1
+
+    ilrma = GaussILRMA(n_basis=K, spatial_algorithm="ISS", scale_restoration=False)
+    ilrma(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy())
+    Y_cls = np.asarray(ilrma.output)
+
+    import functools
+
+    Ys = jnp.asarray(np.stack([X.real, X.imag]))
+    Tb, Vb = jnp.asarray(T0), jnp.asarray(V0)
+    step = jax.jit(functools.partial(gauss_ilrma_iss1_step_sc, eps=1e-10))
+    for _ in range(3):
+        Ys, Tb, Vb = step(Ys, Tb, Vb)
+
+    Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
+    np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)

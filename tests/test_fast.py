@@ -145,3 +145,13 @@ def test_fast_auxiva_iss2_matches_class_api():
     Y_cls = _class_auxiva(X, "ISS2", n_iter=4)
     assert W is None
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_gauss_ilrma_iss1():
+    X = _mixture(seed=7)
+    Y, (T, V), W = fast_gauss_ilrma(
+        X, n_basis=2, n_iter=5, algorithm="ISS1", rng=np.random.default_rng(0)
+    )
+    assert W is None
+    assert Y.shape == X.shape
+    assert np.all(np.isfinite(Y))
