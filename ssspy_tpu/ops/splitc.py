@@ -515,7 +515,7 @@ def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
     def P_of(Ur_, Ui_):
         Ar = Wr @ Ur_ - Wi @ Ui_
         Ai = Wr @ Ui_ + Wi @ Ur_
-        return csolve_matrix(Ar, Ai, Er, Ei)  # (I, M, 2) pair
+        return Ar, Ai
 
     def pencil(Pr, Pi, Ur_, Ui_):
         # G = P^H U P: 2x2 Hermitian planar components. Per-column
@@ -535,8 +535,17 @@ def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
         g12i = jnp.sum(Pr[..., 0] * UP1i - Pi[..., 0] * UP1r, axis=-1)
         return g11, g12r, g12i, g22
 
-    Pm = P_of(Umr, Umi)
-    Pn = P_of(Unr, Uni)
+    # both per-pair systems solved in ONE Gauss-Jordan chain (stacked on
+    # the batch axis): halves the sequential elimination depth per pair
+    Amr, Ami = P_of(Umr, Umi)
+    Anr, Ani = P_of(Unr, Uni)
+    Ar2 = jnp.concatenate([Amr, Anr], axis=0)
+    Ai2 = jnp.concatenate([Ami, Ani], axis=0)
+    Er2 = jnp.concatenate([Er, Er], axis=0)
+    Ei2 = jnp.concatenate([Ei, Ei], axis=0)
+    Pr2, Pi2 = csolve_matrix(Ar2, Ai2, Er2, Ei2)  # (2I, M, 2) pair
+    Pm = (Pr2[:n_bins], Pi2[:n_bins])
+    Pn = (Pr2[n_bins:], Pi2[n_bins:])
     Gm = pencil(*Pm, Umr, Umi)
     Gn = pencil(*Pn, Unr, Uni)
 
