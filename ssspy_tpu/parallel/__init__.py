@@ -28,10 +28,18 @@ __all__ = [
     "make_mesh",
     "batch_spec",
     "shard_batched_run",
+    "shard_state_run",
+    "shard_pytree_run",
     "batched_auxiva_ip1_step",
     "make_batched_auxiva_runner",
     "batched_auxiva_ip1_step_sc",
     "make_batched_auxiva_runner_sc",
+    "batched_auxiva_ip2_step_sc",
+    "make_batched_auxiva_ip2_runner_sc",
+    "batched_auxiva_iss1_step_sc",
+    "make_batched_auxiva_iss1_runner_sc",
+    "batched_gauss_ilrma_ip1_step_sc",
+    "make_batched_ilrma_runner_sc",
 ]
 
 
@@ -173,4 +181,128 @@ def make_batched_auxiva_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
         mesh = make_mesh()
     return shard_batched_run(
         mesh, batched_auxiva_ip1_step_sc, x_bin_axis=3, w_bin_axis=2, ndim=5
+    )
+
+
+def _sc_ip2_step(Xs, Ws):
+    from ..ops.splitc import auxiva_ip2_step_sc
+
+    return auxiva_ip2_step_sc(Xs, Ws)
+
+
+def _sc_iss1_step(Ys):
+    from ..ops.splitc import auxiva_iss1_step_sc
+
+    return auxiva_iss1_step_sc(Ys)
+
+
+def _sc_ilrma_ip1_step(Xs, carry):
+    from ..ops.splitc import gauss_ilrma_ip1_step_sc
+
+    Ws, T, V = carry
+    return gauss_ilrma_ip1_step_sc(Xs, Ws, T, V)
+
+
+batched_auxiva_ip2_step_sc = jax.vmap(_sc_ip2_step, in_axes=(0, 0))
+batched_auxiva_iss1_step_sc = jax.vmap(_sc_iss1_step, in_axes=(0,))
+batched_gauss_ilrma_ip1_step_sc = jax.vmap(_sc_ilrma_ip1_step, in_axes=(0, 0))
+
+
+def make_batched_auxiva_ip2_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex AuxIVA-IP2 runner (same layout as IP1)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_batched_run(
+        mesh, batched_auxiva_ip2_step_sc, x_bin_axis=3, w_bin_axis=2, ndim=5
+    )
+
+
+def shard_state_run(mesh: Mesh, step_fn: Callable, *, y_bin_axis: int = 3, ndim: int = 5) -> Callable:
+    """Jit ``run(Y, n_iter)`` for demix-free (Y-state) algorithms.
+
+    ``step_fn(Y) -> Y`` must be batched over a leading utterance axis.
+    The ISS family carries no demixing matrix (reference
+    ssspy/bss/iva.py:1687-1697): the separated spectrogram itself is the
+    scan carry, sharded ``(dp, -, -, bin, -)``. The ISS rank-1 updates
+    are per-bin independent, so the scan body still issues no
+    collectives.
+    """
+    y_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=y_bin_axis, ndim=ndim))
+
+    def run(Y, n_iter):
+        def body(Y, _):
+            return step_fn(Y), None
+
+        Y, _ = lax.scan(body, Y, None, length=n_iter)
+        return Y
+
+    return jax.jit(
+        run, in_shardings=(y_sharding,), out_shardings=y_sharding, static_argnums=(1,)
+    )
+
+
+def make_batched_auxiva_iss1_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex AuxIVA-ISS1 runner (Y-state path).
+
+    ``Y``: ``(batch, 2, N, I, T)`` f32 sharded (dp, -, -, bin, -).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_state_run(mesh, batched_auxiva_iss1_step_sc, y_bin_axis=3, ndim=5)
+
+
+def shard_pytree_run(mesh: Mesh, step_fn: Callable, *, x_spec: P, carry_specs) -> Callable:
+    """Jit ``run(X, carry, n_iter)`` with explicit per-leaf PartitionSpecs.
+
+    General form of :func:`shard_batched_run` for algorithms whose scan
+    carry is a pytree with mixed layouts (e.g. ILRMA's ``(W, T, V)``:
+    the NMF activation ``V`` has no bin axis and stays replicated along
+    ``bin`` while ``W`` and the basis ``T`` shard over it).
+    ``carry_specs`` must mirror the carry pytree structure.
+    """
+    x_sharding = NamedSharding(mesh, x_spec)
+    carry_shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        carry_specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+    def run(X, carry, n_iter):
+        def body(carry, _):
+            return step_fn(X, carry), None
+
+        carry, _ = lax.scan(body, carry, None, length=n_iter)
+        return carry
+
+    return jax.jit(
+        run,
+        in_shardings=(x_sharding, carry_shardings),
+        out_shardings=carry_shardings,
+        static_argnums=(2,),
+    )
+
+
+def make_batched_ilrma_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex GaussILRMA-IP1 runner.
+
+    ``run(X, (W, T, V), n_iter)`` with ``X``: ``(batch, 2, M, I, T)``
+    sharded (dp, -, -, bin, -); ``W``: ``(batch, 2, I, N, M)`` sharded
+    (dp, -, bin, -, -); basis ``T``: ``(batch, N, I, K)`` sharded
+    (dp, -, bin, -); activation ``V``: ``(batch, N, K, T)`` sharded
+    (dp, -, -, -) — ``V`` couples all bins through the NMF update, so
+    XLA inserts one ``psum`` over the ``bin`` axis per basis/activation
+    contraction (the only collectives in the program, riding ICI).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+    return shard_pytree_run(
+        mesh,
+        batched_gauss_ilrma_ip1_step_sc,
+        x_spec=P(dp, None, None, b, None),
+        carry_specs=(
+            P(dp, None, b, None, None),
+            P(dp, None, b, None),
+            P(dp, None, None, None),
+        ),
     )

@@ -31,6 +31,32 @@ def test_dryrun_multichip_virtual_devices():
     graft.dryrun_multichip(1)
 
 
+def test_dryrun_multichip_driver_env_subprocess():
+    """Reproduce the DRIVER's environment: a fresh process with the ambient
+    platform pin (JAX_PLATFORMS=axon / real TPU) and none of conftest's CPU
+    overrides. dryrun_multichip must self-configure CPU + virtual devices
+    before any backend initialization (round-1 failure mode: it inherited
+    the pin and died on the real-TPU tunnel)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "axon"  # the ambient pin the driver runs under
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stderr:\n{proc.stderr[-3000:]}"
+
+
 def test_bench_mixture_and_stft():
     mix = bench.make_mixture()
     assert mix.shape == (bench.N_CHANNELS, int(bench.SAMPLE_RATE * bench.DURATION_S))
