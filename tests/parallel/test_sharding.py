@@ -103,3 +103,78 @@ def test_sc_step_on_default_backend():
     np.testing.assert_allclose(
         np.asarray(out[0]) + 1j * np.asarray(out[1]), np.asarray(ref), atol=2e-4
     )
+
+
+def test_sharded_iss1_runner_matches_unsharded():
+    """Y-state (demix-free) family over the mesh."""
+    from ssspy_tpu.parallel import (
+        batched_auxiva_iss1_step_sc,
+        make_batched_auxiva_iss1_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_iss1_runner_sc(mesh)
+
+    X, _ = _batch(n_batch=4)
+    Ys = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    Y_sharded = np.asarray(runner(Ys, 3))
+
+    Y_ref = jnp.asarray(Ys)
+    for _ in range(3):
+        Y_ref = batched_auxiva_iss1_step_sc(Y_ref)
+
+    np.testing.assert_allclose(Y_sharded, np.asarray(Y_ref), atol=1e-5)
+
+
+def test_sharded_ip2_runner_matches_unsharded():
+    from ssspy_tpu.parallel import (
+        batched_auxiva_ip2_step_sc,
+        make_batched_auxiva_ip2_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_ip2_runner_sc(mesh)
+
+    X, W = _batch(n_batch=2)
+    Xs = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    Ws = np.stack([W.real, W.imag], axis=1).astype(np.float32)
+    W_sharded = np.asarray(runner(Xs, Ws, 2))
+
+    W_ref = jnp.asarray(Ws)
+    for _ in range(2):
+        W_ref = batched_auxiva_ip2_step_sc(jnp.asarray(Xs), W_ref)
+
+    # GSPMD repartitions the stacked per-pair solve chain, so f32
+    # reduction order differs from the unsharded program (~1e-4 max)
+    np.testing.assert_allclose(W_sharded, np.asarray(W_ref), atol=5e-4)
+
+
+def test_sharded_ilrma_runner_matches_unsharded():
+    """Mixed-layout carry (W, T, V): V is replicated along the bin axis, so
+    the NMF contractions insert the program's only collectives."""
+    from ssspy_tpu.parallel import (
+        batched_gauss_ilrma_ip1_step_sc,
+        make_batched_ilrma_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_ilrma_runner_sc(mesh)
+
+    n_batch, n_basis = 2, 4
+    X, W = _batch(n_batch=n_batch)
+    rng = np.random.default_rng(7)
+    n_channels, n_bins, n_frames = X.shape[1:]
+    Xs = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    Ws = np.stack([W.real, W.imag], axis=1).astype(np.float32)
+    T = rng.random((n_batch, n_channels, n_bins, n_basis)).astype(np.float32)
+    V = rng.random((n_batch, n_channels, n_basis, n_frames)).astype(np.float32)
+
+    out = runner(Xs, (Ws, T, V), 2)
+    out = tuple(np.asarray(a) for a in out)
+
+    carry = (jnp.asarray(Ws), jnp.asarray(T), jnp.asarray(V))
+    for _ in range(2):
+        carry = batched_gauss_ilrma_ip1_step_sc(jnp.asarray(Xs), carry)
+
+    for got, ref in zip(out, carry):
+        np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4)
