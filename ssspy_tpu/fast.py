@@ -25,7 +25,9 @@ from .ops.splitc import (
     auxiva_iss1_step_sc,
     auxiva_iss2_step_sc,
     gauss_ilrma_ip1_step_sc,
+    gauss_ilrma_ip2_step_sc,
     gauss_ilrma_iss1_step_sc,
+    gauss_ilrma_iss2_step_sc,
     to_split,
 )
 
@@ -140,18 +142,25 @@ def fast_auxiva_batch(
     return Y, W
 
 
+_ILRMA_STEPS = {
+    "IP1": gauss_ilrma_ip1_step_sc,
+    "IP2": gauss_ilrma_ip2_step_sc,
+    "ISS1": gauss_ilrma_iss1_step_sc,
+    "ISS2": gauss_ilrma_iss2_step_sc,
+}
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _run_ilrma(Xs, carry0, TV, n_iter: int, algorithm: str):
-    if algorithm == "IP1":
+    step = _ILRMA_STEPS[algorithm]
+    if algorithm in ("IP1", "IP2"):
         def body(carry, _):
             W, T, V = carry
-            W, T, V = gauss_ilrma_ip1_step_sc(Xs, W, T, V)
-            return (W, T, V), None
+            return step(Xs, W, T, V), None
     else:
         def body(carry, _):
             Y, T, V = carry
-            Y, T, V = gauss_ilrma_iss1_step_sc(Y, T, V)
-            return (Y, T, V), None
+            return step(Y, T, V), None
 
     (out, T, V), _ = lax.scan(body, (carry0,) + TV, None, length=n_iter)
     return out, T, V
@@ -168,11 +177,11 @@ def fast_gauss_ilrma(
 ):
     """GaussILRMA (MM, power normalization) on the planar fast path.
 
-    ``algorithm``: ``"IP1"`` or ``"ISS1"``. Returns
-    ``(separated, (basis, activation), demix_filter_or_None)`` as host
-    arrays.
+    ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, or ``"ISS2"``.
+    Returns ``(separated, (basis, activation), demix_filter_or_None)``
+    as host arrays.
     """
-    assert algorithm in ("IP1", "ISS1"), f"Not support {algorithm}."
+    assert algorithm in _ILRMA_STEPS, f"Not support {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
     rng = np.random.default_rng() if rng is None else rng
@@ -182,7 +191,7 @@ def fast_gauss_ilrma(
     V0 = rng.random((n_channels, n_basis, n_frames)).astype(np.float32)
     TV = (jax.device_put(T0), jax.device_put(V0))
 
-    if algorithm == "IP1":
+    if algorithm in ("IP1", "IP2"):
         W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
         W0[0] = np.eye(n_channels, dtype=np.float32)
         Ws, T, V = _run_ilrma(Xs, jax.device_put(W0), TV, n_iter, algorithm)

@@ -34,7 +34,10 @@ __all__ = [
     "gauss_ilrma_iss1_step_sc",
     "csolve_matrix",
     "ip2_pair_update_sc",
+    "iss2_sweep_sc",
     "gauss_ilrma_ip1_step_sc",
+    "gauss_ilrma_ip2_step_sc",
+    "gauss_ilrma_iss2_step_sc",
 ]
 
 
@@ -302,6 +305,50 @@ def gauss_ilrma_iss1_step_sc(Ys, T, V, domain: float = 2.0, eps=1e-6):
     return jnp.stack([Yr, Yi], axis=0), T, V
 
 
+def _scalar_weighted_covariance_sc(Xr, Xi, varphi):
+    """Per-source scalar-weighted covariance pair (Hermitian).
+
+    ``U[i, n] = mean_t varphi[n, i, t] x_{it} x_{it}^H`` with per-bin
+    weights (the ILRMA/FDICA/MNMF weight shape — reference
+    ssspy/bss/ilrma.py:1497-1507). Returns the ``(Ur, Ui)`` pair of
+    shape ``(I, N, M, M)``.
+    """
+    n_frames = Xr.shape[-1]
+    Ur = (
+        jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xr)
+        + jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xi)
+    ) / n_frames
+    Ui = (
+        jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xr)
+        - jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xi)
+    ) / n_frames
+    return Ur, Ui
+
+
+def _ilrma_mm_updates(Y2, T, V, p, eps):
+    """GaussILRMA MM multiplicative updates for basis and activation.
+
+    ``Y2``: source powers ``(N, I, T)``; returns ``(T, V, R)`` with the
+    final reconstructed model ``R = T @ V`` floored at ``eps``
+    (reference ssspy/bss/ilrma.py:1051-1204, non-partitioning).
+    """
+    p2p = (p + 2) / p
+    exp = p / (p + 2)
+
+    R = jnp.maximum(T @ V, eps)
+    num = jnp.einsum("nkt,nit->nik", V, Y2 / (R**p2p))
+    denom = jnp.einsum("nkt,nit->nik", V, 1 / R)
+    T = jnp.maximum(((num / denom) ** exp) * T, eps)
+
+    R = jnp.maximum(T @ V, eps)
+    num = jnp.einsum("nik,nit->nkt", T, Y2 / (R**p2p))
+    denom = jnp.einsum("nik,nit->nkt", T, 1 / R)
+    V = jnp.maximum(((num / denom) ** exp) * V, eps)
+
+    R = jnp.maximum(T @ V, eps)
+    return T, V, R
+
+
 def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     """One GaussILRMA MM+IP1 iteration in split-complex form.
 
@@ -321,8 +368,6 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     iterations. For f64 parity testing pass ``eps=1e-10``.
     """
     p = domain
-    p2p = (p + 2) / p
-    exp = p / (p + 2)
     Xr, Xi = Xs[0], Xs[1]
     Wr, Wi = Ws[0], Ws[1]
 
@@ -330,32 +375,11 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
         Yr, Yi = _csep(Wr, Wi, Xr, Xi)
         return Yr**2 + Yi**2  # (N, I, T)
 
-    Y2 = power(Wr, Wi)
-
-    # basis MM update
-    R = jnp.maximum(T @ V, eps)  # (N, I, T)
-    num = jnp.einsum("nkt,nit->nik", V, Y2 / (R**p2p))
-    denom = jnp.einsum("nkt,nit->nik", V, 1 / R)
-    T = jnp.maximum(((num / denom) ** exp) * T, eps)
-
-    # activation MM update (with refreshed R)
-    R = jnp.maximum(T @ V, eps)
-    num = jnp.einsum("nik,nit->nkt", T, Y2 / (R**p2p))
-    denom = jnp.einsum("nik,nit->nkt", T, 1 / R)
-    V = jnp.maximum(((num / denom) ** exp) * V, eps)
+    T, V, R = _ilrma_mm_updates(power(Wr, Wi), T, V, p, eps)
 
     # IP1 spatial update with varphi = 1 / R^(2/p)
-    R = jnp.maximum(T @ V, eps)
     varphi = 1 / (R ** (2 / p))  # (N, I, T) per-bin MM weights
-    n_frames = Xr.shape[-1]
-    Ur = (
-        jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xr)
-        + jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xi)
-    ) / n_frames
-    Ui = (
-        jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xr)
-        - jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xi)
-    ) / n_frames
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
     Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps)
 
     # power normalization couples W and T (ssspy/bss/ilrma.py:365-444)
@@ -365,6 +389,70 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     T = T / (psi[:, None, None] ** p)
 
     return jnp.stack([Wr, Wi], axis=0), T, V
+
+
+def gauss_ilrma_ip2_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
+    """One GaussILRMA MM+IP2 iteration in split-complex form.
+
+    Same skeleton as :func:`gauss_ilrma_ip1_step_sc` with the spatial
+    update replaced by the pairwise GEVD sweep over the sequential pair
+    schedule. Unlike AuxIVA-IP2 (whose weights come from the current
+    pair rows), ILRMA's per-source covariances come from the NMF model
+    once per iteration and are reused across pairs (reference
+    ssspy/bss/ilrma.py:1509-1633 -> update_by_ip2).
+    """
+    p = domain
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+
+    def power(Wr, Wi):
+        Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+        return Yr**2 + Yi**2
+
+    T, V, R = _ilrma_mm_updates(power(Wr, Wi), T, V, p, eps)
+
+    varphi = 1 / (R ** (2 / p))
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
+
+    n_sources = Wr.shape[1]
+    for m in range(n_sources):
+        n = (m + 1) % n_sources
+        W2r, W2i = ip2_pair_update_sc(
+            Wr, Wi, Ur[:, m], Ui[:, m], Ur[:, n], Ui[:, n], (m, n), eps=eps
+        )
+        Wr = Wr.at[:, m].set(W2r[:, 0]).at[:, n].set(W2r[:, 1])
+        Wi = Wi.at[:, m].set(W2i[:, 0]).at[:, n].set(W2i[:, 1])
+
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(power(Wr, Wi), axis=(-2, -1))), eps)
+    Wr = Wr / psi[None, :, None]
+    Wi = Wi / psi[None, :, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Wr, Wi], axis=0), T, V
+
+
+def gauss_ilrma_iss2_step_sc(Ys, T, V, domain: float = 2.0, eps=1e-6):
+    """One GaussILRMA MM+ISS2 iteration in split-complex form.
+
+    Demix-free variant: pairwise source steering on the separated
+    spectrograms with per-bin MM weights ``1/R^{2/p}``, then power
+    normalization of ``Y`` and ``T`` (reference ssspy/bss/ilrma.py
+    ISS2 dispatch -> update_by_iss2, normalization :365-444).
+    """
+    p = domain
+    Yr, Yi = Ys[0], Ys[1]
+
+    T, V, R = _ilrma_mm_updates(Yr**2 + Yi**2, T, V, p, eps)
+
+    varphi = 1 / (R ** (2 / p))  # (N, I, T)
+    Yr, Yi = iss2_sweep_sc(Yr, Yi, varphi, eps=eps)
+
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
+    Yr = Yr / psi[:, None, None]
+    Yi = Yi / psi[:, None, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Yr, Yi], axis=0), T, V
 
 
 def csolve_matrix(Ar, Ai, Br, Bi, impl: str = "auto"):
@@ -624,21 +712,29 @@ def auxiva_ip2_step_sc(Xs, Ws, eps=1e-10, covariance_impl: str = "auto"):
 def auxiva_iss2_step_sc(Ys, eps=1e-10, tiny=1e-20):
     """One AuxIVA-ISS2 iteration in split-complex form.
 
-    Pairwise source steering on the separated spectrograms: for each
-    sequential pair, the complement rows get rank-2 corrections from a
-    Hermitian 2x2 solve and the pair itself is rotated by the 2x2 GEVD
-    of its weighted covariances (parity:
-    ssspy/bss/_update_spatial_model.py:197-314 with the AuxIVA ISS2
-    weights from ssspy/bss/iva.py). ``Ys``: ``(2, N, I, T)`` f32.
+    ``Ys``: ``(2, N, I, T)`` f32. IVA MM weights are computed once per
+    iteration from the entering Y (the class path passes one varphi
+    into the whole pair sweep).
     """
     Yr, Yi = Ys[0], Ys[1]
-    n_sources = Yr.shape[0]
-    n_frames = Yr.shape[-1]
-
-    # IVA MM weights computed once per iteration from the entering Y
-    # (the class path passes one varphi into the whole pair sweep)
     norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
     varphi = 1.0 / jnp.maximum(norm, eps)
+    Yr, Yi = iss2_sweep_sc(Yr, Yi, varphi, eps=eps, tiny=tiny)
+    return jnp.stack([Yr, Yi], axis=0)
+
+
+def iss2_sweep_sc(Yr, Yi, varphi, eps=1e-10, tiny=1e-20):
+    """Pairwise ISS2 source-steering sweep with external planar weights.
+
+    For each sequential pair, the complement rows get rank-2 corrections
+    from a Hermitian 2x2 solve and the pair itself is rotated by the 2x2
+    GEVD of its weighted covariances (parity:
+    ssspy/bss/_update_spatial_model.py:197-314). ``Y``: ``(N, I, T)``
+    pair; ``varphi``: ``(N, T)`` (IVA, per-frame) or ``(N, I, T)``
+    (ILRMA, per-bin) weights.
+    """
+    n_sources = Yr.shape[0]
+    n_frames = Yr.shape[-1]
 
     for m in range(n_sources):
         n = (m + 1) % n_sources
@@ -654,26 +750,27 @@ def auxiva_iss2_step_sc(Ys, eps=1e-10, tiny=1e-20):
         Cr = Ymr * Ynr + Ymi * Yni  # Re(Y_m conj(Y_n))
         Ci = Ymi * Ynr - Ymr * Yni  # Im(Y_m conj(Y_n))
 
+        def wmean(phi, A):
+            # mean_t phi * A per bin: (I,) from phi (T,) or (I, T)
+            eq = "t,it->i" if phi.ndim == 1 else "it,it->i"
+            return jnp.einsum(eq, phi, A) / n_frames
+
         def pair_stats(phi):
             # 2x2 Hermitian weighted covariance of the pair: (I,) scalars
-            g11 = jnp.einsum("t,it->i", phi, Pm) / n_frames if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Pm) / n_frames
-            g22 = (jnp.einsum("t,it->i", phi, Pn) if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Pn)) / n_frames
-            g12r = (jnp.einsum("t,it->i", phi, Cr) if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Cr)) / n_frames
-            g12i = (jnp.einsum("t,it->i", phi, Ci) if phi.ndim == 1 else jnp.einsum("it,it->i", phi, Ci)) / n_frames
-            return g11, g12r, g12i, g22
+            return wmean(phi, Pm), wmean(phi, Cr), wmean(phi, Ci), wmean(phi, Pn)
 
         # ---- complement rows: Y_s += conj(q1) Y_m + conj(q2) Y_n ----------
         new_r = {}
         new_i = {}
         for s in sub:
-            phi_s = varphi[s]  # (T,)
+            phi_s = varphi[s]  # (T,) or (I, T)
             g11, g12r, g12i, g22 = pair_stats(phi_s)
             # F[a] = mean_t phi Y_a conj(Y_s)
             Ysr, Ysi = Yr[s], Yi[s]
-            f1r = jnp.einsum("t,it->i", phi_s, Ymr * Ysr + Ymi * Ysi) / n_frames
-            f1i = jnp.einsum("t,it->i", phi_s, Ymi * Ysr - Ymr * Ysi) / n_frames
-            f2r = jnp.einsum("t,it->i", phi_s, Ynr * Ysr + Yni * Ysi) / n_frames
-            f2i = jnp.einsum("t,it->i", phi_s, Yni * Ysr - Ynr * Ysi) / n_frames
+            f1r = wmean(phi_s, Ymr * Ysr + Ymi * Ysi)
+            f1i = wmean(phi_s, Ymi * Ysr - Ymr * Ysi)
+            f2r = wmean(phi_s, Ynr * Ysr + Yni * Ysi)
+            f2i = wmean(phi_s, Yni * Ysr - Ynr * Ysi)
 
             det = g11 * g22 - (g12r**2 + g12i**2)
             det = jnp.where(jnp.abs(det) < tiny, jnp.where(det < 0, -tiny, tiny), det)
@@ -730,4 +827,4 @@ def auxiva_iss2_step_sc(Ys, eps=1e-10, tiny=1e-20):
             Yr = Yr.at[s].set(new_r[s])
             Yi = Yi.at[s].set(new_i[s])
 
-    return jnp.stack([Yr, Yi], axis=0)
+    return Yr, Yi

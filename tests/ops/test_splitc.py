@@ -264,3 +264,63 @@ def test_gauss_ilrma_iss1_step_matches_class():
     Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
     np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)
+
+
+def _ilrma_fixture(seed=5, M=3, I=9, T_frames=20, K=3):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((M, I, T_frames)) + 1j * rng.standard_normal(
+        (M, I, T_frames)
+    )
+    T0 = rng.random((M, I, K)) + 0.1
+    V0 = rng.random((M, K, T_frames)) + 0.1
+    return X, T0, V0
+
+
+def test_gauss_ilrma_ip2_step_matches_class():
+    """Split-complex ILRMA IP2 step tracks GaussILRMA(IP2, MM, power)."""
+    import functools
+
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+    from ssspy_tpu.ops.splitc import gauss_ilrma_ip2_step_sc
+
+    X, T0, V0 = _ilrma_fixture()
+    M, I = X.shape[0], X.shape[1]
+
+    ilrma = GaussILRMA(n_basis=T0.shape[-1], spatial_algorithm="IP2", scale_restoration=False)
+    ilrma(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy())
+    W_cls = np.asarray(ilrma.demix_filter)
+
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+    Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
+    Tb, Vb = jnp.asarray(T0), jnp.asarray(V0)
+    step = jax.jit(functools.partial(gauss_ilrma_ip2_step_sc, eps=1e-10))
+    for _ in range(3):
+        Ws, Tb, Vb = step(Xs, Ws, Tb, Vb)
+
+    W_sc = np.asarray(Ws[0]) + 1j * np.asarray(Ws[1])
+    np.testing.assert_allclose(W_sc, W_cls, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)
+
+
+def test_gauss_ilrma_iss2_step_matches_class():
+    """Split-complex ILRMA ISS2 step tracks GaussILRMA(ISS2, MM, power)."""
+    import functools
+
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+    from ssspy_tpu.ops.splitc import gauss_ilrma_iss2_step_sc
+
+    X, T0, V0 = _ilrma_fixture(seed=6, M=4)
+
+    ilrma = GaussILRMA(n_basis=T0.shape[-1], spatial_algorithm="ISS2", scale_restoration=False)
+    Y_cls = np.asarray(ilrma(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy()))
+
+    Ys = jnp.asarray(np.stack([X.real, X.imag]))
+    Tb, Vb = jnp.asarray(T0), jnp.asarray(V0)
+    step = jax.jit(functools.partial(gauss_ilrma_iss2_step_sc, eps=1e-10))
+    for _ in range(3):
+        Ys, Tb, Vb = step(Ys, Tb, Vb)
+
+    Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
+    np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)

@@ -1,0 +1,123 @@
+"""BASELINE fidelity contract: each split-complex fast-path variant must
+reach separation quality within 0.1 dB SI-SDR of the NumPy reference
+(tky823/ssspy) run on the same mixture with the same initialization.
+
+This is the driver-provided acceptance criterion (BASELINE.md: "SI-SDR
+within 0.1 dB of NumPy reference"), asserted directly per variant rather
+than implied by elementwise tolerances.
+"""
+
+import numpy as np
+import pytest
+
+from ssspy_tpu.fast import fast_auxiva, fast_gauss_ilrma
+from ssspy_tpu.transform import istft, stft
+
+ssspy_ref = pytest.importorskip("ssspy", reason="NumPy reference not importable")
+
+N_FFT, HOP = 256, 128
+
+
+@pytest.fixture(scope="module")
+def mixture():
+    from ssspy_tpu.utils.dataset import download_sample_speech_data
+
+    images, _ = download_sample_speech_data(
+        cache_dir="/tmp/ssspy_tpu_test_data",
+        n_sources=2,
+        max_duration=2.0,
+        conv=True,
+        seed=0,
+    )
+    mix = images.sum(axis=0)  # (M, n_samples)
+    X = np.asarray(stft(mix, n_fft=N_FFT, hop_length=HOP))
+    return images, mix, X
+
+
+def _si_sdr(est, ref):
+    alpha = np.sum(est * ref) / np.sum(ref**2)
+    ref = alpha * ref
+    return 10 * np.log10(np.sum(ref**2) / np.sum((est - ref) ** 2))
+
+
+def _best_perm_si_sdr(y, refs):
+    """Mean best-permutation SI-SDR of separated signals vs references."""
+    n = refs.shape[0]
+    import itertools
+
+    best = -np.inf
+    for perm in itertools.permutations(range(n)):
+        score = np.mean([_si_sdr(y[perm[s]], refs[s]) for s in range(n)])
+        best = max(best, score)
+    return best
+
+
+def _quality(Y, images, mix):
+    y = np.asarray(istft(Y, n_fft=N_FFT, hop_length=HOP, length=mix.shape[-1]))
+    return _best_perm_si_sdr(y, images[:, 0])
+
+
+@pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2"])
+def test_fast_auxiva_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
+    from ssspy.bss.iva import AuxIVA
+
+    images, mix, X = mixture
+    n_iter = 30
+
+    Y_fast, _ = fast_auxiva(X, n_iter=n_iter, algorithm=algorithm)
+
+    ref = AuxIVA(
+        spatial_algorithm=algorithm,
+        contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * np.ones_like(y),
+        scale_restoration="projection_back",
+        record_loss=False,
+    )
+    Y_ref = ref(X.astype(np.complex128).copy(), n_iter=n_iter)
+
+    got = _quality(Y_fast, images, mix)
+    want = _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"{algorithm}: fast {got:.3f} dB vs ref {want:.3f} dB"
+
+
+@pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2"])
+def test_fast_gauss_ilrma_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
+    from ssspy.bss.ilrma import GaussILRMA
+
+    images, mix, X = mixture
+    n_iter, n_basis = 30, 2
+    rng_init = np.random.default_rng(11)
+    T0 = rng_init.random((2, X.shape[1], n_basis))
+    V0 = rng_init.random((2, n_basis, X.shape[2]))
+
+    class _FixedRng:
+        def __init__(self):
+            self.draws = [T0, V0]
+
+        def random(self, shape):
+            value = self.draws.pop(0)
+            assert value.shape == tuple(shape)
+            return value
+
+    Y_fast, _, _ = fast_gauss_ilrma(
+        X, n_basis=n_basis, n_iter=n_iter, algorithm=algorithm, rng=_FixedRng()
+    )
+
+    ref = GaussILRMA(
+        n_basis=n_basis,
+        spatial_algorithm=algorithm,
+        source_algorithm="MM",
+        partitioning=False,
+        normalization=True,
+        record_loss=False,
+    )
+    Y_ref = ref(
+        X.astype(np.complex128).copy(),
+        n_iter=n_iter,
+        basis=T0.copy(),
+        activation=V0.copy(),
+    )
+
+    got = _quality(Y_fast, images, mix)
+    want = _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"{algorithm}: fast {got:.3f} dB vs ref {want:.3f} dB"
