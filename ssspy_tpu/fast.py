@@ -22,10 +22,12 @@ from jax import lax
 from .ops.splitc import (
     auxiva_ip1_step_sc,
     auxiva_ip2_step_sc,
+    auxiva_ipa_step_sc,
     auxiva_iss1_step_sc,
     auxiva_iss2_step_sc,
     gauss_ilrma_ip1_step_sc,
     gauss_ilrma_ip2_step_sc,
+    gauss_ilrma_ipa_step_sc,
     gauss_ilrma_iss1_step_sc,
     gauss_ilrma_iss2_step_sc,
     to_split,
@@ -60,6 +62,9 @@ def _run_auxiva(Xs, carry, n_iter: int, algorithm: str):
     elif algorithm == "ISS2":
         def body(y, _):
             return auxiva_iss2_step_sc(y), None
+    elif algorithm == "IPA":
+        def body(y, _):
+            return auxiva_ipa_step_sc(y), None
     else:
         def body(y, _):
             return auxiva_iss1_step_sc(y), None
@@ -77,12 +82,12 @@ def fast_auxiva(
     """AuxLaplaceIVA on the planar f32 fast path.
 
     ``spectrogram``: complex ``(n_channels, n_bins, n_frames)`` (host
-    array). ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, or
-    ``"ISS2"``. Returns
+    array). ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, ``"ISS2"``,
+    or ``"IPA"``. Returns
     ``(separated, demix_filter_or_None)`` as host arrays; projection
     back runs on the host.
     """
-    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2", "IPA"), f"Not support {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, _ = X.shape
     Xs = jax.device_put(to_split(X))
@@ -147,6 +152,7 @@ _ILRMA_STEPS = {
     "IP2": gauss_ilrma_ip2_step_sc,
     "ISS1": gauss_ilrma_iss1_step_sc,
     "ISS2": gauss_ilrma_iss2_step_sc,
+    "IPA": gauss_ilrma_ipa_step_sc,
 }
 
 
@@ -177,8 +183,8 @@ def fast_gauss_ilrma(
 ):
     """GaussILRMA (MM, power normalization) on the planar fast path.
 
-    ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, or ``"ISS2"``.
-    Returns ``(separated, (basis, activation), demix_filter_or_None)``
+    ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, ``"ISS2"``, or
+    ``"IPA"``. Returns ``(separated, (basis, activation), demix_filter_or_None)``
     as host arrays.
     """
     assert algorithm in _ILRMA_STEPS, f"Not support {algorithm}."

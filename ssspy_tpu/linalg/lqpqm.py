@@ -98,6 +98,7 @@ def solve_equation(
     flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
     max_iter: int = 10,
     normalization: bool = True,
+    root_finder: Optional[Callable] = None,
 ):
     """Largest root of ``f(l) = l^2 sum phi |v|^2 / (l - phi)^2 - l + z``.
 
@@ -131,10 +132,12 @@ def solve_equation(
         phi_max_original = None
 
     # Cubic-root initialization (largest real root).
+    if root_finder is None:
+        root_finder = _find_largest_root
     A = -(phi_max * jnp.abs(v_max) ** 2 + 2 * phi_max + z)
     B = (phi_max + 2 * z) * phi_max
     C = -(phi_max**2) * z
-    lamb = _find_largest_root(A, B, C)
+    lamb = root_finder(A, B, C)
 
     lamb = jnp.where(lamb > phi_max, lamb, phi_max + floor0)
     lamb = jnp.maximum(lamb, z)
@@ -193,6 +196,47 @@ def _find_largest_root(A, B, C):
     roots = jnp.where(imaginary_mask & is_positive[..., None], neg_inf, roots)
 
     return jnp.max(roots, axis=-1) - A / 3
+
+
+def _find_largest_root_real(A, B, C):
+    """Real-only-arithmetic twin of :func:`_find_largest_root`.
+
+    Bit-for-bit replicates the reference's behavior (quirks included) with
+    no complex intermediates, so it lowers on TPU runtimes that reject
+    complex dtypes (the split-complex IPA fast path uses it):
+
+    - positive discriminant: the reference takes the real part of the
+      *principal-branch* complex cube root, which for ``-Q/2 + sqrt(D) < 0``
+      is ``(u + w) / 2`` rather than the actual real root ``-(u + w)``
+      (ssspy/linalg/lqpqm.py:222-292). Harmless downstream — the value
+      only seeds a clamped Newton iteration — but parity requires it.
+    - non-positive discriminant: three real roots; the maximum is the
+      trigonometric ``2 r cos(theta / 3)``.
+    """
+    P = -(A**2) / 3 + B
+    Q = (2 * A**3) / 27 - (A * B) / 3 + C
+    D = (Q / 2) ** 2 + (P / 3) ** 3
+
+    # ---- D > 0 branch ----
+    sqrt_D = jnp.sqrt(jnp.maximum(D, 0.0))
+    s = -Q / 2 + sqrt_D
+    u = jnp.cbrt(jnp.abs(s))
+    u_safe = jnp.where(u > 0, u, 1.0)
+    w = -P / (3 * u_safe)
+    x1 = jnp.where(s >= 0, u + w, (u + w) / 2)
+    # degenerate s == 0: X1 = cbrt(-Q), principal branch when -Q < 0
+    x1_zero = jnp.where(-Q >= 0, jnp.cbrt(-Q), jnp.cbrt(jnp.abs(Q)) / 2)
+    root_pos = jnp.where(u > 0, x1, x1_zero)
+
+    # ---- D <= 0 branch (implies P <= 0): largest of three real roots ----
+    P_neg = jnp.minimum(P, 0.0)
+    r = jnp.sqrt(-P_neg / 3)
+    denom = jnp.where(r > 0, 2 * P_neg * r, 1.0)
+    cos_arg = jnp.where(r > 0, 3 * Q / denom, 1.0)
+    theta = jnp.arccos(jnp.clip(cos_arg, -1.0, 1.0))
+    root_neg = 2 * r * jnp.cos(theta / 3)
+
+    return jnp.where(D > 0, root_pos, root_neg) - A / 3
 
 
 def _fn(lamb, phi, v, z):

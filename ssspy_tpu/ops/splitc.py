@@ -38,6 +38,12 @@ __all__ = [
     "gauss_ilrma_ip1_step_sc",
     "gauss_ilrma_ip2_step_sc",
     "gauss_ilrma_iss2_step_sc",
+    "to_psd_sc",
+    "psd_inv_sc",
+    "lqpqm2_sc",
+    "ipa_sweep_sc",
+    "auxiva_ipa_step_sc",
+    "gauss_ilrma_ipa_step_sc",
 ]
 
 
@@ -828,3 +834,303 @@ def iss2_sweep_sc(Yr, Yi, varphi, eps=1e-10, tiny=1e-20):
             Yi = Yi.at[s].set(new_i[s])
 
     return Yr, Yi
+
+
+# ---- IPA (iterative projection with adjustment), split-complex --------------
+#
+# IPA reduces each source update to a log-quadratically-penalized quadratic
+# minimization (LQPQM) whose core is real-valued: Hermitian eigenproblems and
+# a scalar Newton iteration. Complex-free TPU backends get them through the
+# standard *-algebra embedding E(A) = [[Ar, -Ai], [Ai, Ar]]: E is a homo-
+# morphism, so spectral functions commute with it (f(E(A)) = E(f(A))) and one
+# real symmetric eigh of the 2Nx2N embedding answers every Hermitian
+# eigen-query (eigenvalues doubled, eigenvector pairs (vr; vi), (-vi; vr)).
+
+
+def _herm_eigh_embed(Ar, Ai):
+    """Real symmetric eigh of the 2Nx2N embedding of Hermitian ``A``.
+
+    Returns ``(lamb2, P2)`` with each eigenvalue of ``A`` doubled and
+    adjacent after the ascending sort.
+    """
+    S = block_embed(Ar, Ai)
+    S = (S + jnp.swapaxes(S, -1, -2)) / 2
+    return jnp.linalg.eigh(S)
+
+
+def _spectral_sc(Ar, Ai, f, hermitize=False):
+    """Apply the spectral function ``f`` to Hermitian planar matrices."""
+    if hermitize:
+        Ar = (Ar + jnp.swapaxes(Ar, -1, -2)) / 2
+        Ai = (Ai - jnp.swapaxes(Ai, -1, -2)) / 2
+    lamb, P = _herm_eigh_embed(Ar, Ai)
+    F = (P * f(lamb)[..., None, :]) @ jnp.swapaxes(P, -1, -2)
+    n = Ar.shape[-1]
+    Fr = (F[..., :n, :n] + F[..., n:, n:]) / 2
+    Fi = (F[..., n:, :n] - F[..., :n, n:]) / 2
+    return Fr, Fi
+
+
+def _eig_floor(eps, rel):
+    """Eigenvalue floor: absolute ``eps``, plus optionally ``rel`` times the
+    per-matrix top eigenvalue.
+
+    The relative term makes the downstream algebra *scale-equivariant per
+    bin*: with an absolute floor alone, a near-silent frequency bin (bin
+    energy c^2 -> 0) gets its covariance inverse clipped at 1/eps ~ 1e10,
+    which overflows the f32 IPA chain; with a relative floor every
+    intermediate scales like a power of c and stays bounded. ``rel=0``
+    reproduces the reference exactly (used for f64 parity).
+    """
+
+    def floor(lamb):
+        lo = eps
+        if rel:
+            top = jnp.maximum(lamb[..., -1:], 0)  # ascending order from eigh
+            lo = jnp.maximum(eps, rel * top)
+        return jnp.maximum(lamb, lo)
+
+    return floor
+
+
+def to_psd_sc(Ar, Ai, eps=1e-10, rel=0.0):
+    """Planar PSD projection (parity: ssspy/special/psd.py:11-71)."""
+    return _spectral_sc(Ar, Ai, _eig_floor(eps, rel), hermitize=True)
+
+
+def psd_inv_sc(Ar, Ai, eps=1e-10, rel=0.0):
+    """Planar PSD inverse via floored eigendecomposition (parity:
+    ssspy/bss/_update_spatial_model.py:611-645)."""
+    floor = _eig_floor(eps, rel)
+    return _spectral_sc(Ar, Ai, lambda lamb: 1 / floor(lamb))
+
+
+def lqpqm2_sc(Hr, Hi, vr, vi, z, eps=1e-10, max_iter=10):
+    """Split-complex LQPQM type-2 solver (parity: ssspy/linalg/lqpqm.py:13-118
+    via :func:`ssspy_tpu.linalg.lqpqm2`).
+
+    ``H``: PSD ``(..., K, K)`` pair; ``v``: ``(..., K)`` pair; ``z``:
+    ``(...,)`` real. Returns the planar solution pair. The scalar secular
+    equation is solved by the shared fixed-trip Newton
+    (:func:`ssspy_tpu.linalg.lqpqm.solve_equation`) with the real-only
+    cubic-root initializer, on the pair-reduced embedded spectrum: each
+    complex eigenvalue appears twice in the embedding and the two squared
+    projections of the embedded ``v`` sum to the complex ``|v_i|^2``, so the
+    secular function is identical term by term.
+    """
+    import functools as _functools
+
+    from ..linalg.lqpqm import _find_largest_root_real, solve_equation
+    from ..special.flooring import max_flooring
+
+    flooring_fn = _functools.partial(max_flooring, eps=eps)
+
+    K = vr.shape[-1]
+    lamb2, P2 = _herm_eigh_embed(Hr, Hi)  # (..., 2K), (..., 2K, 2K)
+    v2 = jnp.concatenate([vr, vi], axis=-1)
+    vt2 = jnp.sum(P2 * v2[..., :, None], axis=-2)  # sigma^T v in the embedding
+
+    # pair-reduce the doubled spectrum (adjacent after ascending sort)
+    phi = (lamb2[..., 0::2] + lamb2[..., 1::2]) / 2  # (..., K)
+    vsq = vt2[..., 0::2] ** 2 + vt2[..., 1::2] ** 2  # |v_tilde|^2 per pair
+
+    norm = jnp.sqrt(jnp.sum(vr**2 + vi**2, axis=-1))
+    is_singular = norm < eps
+
+    # singular branch (v = 0): rank-1 step along the top eigenvector. The
+    # embedded eigenvector carries an arbitrary complex phase — same
+    # documented deviation as the class path (direction differs, norm agrees).
+    phi_max = phi[..., -1]
+    sig_max = P2[..., :, -1]
+    lamb_singular = jnp.maximum(z, phi_max)
+    safe_phi_max = jnp.where(phi_max > 0, phi_max, 1)
+    scale = jnp.where(phi_max > 0, (lamb_singular - z) / safe_phi_max, 0)
+    scale = jnp.sqrt(jnp.maximum(scale, 0))
+    y_sing_r = scale[..., None] * sig_max[..., :K]
+    y_sing_i = scale[..., None] * sig_max[..., K:]
+
+    # non-singular branch: largest root of the secular equation, then
+    # y = (lamb I - H)^{-1} H v — algebraically identical to the
+    # reference's eigen-reconstruction sum_i sigma_i phi_i v_i/(lamb-phi_i)
+    # but backward-stable: the eigen form catastrophically cancels in f32
+    # when lamb approaches phi_max (the pole), while lamb > phi_max makes
+    # (lamb I - H) positive definite, so the planar solve is well-posed.
+    lamb = solve_equation(
+        phi,
+        jnp.sqrt(vsq),
+        z,
+        flooring_fn=flooring_fn,
+        max_iter=max_iter,
+        normalization=True,
+        root_finder=_find_largest_root_real,
+    )
+    # dtype-relative gap floor: solve_equation's absolute clamp
+    # (phi_max + eps) rounds to phi_max exactly in f32, which would make
+    # (lamb I - H) singular; keep a representable margin above phi_max.
+    gap = 32 * jnp.finfo(Hr.dtype).eps
+    lamb = jnp.maximum(lamb, phi[..., -1] * (1 + gap))
+    Hv_r = (
+        jnp.einsum("...ab,...b->...a", Hr, vr)
+        - jnp.einsum("...ab,...b->...a", Hi, vi)
+    )
+    Hv_i = (
+        jnp.einsum("...ab,...b->...a", Hr, vi)
+        + jnp.einsum("...ab,...b->...a", Hi, vr)
+    )
+    eye = jnp.eye(K, dtype=Hr.dtype)
+    Ar = lamb[..., None, None] * eye - Hr
+    Ai = -Hi
+    y_r, y_i = csolve(Ar, Ai, Hv_r, Hv_i)
+
+    return (
+        jnp.where(is_singular[..., None], y_sing_r, y_r),
+        jnp.where(is_singular[..., None], y_sing_i, y_i),
+    )
+
+
+def ipa_sweep_sc(
+    Yr, Yi, varphi, eps=1e-10, lqpqm_normalization=True, newton_iter=1, rel=None
+):
+    """IPA source sweep on planar operands (parity:
+    ssspy/bss/_update_spatial_model.py:398-513 via
+    :func:`ssspy_tpu.bss._update_spatial_model.update_by_ipa`).
+
+    ``Y``: ``(N, I, T)`` pair; ``varphi``: weights ``(N, T)`` or
+    ``(N, I, T)``. Per source: PSD-projected weighted covariance stack,
+    LQPQM reduction, rank-1 + diagonal update of Y.
+
+    ``rel`` is the relative eigenvalue floor (see :func:`_eig_floor`);
+    ``None`` selects 0 in f64 (exact reference parity) and 1e-6 in f32,
+    where the absolute floor alone overflows on near-silent bins.
+    """
+    n_sources = Yr.shape[0]
+    n_frames = Yr.shape[-1]
+    if rel is None:
+        rel = 0.0 if Yr.dtype == jnp.float64 else 1e-6
+
+    for n in range(n_sources):
+        # U[i, s, a, b] = mean_t varphi[s, i, t] Y[a, i, t] conj(Y[b, i, t])
+        eq = "st,ait,bit->isab" if varphi.ndim == 2 else "sit,ait,bit->isab"
+        Ur = (
+            jnp.einsum(eq, varphi, Yr, Yr) + jnp.einsum(eq, varphi, Yi, Yi)
+        ) / n_frames
+        Ui = (
+            jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)
+        ) / n_frames
+        Ur, Ui = to_psd_sc(Ur, Ui, eps=eps, rel=rel)
+
+        oth = tuple(k for k in range(n_sources) if k != n)
+        Un_r, Un_i = Ur[:, n], Ui[:, n]  # (I, N, N)
+        Vr, Vi = psd_inv_sc(Un_r, Un_i, eps=eps, rel=rel)  # U_tilde_n^{-1}
+
+        # static per-source gathers (tuple indexing lowers to gather, which
+        # is slow on TPU; N <= 8 so the stacks unroll at trace time)
+        a_n = jnp.stack([Ur[:, s, n, n] for s in oth], axis=-1)  # (I, N-1) real
+        b_r = jnp.stack([Ur[:, s, n, s] for s in oth], axis=-1)
+        b_i = jnp.stack([Ui[:, s, n, s] for s in oth], axis=-1)
+
+        # C = rows/cols `oth` of conj(U_n^{-1}); d = its column n
+        Cr = jnp.stack(
+            [jnp.stack([Vr[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
+        )  # (I, N-1, N-1)
+        Ci = -jnp.stack(
+            [jnp.stack([Vi[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
+        )
+        dr = jnp.stack([Vr[:, s, n] for s in oth], axis=-1)  # (I, N-1)
+        di = -jnp.stack([Vi[:, s, n] for s in oth], axis=-1)
+
+        Cd_r, Cd_i = csolve(Cr, Ci, dr, di)
+        dCd = jnp.sum(dr * Cd_r + di * Cd_i, axis=-1)  # Re(d^H C^{-1} d)
+        eUe = Vr[:, n, n]
+        z_n = eUe - dCd
+
+        a_sqrt = jnp.sqrt(a_n)
+        aa = a_sqrt[:, :, None] * a_sqrt[:, None, :]
+        Hr, Hi = Cr / aa, Ci / aa
+        v_r = -b_r / a_sqrt - a_sqrt * Cd_r
+        v_i = -b_i / a_sqrt - a_sqrt * Cd_i
+
+        if lqpqm_normalization:
+            trace = jnp.sum(jnp.diagonal(Hr, axis1=-2, axis2=-1), axis=-1)
+            Hr = Hr / trace[..., None, None]
+            Hi = Hi / trace[..., None, None]
+            z_n = z_n / trace
+
+        qc_r, qc_i = lqpqm2_sc(Hr, Hi, v_r, v_i, z_n, eps=eps, max_iter=newton_iter)
+
+        q_r = qc_r / a_sqrt - b_r / a_n
+        q_i = qc_i / a_sqrt - b_i / a_n
+
+        # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair
+        n_bins = Yr.shape[1]
+        qt_r = jnp.zeros((n_bins, n_sources), Yr.dtype).at[:, n].set(1.0)
+        qt_i = jnp.zeros((n_bins, n_sources), Yr.dtype)
+        for k, s in enumerate(oth):
+            qt_r = qt_r.at[:, s].set(-q_r[:, k])
+            qt_i = qt_i.at[:, s].set(q_i[:, k])
+
+        Uq_r, Uq_i = csolve(Un_r, Un_i, qt_r, qt_i)
+        qUq = jnp.sum(qt_r * Uq_r + qt_i * Uq_i, axis=-1)
+        denom = jnp.maximum(jnp.sqrt(jnp.maximum(qUq, 0.0)), eps)[:, None]
+        p_r = Uq_r / denom
+        p_i = Uq_i / denom  # (I, N)
+
+        # row n <- sum_s conj(p_s) Y_s; row s <- Y_s + conj(q_s) Y_n
+        PY_r = jnp.einsum("is,sit->it", p_r, Yr) + jnp.einsum("is,sit->it", p_i, Yi)
+        PY_i = jnp.einsum("is,sit->it", p_r, Yi) - jnp.einsum("is,sit->it", p_i, Yr)
+
+        Ynr, Yni = Yr[n], Yi[n]
+        for k, s in enumerate(oth):
+            add_r = q_r[:, k, None] * Ynr + q_i[:, k, None] * Yni
+            add_i = q_r[:, k, None] * Yni - q_i[:, k, None] * Ynr
+            Yr = Yr.at[s].add(add_r)
+            Yi = Yi.at[s].add(add_i)
+        Yr = Yr.at[n].set(PY_r)
+        Yi = Yi.at[n].set(PY_i)
+
+    return Yr, Yi
+
+
+def auxiva_ipa_step_sc(Ys, eps=1e-10, lqpqm_normalization=True, newton_iter=1):
+    """One AuxIVA-IPA iteration in split-complex form (parity:
+    ssspy/bss/iva.py AuxIVA IPA dispatch; demix-free Y state)."""
+    Yr, Yi = Ys[0], Ys[1]
+    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    varphi = 1.0 / jnp.maximum(norm, eps)
+    Yr, Yi = ipa_sweep_sc(
+        Yr,
+        Yi,
+        varphi,
+        eps=eps,
+        lqpqm_normalization=lqpqm_normalization,
+        newton_iter=newton_iter,
+    )
+    return jnp.stack([Yr, Yi], axis=0)
+
+
+def gauss_ilrma_ipa_step_sc(
+    Ys, T, V, domain: float = 2.0, eps=1e-6, lqpqm_normalization=True, newton_iter=1
+):
+    """One GaussILRMA MM+IPA iteration in split-complex form (parity:
+    ssspy/bss/ilrma.py:1794+ IPA dispatch; demix-free, power normalization)."""
+    p = domain
+    Yr, Yi = Ys[0], Ys[1]
+
+    T, V, R = _ilrma_mm_updates(Yr**2 + Yi**2, T, V, p, eps)
+
+    varphi = 1 / (R ** (2 / p))  # (N, I, T)
+    Yr, Yi = ipa_sweep_sc(
+        Yr,
+        Yi,
+        varphi,
+        eps=eps,
+        lqpqm_normalization=lqpqm_normalization,
+        newton_iter=newton_iter,
+    )
+
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
+    Yr = Yr / psi[:, None, None]
+    Yi = Yi / psi[:, None, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Yr, Yi], axis=0), T, V

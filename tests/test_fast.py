@@ -129,7 +129,7 @@ def test_fast_auxiva_improves_si_sdr():
 def test_fast_auxiva_invalid_algorithm():
     X = _mixture()
     with pytest.raises(AssertionError):
-        fast_auxiva(X, n_iter=1, algorithm="IPA")
+        fast_auxiva(X, n_iter=1, algorithm="FOO")
 
 
 def test_fast_auxiva_ip2_matches_class_api():

@@ -57,12 +57,14 @@ def _quality(Y, images, mix):
     return _best_perm_si_sdr(y, images[:, 0])
 
 
-@pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2"])
+@pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2", "IPA"])
 def test_fast_auxiva_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
     from ssspy.bss.iva import AuxIVA
 
     images, mix, X = mixture
-    n_iter = 30
+    # IPA converges more slowly (and its 1-trip Newton default makes early
+    # iterates noisy); compare both paths at convergence
+    n_iter = 100 if algorithm == "IPA" else 30
 
     Y_fast, _ = fast_auxiva(X, n_iter=n_iter, algorithm=algorithm)
 
@@ -80,7 +82,7 @@ def test_fast_auxiva_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
     assert abs(got - want) <= 0.1, f"{algorithm}: fast {got:.3f} dB vs ref {want:.3f} dB"
 
 
-@pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2"])
+@pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2", "IPA"])
 def test_fast_gauss_ilrma_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
     from ssspy.bss.ilrma import GaussILRMA
 
