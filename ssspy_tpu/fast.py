@@ -33,7 +33,13 @@ from .ops.splitc import (
     to_split,
 )
 
-__all__ = ["fast_auxiva", "fast_auxiva_batch", "fast_gauss_ilrma"]
+__all__ = [
+    "fast_auxiva",
+    "fast_auxiva_batch",
+    "fast_gauss_ilrma",
+    "fast_aux_fdica",
+    "fast_gauss_mnmf",
+]
 
 
 def _projection_back_host(Y: np.ndarray, X: np.ndarray, reference_id: int) -> np.ndarray:
@@ -216,3 +222,137 @@ def fast_gauss_ilrma(
     if scale_restoration:
         Y = _projection_back_host(Y, X, reference_id)
     return Y, (T, V), None
+
+
+def _permutation_align_host(Y: np.ndarray, W: np.ndarray, eps=1e-10):
+    """Correlation-based frequency-permutation alignment on the host.
+
+    NumPy twin of
+    :func:`ssspy_tpu.algorithm.correlation_based_permutation_solver`
+    (reference ssspy/algorithm/permutation_alignment.py:12-121), kept off
+    the device so the fast path never traces a complex program. ``Y``:
+    ``(I, N, T)`` complex; ``W``: ``(I, N, M)``; both permuted in lockstep.
+    """
+    import itertools
+
+    n_bins, n_sources, _ = Y.shape
+    perms = np.array(list(itertools.permutations(range(n_sources))))
+
+    P = np.abs(Y)
+    norm = np.sqrt(np.sum(P**2, axis=1, keepdims=True))
+    P = P / np.maximum(norm, eps)
+    correlation = np.sum(P @ np.swapaxes(P, -2, -1), axis=(1, 2))
+    order = np.argsort(correlation)
+
+    criteria = P[order[0]].copy()
+    for bin_idx in order[1:]:
+        P_bin = P[bin_idx]
+        scores = np.sum(criteria[None] * P_bin[perms], axis=(1, 2))
+        perm_best = perms[np.argmax(scores)]
+        criteria += P_bin[perm_best]
+        Y[bin_idx] = Y[bin_idx][perm_best]
+        W[bin_idx] = W[bin_idx][perm_best]
+    return Y, W
+
+
+def fast_aux_fdica(
+    spectrogram,
+    n_iter: int = 100,
+    algorithm: str = "IP1",
+    permutation_alignment: bool = True,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """AuxLaplaceFDICA on the planar f32 fast path.
+
+    Per-bin independent ICA (reference ssspy/bss/fdica.py:846-1246):
+    the iteration loop runs on device; permutation alignment and
+    projection back run on the host. ``algorithm``: ``"IP1"`` or
+    ``"IP2"``. Returns ``(separated, demix_filter)``.
+    """
+    from .ops.splitc import aux_laplace_fdica_ip1_step_sc, aux_laplace_fdica_ip2_step_sc
+
+    assert algorithm in ("IP1", "IP2"), f"Not support {algorithm}."
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, _ = X.shape
+    Xs = jax.device_put(to_split(X))
+
+    step = (
+        aux_laplace_fdica_ip1_step_sc
+        if algorithm == "IP1"
+        else aux_laplace_fdica_ip2_step_sc
+    )
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(Xs, W, n):
+        return lax.scan(lambda w, _: (step(Xs, w), None), W, None, length=n)[0]
+
+    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[0] = np.eye(n_channels, dtype=np.float32)
+    Ws = np.asarray(run(Xs, jax.device_put(W0), n_iter))
+    W = Ws[0] + 1j * Ws[1]  # (I, N, M)
+
+    Y = np.einsum("inm,mit->nit", W, X)
+    if permutation_alignment:
+        Yb, W = _permutation_align_host(Y.swapaxes(0, 1).copy(), W.copy())
+        Y = Yb.swapaxes(0, 1)
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]  # (I, N)
+        W = W * scale[:, :, None]
+        Y = np.einsum("inm,mit->nit", W, X)
+    return Y, W
+
+
+def fast_gauss_mnmf(
+    spectrogram,
+    n_basis: int,
+    n_iter: int = 100,
+    n_sources: Optional[int] = None,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """FastGaussMNMF (IP1 diagonalizer) on the planar fast path.
+
+    The iteration loop (NMF + diagonalizer + spatial loading updates)
+    runs on device in split-complex form; the multichannel Wiener
+    separation runs on the host (reference ssspy/bss/mnmf.py:1174-1217).
+    Returns ``(separated (N, I, T), (T, V, Q, D))``.
+    """
+    from .ops.splitc import fast_gauss_mnmf_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    n_sources = n_channels if n_sources is None else n_sources
+    rng = np.random.default_rng() if rng is None else rng
+
+    Xs = jax.device_put(to_split(X))
+    T0 = rng.random((n_sources, n_bins, n_basis)).astype(np.float32)
+    V0 = rng.random((n_sources, n_basis, n_frames)).astype(np.float32)
+    D0 = np.maximum(rng.random((n_bins, n_sources, n_channels)), 1e-10).astype(
+        np.float32
+    )
+    Q0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    Q0[0] = np.eye(n_channels, dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        def body(c, _):
+            return fast_gauss_mnmf_step_sc(Xs, *c), None
+
+        return lax.scan(body, carry, None, length=n)[0]
+
+    carry = tuple(jax.device_put(a) for a in (Q0, T0, V0, D0))
+    Qs, T, V, D = (np.asarray(a) for a in run(carry, n_iter))
+    Q = Qs[0] + 1j * Qs[1]  # (I, M, M)
+
+    # host-side Wiener separation in the diagonalized space
+    Lamb = np.maximum(T @ V, 1e-10)  # (N, I, T)
+    Db = np.swapaxes(D, 0, 1)  # (N, I, M)
+    Q_inv = np.linalg.inv(Q)  # (I, M, M)
+    LambD = np.einsum("nit,nim->nitm", Lamb, Db)
+    R_n = np.einsum("ipm,nitm,iqm->nitpq", Q_inv, LambD, Q_inv.conj())
+    R = R_n.sum(axis=0)
+    W_Hermite = np.linalg.solve(R[None], R_n)
+    W_ref = np.swapaxes(W_Hermite, -2, -1).conj()[..., reference_id, :]
+    Y = np.einsum("nitm,mit->nit", W_ref, X)
+    return Y, (T, V, Q, D)

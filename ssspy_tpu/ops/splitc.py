@@ -44,6 +44,9 @@ __all__ = [
     "ipa_sweep_sc",
     "auxiva_ipa_step_sc",
     "gauss_ilrma_ipa_step_sc",
+    "aux_laplace_fdica_ip1_step_sc",
+    "aux_laplace_fdica_ip2_step_sc",
+    "fast_gauss_mnmf_step_sc",
 ]
 
 
@@ -1134,3 +1137,125 @@ def gauss_ilrma_ipa_step_sc(
     T = T / (psi[:, None, None] ** p)
 
     return jnp.stack([Yr, Yi], axis=0), T, V
+
+
+# ---- AuxFDICA (per-bin independent ICA), split-complex ----------------------
+
+
+def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-10):
+    """One AuxLaplaceFDICA-IP1 iteration in split-complex form.
+
+    Per-bin independent weights ``varphi[n,i,t] = 1/|y_nit|`` (the
+    Laplace contrast's ``G'(|y|)/2|y|`` — reference
+    ssspy/bss/fdica.py:1065-1116 with contrast ``2|y|``), then the same
+    weighted-covariance + IP1 sweep as ILRMA. ``Xs``: ``(2, M, I, T)``;
+    ``Ws``: ``(2, I, N, M)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+
+    Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+    varphi = 1.0 / jnp.maximum(jnp.sqrt(Yr**2 + Yi**2), eps)  # (N, I, T)
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
+    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps)
+    return jnp.stack([Wr, Wi], axis=0)
+
+
+def aux_laplace_fdica_ip2_step_sc(Xs, Ws, eps=1e-10):
+    """One AuxLaplaceFDICA-IP2 iteration in split-complex form.
+
+    Pairwise GEVD updates; per-pair weights come from the current pair
+    rows, like AuxIVA-IP2 (reference ssspy/bss/fdica.py:1118-1245).
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    n_sources = Wr.shape[1]
+
+    for m in range(n_sources):
+        n = (m + 1) % n_sources
+        Wr_mn = jnp.stack([Wr[:, m], Wr[:, n]], axis=1)
+        Wi_mn = jnp.stack([Wi[:, m], Wi[:, n]], axis=1)
+        Yr, Yi = _csep(Wr_mn, Wi_mn, Xr, Xi)  # (2, I, T)
+        varphi = 1.0 / jnp.maximum(jnp.sqrt(Yr**2 + Yi**2), eps)  # (2, I, T)
+        Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)  # (I, 2, M, M)
+        W2r, W2i = ip2_pair_update_sc(
+            Wr, Wi, Ur[:, 0], Ui[:, 0], Ur[:, 1], Ui[:, 1], (m, n), eps=eps
+        )
+        Wr = Wr.at[:, m].set(W2r[:, 0]).at[:, n].set(W2r[:, 1])
+        Wi = Wi.at[:, m].set(W2i[:, 0]).at[:, n].set(W2i[:, 1])
+
+    return jnp.stack([Wr, Wi], axis=0)
+
+
+# ---- FastGaussMNMF (jointly diagonalized covariance model), split-complex ---
+
+
+def fast_gauss_mnmf_step_sc(Xs, Qs, T, V, D, eps=1e-6, normalization=True):
+    """One FastGaussMNMF iteration in split-complex form.
+
+    Mirrors ``FastGaussMNMF.make_step`` (parity: ssspy/bss/mnmf.py:
+    1236-1633 via :class:`ssspy_tpu.bss.mnmf.FastGaussMNMF`, IP1
+    diagonalizer): everything except the diagonalized projection
+    ``QX`` and the IP sweep on ``Q`` is real arithmetic on the powers
+    ``|QX|^2``.
+
+    ``Xs``: mixture ``(2, M, I, T)``; ``Qs``: diagonalizer
+    ``(2, I, M, M)``; ``T``: basis ``(N, I, K)``; ``V``: activation
+    ``(N, K, T)``; ``D``: diagonal spatial loadings ``(I, N, M)`` real.
+    Returns ``(Qs, T, V, D)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Qr, Qi = Qs[0], Qs[1]
+
+    def power_stats(Qr, Qi, T, V, D):
+        Lamb = jnp.maximum(T @ V, eps)  # (N, I, T)
+        LambD = jnp.einsum("nit,inm->itm", Lamb, D)  # (I, T, M)
+        # QX[i, m, t] then |QX|^2 -> (I, T, M)
+        QXr = jnp.einsum("ipm,mit->ipt", Qr, Xr) - jnp.einsum("ipm,mit->ipt", Qi, Xi)
+        QXi = jnp.einsum("ipm,mit->ipt", Qr, Xi) + jnp.einsum("ipm,mit->ipt", Qi, Xr)
+        QX2 = jnp.swapaxes(QXr**2 + QXi**2, -2, -1)  # (I, T, M)
+        return QX2, jnp.maximum(LambD, eps), Lamb
+
+    Db = jnp.swapaxes(D, 0, 1)  # (N, I, M)
+
+    # basis MM update
+    QX2, LambD, _ = power_stats(Qr, Qi, T, V, D)
+    QXLambD = QX2 / (LambD**2)
+    DQXLambD = jnp.einsum("nim,itm->nit", Db, QXLambD)
+    DLambD = jnp.einsum("nim,itm->nit", Db, 1 / LambD)
+    num = jnp.einsum("nkt,nit->nik", V, DQXLambD)
+    denom = jnp.einsum("nkt,nit->nik", V, DLambD)
+    T = jnp.maximum(T * jnp.sqrt(num / denom), eps)
+
+    # activation MM update
+    QX2, LambD, _ = power_stats(Qr, Qi, T, V, D)
+    QXLambD = QX2 / (LambD**2)
+    DQXLambD = jnp.einsum("nim,itm->nit", Db, QXLambD)
+    DLambD = jnp.einsum("nim,itm->nit", Db, 1 / LambD)
+    num = jnp.einsum("nik,nit->nkt", T, DQXLambD)
+    denom = jnp.einsum("nik,nit->nkt", T, DLambD)
+    V = jnp.maximum(V * jnp.sqrt(num / denom), eps)
+
+    # diagonalizer IP1 sweep with per-channel weights 1 / (Lamb D)
+    Lamb = jnp.maximum(T @ V, eps)
+    LambD_m = jnp.einsum("nit,inm->imt", Lamb, D)  # (I, M, T)
+    varphi = jnp.swapaxes(1 / jnp.maximum(LambD_m, eps), 0, 1)  # (M, I, T)
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)  # (I, M, M, M)
+    Qr, Qi = ip1_sweep_sc(Qr, Qi, Ur, Ui, eps=eps)
+
+    # spatial loading MM update
+    QX2, LambD, Lamb = power_stats(Qr, Qi, T, V, D)
+    Lambb = jnp.swapaxes(Lamb, 0, 1)  # (I, N, T)
+    num = jnp.einsum("int,itm->inm", Lambb, QX2 / (LambD**2))
+    denom = jnp.einsum("int,itm->inm", Lambb, 1 / LambD)
+    D = jnp.sqrt(num / denom) * D
+
+    if normalization:
+        QXr = jnp.einsum("ipm,mit->ipt", Qr, Xr) - jnp.einsum("ipm,mit->ipt", Qi, Xi)
+        QXi = jnp.einsum("ipm,mit->ipt", Qr, Xi) + jnp.einsum("ipm,mit->ipt", Qi, Xr)
+        psi = jnp.maximum(jnp.sqrt(jnp.mean(QXr**2 + QXi**2, axis=(0, 2))), eps)  # (M,)
+        Qr = Qr / psi[None, :, None]
+        Qi = Qi / psi[None, :, None]
+        D = D / (psi**2)
+
+    return jnp.stack([Qr, Qi], axis=0), T, V, D

@@ -155,3 +155,68 @@ def test_fast_gauss_ilrma_iss1():
     assert W is None
     assert Y.shape == X.shape
     assert np.all(np.isfinite(Y))
+
+
+def test_fast_aux_fdica_matches_class_api():
+    import jax
+    from ssspy_tpu.bss.fdica import AuxFDICA
+    from ssspy_tpu.fast import fast_aux_fdica
+
+    X = _mixture(seed=8)
+    Y_fast, W = fast_aux_fdica(X, n_iter=5, algorithm="IP1")
+
+    fdica = AuxFDICA(
+        spatial_algorithm="IP",
+        contrast_fn=lambda y: 2 * jnp.abs(y),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+    )
+    Y_cls = np.asarray(fdica(X.astype(np.complex64).copy(), n_iter=5))
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+    assert W.shape == (X.shape[1], X.shape[0], X.shape[0])
+
+
+def test_fast_aux_fdica_ip2_runs():
+    from ssspy_tpu.fast import fast_aux_fdica
+
+    X = _mixture(seed=9)
+    Y, W = fast_aux_fdica(X, n_iter=4, algorithm="IP2")
+    assert Y.shape == X.shape
+    assert np.all(np.isfinite(Y))
+
+
+def test_fast_gauss_mnmf_matches_class_api():
+    from ssspy_tpu.bss.mnmf import FastGaussMNMF
+    from ssspy_tpu.fast import fast_gauss_mnmf
+
+    X = _mixture(seed=10)
+    n_basis = 2
+    rng_init = np.random.default_rng(3)
+    M, I, T_frames = X.shape
+    T0 = rng_init.random((M, I, n_basis))
+    V0 = rng_init.random((M, n_basis, T_frames))
+    D0 = np.maximum(rng_init.random((I, M, M)), 1e-10)
+
+    class _FixedRng:
+        def __init__(self):
+            self.draws = [T0, V0, D0]
+
+        def random(self, shape):
+            value = self.draws.pop(0)
+            assert value.shape == tuple(shape)
+            return value
+
+    Y_fast, _ = fast_gauss_mnmf(X, n_basis=n_basis, n_iter=4, rng=_FixedRng())
+
+    mnmf = FastGaussMNMF(
+        n_basis=n_basis, diagonalizer_algorithm="IP1", partitioning=False
+    )
+    Y_cls = np.asarray(
+        mnmf(
+            X.astype(np.complex64).copy(),
+            n_iter=4,
+            basis=T0.astype(np.float32),
+            activation=V0.astype(np.float32),
+            spatial=D0.astype(np.float32),
+        )
+    )
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
