@@ -39,6 +39,7 @@ __all__ = [
     "fast_gauss_ilrma",
     "fast_aux_fdica",
     "fast_gauss_mnmf",
+    "fast_auxiva_wave",
 ]
 
 
@@ -356,3 +357,83 @@ def fast_gauss_mnmf(
     W_ref = np.swapaxes(W_Hermite, -2, -1).conj()[..., reference_id, :]
     Y = np.einsum("nitm,mit->nit", W_ref, X)
     return Y, (T, V, Q, D)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _auxiva_wave_program(xw, n_iter: int, algorithm: str, n_fft: int, hop: int, length: int):
+    """Single XLA program: stft_sc -> AuxIVA scan -> scale restoration ->
+    istft_sc. No complex dtype and no FFT op anywhere — runs on
+    complex-free TPU backends end to end."""
+    import jax.numpy as jnp
+
+    from .ops.splitc import _csep, csolve_matrix
+    from .transform import istft_sc, stft_sc
+
+    Xs = stft_sc(xw, n_fft=n_fft, hop_length=hop)  # (2, M, I, T)
+    n_channels, n_bins = Xs.shape[1], Xs.shape[2]
+
+    if algorithm in ("IP1", "IP2"):
+        W0r = jnp.broadcast_to(
+            jnp.eye(n_channels, dtype=Xs.dtype), (n_bins, n_channels, n_channels)
+        )
+        W0 = jnp.stack([W0r, jnp.zeros_like(W0r)], axis=0)
+        Ws = _run_auxiva(Xs, W0, n_iter, algorithm)
+        # projection back on the demixing filter: scale = W^{-1}[:, ref, :]
+        Wr, Wi = Ws[0], Ws[1]
+        Er = jnp.broadcast_to(
+            jnp.eye(n_channels, dtype=Xs.dtype), (n_bins, n_channels, n_channels)
+        )
+        Winv_r, Winv_i = csolve_matrix(Wr, Wi, Er, jnp.zeros_like(Er))
+        sr = Winv_r[:, 0, :]  # reference_id = 0
+        si = Winv_i[:, 0, :]
+        Wr = Wr * sr[:, :, None] - Wi * si[:, :, None]
+        Wi = Ws[0] * si[:, :, None] + Ws[1] * sr[:, :, None]
+        Yr, Yi = _csep(Wr, Wi, Xs[0], Xs[1])
+    else:
+        Ys = _run_auxiva(Xs, Xs, n_iter, algorithm)
+        # least-squares projection back on the separated spectrograms:
+        # scale^H = (Y Y^H)^{-1} (Y X_ref^H)  per bin
+        Yr, Yi = Ys[0], Ys[1]  # (N, I, T)
+        Yrb = jnp.swapaxes(Yr, 0, 1)  # (I, N, T)
+        Yib = jnp.swapaxes(Yi, 0, 1)
+        Xrb = Xs[0, 0]  # reference channel (I, T)
+        Xib = Xs[1, 0]
+        # A = Y Y^H (I, N, N); b = Y conj(X_ref) (I, N)
+        Ar = jnp.einsum("int,imt->inm", Yrb, Yrb) + jnp.einsum("int,imt->inm", Yib, Yib)
+        Ai = jnp.einsum("int,imt->inm", Yib, Yrb) - jnp.einsum("int,imt->inm", Yrb, Yib)
+        br = jnp.einsum("int,it->in", Yrb, Xrb) + jnp.einsum("int,it->in", Yib, Xib)
+        bi = jnp.einsum("int,it->in", Yib, Xrb) - jnp.einsum("int,it->in", Yrb, Xib)
+        cr, ci = csolve_matrix(Ar, Ai, br[..., None], bi[..., None])
+        # Y_n *= conj(c_n) per bin  (c solves A c = b, scale = conj(c))
+        cr = jnp.swapaxes(cr[..., 0], 0, 1)[:, :, None]  # (N, I, 1)
+        ci = jnp.swapaxes(ci[..., 0], 0, 1)[:, :, None]
+        Yr2 = cr * Yrb.swapaxes(0, 1) + ci * Yib.swapaxes(0, 1)
+        Yi2 = cr * Yib.swapaxes(0, 1) - ci * Yrb.swapaxes(0, 1)
+        Yr, Yi = Yr2, Yi2
+
+    Ysep = jnp.stack([Yr, Yi], axis=0)
+    return istft_sc(Ysep, n_fft=n_fft, hop_length=hop, length=length)
+
+
+def fast_auxiva_wave(
+    waveform,
+    n_iter: int = 100,
+    algorithm: str = "IP1",
+    n_fft: int = 512,
+    hop_length: Optional[int] = None,
+) -> np.ndarray:
+    """Waveform-to-waveform AuxLaplaceIVA as ONE on-device XLA program.
+
+    ``waveform``: ``(n_channels, n_samples)`` float. STFT, the full
+    iteration scan, projection back, and iSTFT all run on device in
+    split-complex form (DFT-as-matmul; see
+    :func:`ssspy_tpu.transform.stft_sc`) — nothing crosses the host
+    boundary between input and output. Returns ``(n_sources, n_samples)``.
+    """
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2", "IPA"), f"Not support {algorithm}."
+    x = np.asarray(waveform, dtype=np.float32)
+    hop = n_fft // 2 if hop_length is None else hop_length
+    y = _auxiva_wave_program(
+        jax.device_put(x), n_iter, algorithm, n_fft, hop, x.shape[-1]
+    )
+    return np.asarray(y)

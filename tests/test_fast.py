@@ -220,3 +220,29 @@ def test_fast_gauss_mnmf_matches_class_api():
         )
     )
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_auxiva_wave_matches_host_composition():
+    """Single on-device program (stft_sc -> scan -> istft_sc) equals the
+    host-composed stft/fast_auxiva/istft path."""
+    from ssspy_tpu.fast import fast_auxiva_wave
+    from ssspy_tpu.transform import istft
+
+    from ssspy_tpu.utils.dataset import download_sample_speech_data
+
+    images, _ = download_sample_speech_data(
+        cache_dir="/tmp/ssspy_tpu_test_data",
+        n_sources=2,
+        max_duration=1.0,
+        conv=True,
+        seed=4,
+    )
+    mix = images.sum(axis=0).astype(np.float32)
+
+    for algo in ("IP1", "ISS1"):
+        y_wave = fast_auxiva_wave(mix, n_iter=5, algorithm=algo, n_fft=256, hop_length=128)
+        X = np.asarray(stft(mix, n_fft=256, hop_length=128))
+        Y, _ = fast_auxiva(X, n_iter=5, algorithm=algo)
+        y_ref = np.asarray(istft(Y, n_fft=256, hop_length=128, length=mix.shape[-1]))
+        assert y_wave.shape == (2, mix.shape[-1])
+        np.testing.assert_allclose(y_wave, y_ref, atol=1e-4 * np.abs(y_ref).max())

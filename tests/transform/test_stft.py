@@ -46,3 +46,41 @@ def test_istft_matches_scipy():
     got = np.asarray(istft(spec, n_fft=512, hop_length=256))
     n = min(len(got), len(want))
     assert np.allclose(got[:n], want[:n], atol=1e-10)
+
+
+def test_stft_sc_matches_complex_stft():
+    import jax.numpy as jnp
+
+    from ssspy_tpu.transform import stft, stft_sc
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 4000)).astype(np.float32)
+    spec_c = np.asarray(stft(x, n_fft=512, hop_length=256))
+    spec_sc = np.asarray(stft_sc(jnp.asarray(x), n_fft=512, hop_length=256))
+    got = spec_sc[0] + 1j * spec_sc[1]
+    np.testing.assert_allclose(got, spec_c, atol=1e-5)
+
+
+def test_istft_sc_roundtrip():
+    import jax.numpy as jnp
+
+    from ssspy_tpu.transform import istft_sc, stft_sc
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3000)).astype(np.float32)
+    spec = stft_sc(jnp.asarray(x), n_fft=256, hop_length=128)
+    y = np.asarray(istft_sc(spec, n_fft=256, hop_length=128, length=3000))
+    np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_stft_sc_f64_tight():
+    """Under the x64 test config, planar f64 matches rfft at 1e-10."""
+    import jax.numpy as jnp
+
+    from ssspy_tpu.transform import stft, stft_sc
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 2000))
+    spec_c = np.asarray(stft(x, n_fft=512, hop_length=256))
+    spec_sc = np.asarray(stft_sc(jnp.asarray(x), n_fft=512, hop_length=256))
+    np.testing.assert_allclose(spec_sc[0] + 1j * spec_sc[1], spec_c, atol=1e-10)
