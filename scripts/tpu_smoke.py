@@ -1,0 +1,89 @@
+"""Smoke-test every split-complex fast-path kernel on the real TPU chip.
+
+Runs tiny shapes through each jitted step and reports OK/FAIL per kernel
+plus a host-readback checksum (the only trustworthy completion barrier on
+remote-execution backends). Usage: python scripts/tpu_smoke.py [out.json]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    results = {"backend": jax.default_backend(), "device": str(jax.devices()[0])}
+
+    rng = np.random.default_rng(0)
+    M, I, T, K = 3, 33, 40, 2
+    X = rng.standard_normal((2, M, I, T)).astype(np.float32)
+    W0 = np.zeros((2, I, M, M), dtype=np.float32)
+    W0[0] = np.eye(M, dtype=np.float32)
+    Tb = (rng.random((M, I, K)) + 0.1).astype(np.float32)
+    Vb = (rng.random((M, K, T)) + 0.1).astype(np.float32)
+    Db = (rng.random((I, M, M)) + 0.1).astype(np.float32)
+
+    from ssspy_tpu.ops import splitc as sc
+
+    Xd = jax.device_put(X)
+    Wd = jax.device_put(W0)
+
+    def smoke(name, fn, *args):
+        t0 = time.perf_counter()
+        try:
+            out = jax.jit(fn)(*args)
+            leaves = jax.tree.leaves(out)
+            host = [np.asarray(a) for a in leaves]
+            ok = all(np.all(np.isfinite(h)) for h in host)
+            results[name] = {
+                "ok": bool(ok),
+                "secs": round(time.perf_counter() - t0, 2),
+            }
+        except Exception as exc:
+            results[name] = {"ok": False, "error": repr(exc)[:300]}
+        print(name, results[name], flush=True)
+
+    smoke("auxiva_ip1", sc.auxiva_ip1_step_sc, Xd, Wd)
+    smoke("auxiva_ip2", sc.auxiva_ip2_step_sc, Xd, Wd)
+    smoke("auxiva_iss1", sc.auxiva_iss1_step_sc, Xd)
+    smoke("auxiva_iss2", sc.auxiva_iss2_step_sc, Xd)
+    smoke("auxiva_ipa", sc.auxiva_ipa_step_sc, Xd)
+    smoke("ilrma_ip1", sc.gauss_ilrma_ip1_step_sc, Xd, Wd, Tb, Vb)
+    smoke("ilrma_ip2", sc.gauss_ilrma_ip2_step_sc, Xd, Wd, Tb, Vb)
+    smoke("ilrma_iss1", sc.gauss_ilrma_iss1_step_sc, Xd, Tb, Vb)
+    smoke("ilrma_iss2", sc.gauss_ilrma_iss2_step_sc, Xd, Tb, Vb)
+    smoke("ilrma_ipa", sc.gauss_ilrma_ipa_step_sc, Xd, Tb, Vb)
+    smoke("fdica_ip1", sc.aux_laplace_fdica_ip1_step_sc, Xd, Wd)
+    smoke("fdica_ip2", sc.aux_laplace_fdica_ip2_step_sc, Xd, Wd)
+    smoke("mnmf", sc.fast_gauss_mnmf_step_sc, Xd, Wd, Tb, Vb, Db)
+
+    from ssspy_tpu.transform import istft_sc, stft_sc
+
+    wave = rng.standard_normal((M, 4000)).astype(np.float32)
+    smoke("stft_sc", lambda x: stft_sc(x, n_fft=256, hop_length=128), jax.device_put(wave))
+    smoke(
+        "stft_istft_roundtrip",
+        lambda x: istft_sc(
+            stft_sc(x, n_fft=256, hop_length=128), n_fft=256, hop_length=128, length=4000
+        ),
+        jax.device_put(wave),
+    )
+
+    # the standalone eigh embedding (IPA's workhorse) at production size
+    H = rng.standard_normal((257, 7, 7)).astype(np.float32)
+    H = H @ H.swapaxes(-1, -2) + np.eye(7, dtype=np.float32)
+    Hi = np.zeros_like(H)
+    smoke("herm_eigh_embed", sc._herm_eigh_embed, jax.device_put(H), jax.device_put(Hi))
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_smoke.json"
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
