@@ -97,14 +97,59 @@ def build_cases(X):
         V = rng.random((n_sources, n_basis, n_frames))
         return {"basis": T, "activation": V}
 
-    return {
+    def laplace_score(y):
+        norm = np.maximum(np.linalg.norm(y, axis=1, keepdims=True), 1e-10)
+        return y / norm
+
+    def grad_iva(spec, natural, is_holonomic):
+        cls = ref_iva.NaturalGradIVA if natural else ref_iva.GradIVA
+        m = cls(
+            contrast_fn=laplace_contrast,
+            score_fn=laplace_score,
+            is_holonomic=is_holonomic,
+        )
+        return m(spec, n_iter=N_ITER)
+
+    def fast_iva(spec):
+        m = ref_iva.FastIVA(
+            contrast_fn=laplace_contrast,
+            d_contrast_fn=laplace_d_contrast,
+            dd_contrast_fn=lambda y: 2 * np.zeros_like(y),
+        )
+        return m(spec, n_iter=5)
+
+    def grad_fdica(spec, natural, is_holonomic):
+        cls = (
+            ref_fdica.NaturalGradLaplaceFDICA if natural else ref_fdica.GradLaplaceFDICA
+        )
+        return cls(is_holonomic=is_holonomic)(spec, n_iter=N_ITER)
+
+    def ilrma(spec, cls_name, spatial, source="MM", **kw):
+        cls = getattr(ref_ilrma, cls_name)
+        m = cls(n_basis=2, spatial_algorithm=spatial, source_algorithm=source, **kw)
+        return m(spec, n_iter=N_ITER, **{k: v.copy() for k, v in nmf.items()})
+
+    cases = {
         "auxiva_ip1": lambda s: auxiva(s, "IP1"),
         "auxiva_ip2": lambda s: auxiva(s, "IP2"),
         "auxiva_iss1": lambda s: auxiva(s, "ISS"),
+        "auxiva_iss2": lambda s: auxiva(s, "ISS2"),
         "auxiva_ipa": lambda s: auxiva(s, "IPA"),
+        "fast_iva": fast_iva,
+        "grad_iva_holonomic": lambda s: grad_iva(s, False, True),
+        "grad_iva_nonholonomic": lambda s: grad_iva(s, False, False),
+        "natural_grad_iva_holonomic": lambda s: grad_iva(s, True, True),
+        "natural_grad_iva_nonholonomic": lambda s: grad_iva(s, True, False),
         "aux_laplace_fdica_ip1": lambda s: ref_fdica.AuxLaplaceFDICA(
             spatial_algorithm="IP"
         )(s, n_iter=N_ITER),
+        "aux_laplace_fdica_ip2": lambda s: ref_fdica.AuxLaplaceFDICA(
+            spatial_algorithm="IP2"
+        )(s, n_iter=N_ITER),
+        "grad_laplace_fdica_holonomic": lambda s: grad_fdica(s, False, True),
+        "grad_laplace_fdica_nonholonomic": lambda s: grad_fdica(s, False, False),
+        "natural_grad_laplace_fdica_holonomic": lambda s: grad_fdica(s, True, True),
+        "natural_grad_laplace_fdica_nonholonomic": lambda s: grad_fdica(s, True, False),
         "gauss_ilrma_ip1": lambda s: ref_ilrma.GaussILRMA(
             n_basis=2, spatial_algorithm="IP"
         )(s, n_iter=N_ITER, **{k: v.copy() for k, v in nmf.items()}),
@@ -120,11 +165,44 @@ def build_cases(X):
         "fast_gauss_mnmf_ip1": lambda s: ref_mnmf.FastGaussMNMF(
             n_basis=2, rng=np.random.default_rng(11)
         )(s, n_iter=N_ITER),
+        "fast_gauss_mnmf_ip2": lambda s: ref_mnmf.FastGaussMNMF(
+            n_basis=2,
+            diagonalizer_algorithm="IP2",
+            rng=np.random.default_rng(11),
+        )(s, n_iter=N_ITER),
         "gauss_ipsdta_vcd": lambda s: ref_ipsdta.GaussIPSDTA(n_basis=2, n_blocks=4)(
+            s, n_iter=3, **psdtf_init()
+        ),
+        "t_ipsdta_vcd": lambda s: ref_ipsdta.TIPSDTA(n_basis=2, n_blocks=4, dof=1000)(
             s, n_iter=3, **psdtf_init()
         ),
         "hva": lambda s: ref_hva.HVA()(s, n_iter=N_ITER),
     }
+
+    # GaussILRMA spatial x source matrix (IP1/MM covered above)
+    for spatial in ("IP2", "ISS1", "ISS2", "IPA"):
+        cases[f"gauss_ilrma_{spatial.lower()}"] = (
+            lambda s, sp=spatial: ilrma(s, "GaussILRMA", sp)
+        )
+    for spatial in ("IP1", "IP2", "ISS1", "ISS2", "IPA"):
+        cases[f"gauss_ilrma_{spatial.lower()}_me"] = (
+            lambda s, sp=spatial: ilrma(s, "GaussILRMA", sp, source="ME")
+        )
+    # TILRMA (dof=1000, matching the reference fixture config) MM + ME
+    for spatial in ("IP1", "IP2", "ISS1", "ISS2"):
+        cases[f"t_ilrma_{spatial.lower()}_mm"] = (
+            lambda s, sp=spatial: ilrma(s, "TILRMA", sp, dof=1000)
+        )
+        cases[f"t_ilrma_{spatial.lower()}_me"] = (
+            lambda s, sp=spatial: ilrma(s, "TILRMA", sp, source="ME", dof=1000)
+        )
+    # GGDILRMA (beta=1.5) MM only (ME unsupported, like the reference)
+    for spatial in ("IP1", "IP2", "ISS1", "ISS2"):
+        cases[f"ggd_ilrma_{spatial.lower()}"] = (
+            lambda s, sp=spatial: ilrma(s, "GGDILRMA", sp, beta=1.5)
+        )
+
+    return cases
 
 
 def main():
@@ -133,10 +211,12 @@ def main():
     np.savez_compressed(os.path.join(FIXTURE_DIR, "input.npz"), spectrogram=X)
 
     for name, runner in build_cases(X).items():
+        path = os.path.join(FIXTURE_DIR, f"{name}.npz")
+        if os.path.exists(path):
+            print(f"{name}: exists, skipping")
+            continue
         target = runner(X.copy())
-        np.savez_compressed(
-            os.path.join(FIXTURE_DIR, f"{name}.npz"), target=np.asarray(target)
-        )
+        np.savez_compressed(path, target=np.asarray(target))
         print(f"{name}: {np.asarray(target).shape}")
 
     # time-domain ICA fixture
