@@ -131,6 +131,14 @@ class IterativeMethodBase:
         """Run ``n_iter`` updates on ``self._state`` (scan or callback mode)."""
         state = self._state
 
+        # Complex-free TPU runtimes cannot execute the complex64 class API;
+        # fail fast with the fast-path alternative instead of an opaque
+        # backend UNIMPLEMENTED mid-trace.
+        if any(jnp.iscomplexobj(leaf) for leaf in jax.tree.leaves(state)):
+            from ..utils.backend import require_complex_support
+
+            require_complex_support(type(self).__name__)
+
         if self.callbacks is not None:
             step = self._cached_jit("step", self.make_step)
             loss_fn = (

@@ -1,0 +1,55 @@
+"""Backend capability probes and device-placement guards.
+
+Some TPU runtimes (including the axon PJRT backend this project benches
+on) reject complex dtypes outright, so the complex64 class API
+(:mod:`ssspy_tpu.bss`) cannot execute there — only the split-complex
+fast paths (:mod:`ssspy_tpu.fast`) can. These helpers turn the backend's
+opaque ``UNIMPLEMENTED`` failures into actionable errors naming the
+fast-path alternative.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["backend_supports_complex", "require_complex_support"]
+
+_FAST_PATHS = (
+    "the split-complex fast paths run on this backend instead: "
+    "ssspy_tpu.fast.fast_auxiva / fast_gauss_ilrma / fast_aux_fdica / "
+    "fast_gauss_mnmf / fast_auxiva_wave, or force CPU execution with "
+    "jax.config.update('jax_platforms', 'cpu')"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _supports_complex(platform: str) -> bool:
+    try:
+        x = jax.device_put(jnp.ones((2,), dtype=jnp.complex64))
+        jnp.sum(x).block_until_ready()
+        return True
+    except Exception:
+        return False
+
+
+def backend_supports_complex() -> bool:
+    """True if the default backend can place and compute complex arrays.
+
+    Probed once per platform and cached (the probe costs one tiny
+    transfer; on tunnel backends the first device contact dominates and
+    happens regardless).
+    """
+    return _supports_complex(jax.default_backend())
+
+
+def require_complex_support(who: str) -> None:
+    """Raise a clear, actionable error when the default backend rejects
+    complex dtypes (instead of the opaque UNIMPLEMENTED it would throw
+    mid-trace)."""
+    if not backend_supports_complex():
+        raise RuntimeError(
+            f"{who} traces a complex-dtype program, but the default JAX "
+            f"backend ({jax.default_backend()}) rejects complex arrays; "
+            + _FAST_PATHS
+        )

@@ -1,0 +1,43 @@
+"""Device-placement guard: complex class paths on complex-free backends."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ssspy_tpu.utils.backend as backend_mod
+
+
+def test_backend_supports_complex_on_cpu():
+    assert backend_mod.backend_supports_complex() is True
+
+
+def test_class_path_raises_actionable_error_on_complex_free_backend(monkeypatch):
+    """When the probe reports no complex support, a complex class run must
+    raise a RuntimeError naming the fast-path alternative (not an opaque
+    backend failure)."""
+    from ssspy_tpu.bss.iva import AuxIVA
+
+    monkeypatch.setattr(backend_mod, "backend_supports_complex", lambda: False)
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((2, 9, 12)) + 1j * rng.standard_normal((2, 9, 12))
+    iva = AuxIVA(
+        spatial_algorithm="IP1",
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+    )
+    with pytest.raises(RuntimeError, match="fast_auxiva"):
+        iva(X, n_iter=2)
+
+
+def test_real_state_not_guarded(monkeypatch):
+    """Real-dtype algorithms (time-domain ICA) must not trip the guard."""
+    from ssspy_tpu.bss.ica import NaturalGradLaplaceICA
+
+    monkeypatch.setattr(backend_mod, "backend_supports_complex", lambda: False)
+
+    rng = np.random.default_rng(1)
+    x = rng.laplace(size=(2, 2000))
+    ica = NaturalGradLaplaceICA(step_size=0.05)
+    y = np.asarray(ica(x, n_iter=3))
+    assert np.all(np.isfinite(y))
