@@ -1,0 +1,213 @@
+"""Benchmark the split-complex fast paths on the real TPU chip.
+
+Workload matches BASELINE.md: 16 kHz, 10 s, 8 channels, STFT n_fft=512
+hop=256 (257 bins x 627 frames), 100 iterations per timed call, 3 chained
+calls with a final host readback (the only trustworthy completion barrier
+on remote-execution backends).
+
+Usage: python scripts/tpu_bench.py <variant> [<variant> ...] [--out f.json]
+Variants: auxiva_ip1 auxiva_ip1_bf16 auxiva_ip2 auxiva_iss1 auxiva_iss2
+          auxiva_ipa ilrma_ip1 ilrma_ip2 ilrma_iss1 ilrma_iss2 ilrma_ipa
+          fdica_ip1 fdica_ip2 mnmf wave_e2e bf16_loss
+Existing entries in the output JSON are preserved (merge-on-write).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_ITER = 100
+REPS = 3
+
+
+def make_spectrogram():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    mix = bench.make_mixture()
+    return bench.host_stft(mix), mix
+
+
+def _time_scan(step_with_carry, carry, read_leaf):
+    """Compile + time REPS chained n-iter scans; return iters/sec."""
+    import jax
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def runner(carry, n):
+        def body(c, _):
+            return step_with_carry(c), None
+
+        return lax.scan(body, carry, None, length=n)[0]
+
+    np.asarray(read_leaf(runner(carry, N_ITER)))  # compile + 1 full run
+    c = carry
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        c = runner(c, N_ITER)
+    np.asarray(read_leaf(c))
+    dt = (time.perf_counter() - t0) / REPS
+    return N_ITER / dt
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = "/tmp/tpu_bench.json"
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--out":
+            out_path = sys.argv[1:][i + 1]
+
+    import jax
+
+    from ssspy_tpu.ops import splitc as sc
+
+    spec, mix = make_spectrogram()
+    M, I, T = spec.shape
+    K = 8
+    rng = np.random.default_rng(0)
+
+    Xs = jax.device_put(np.stack([spec.real, spec.imag]).astype(np.float32))
+    W0 = np.zeros((2, I, M, M), dtype=np.float32)
+    W0[0] = np.eye(M, dtype=np.float32)
+    Wd = jax.device_put(W0)
+    Tb = jax.device_put((rng.random((M, I, K)) + 0.1).astype(np.float32))
+    Vb = jax.device_put((rng.random((M, K, T)) + 0.1).astype(np.float32))
+    Db = jax.device_put((rng.random((I, M, M)) + 0.1).astype(np.float32))
+
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+
+    def record(name, fn):
+        if name not in args:
+            return
+        try:
+            t0 = time.perf_counter()
+            value = fn()
+            results[name] = round(value, 3)
+            print(f"{name}: {value:.3f} (total {time.perf_counter()-t0:.0f}s)", flush=True)
+        except Exception as exc:
+            results[name] = {"error": repr(exc)[:300]}
+            print(f"{name}: FAILED {exc!r}", flush=True)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+    record("auxiva_ip1", lambda: _time_scan(lambda w: sc.auxiva_ip1_step_sc(Xs, w), Wd, lambda c: c))
+    record(
+        "auxiva_ip1_bf16",
+        lambda: _time_scan(
+            lambda w: sc.auxiva_ip1_step_sc(Xs, w, covariance_impl="pallas_bf16"),
+            Wd,
+            lambda c: c,
+        ),
+    )
+    record("auxiva_ip2", lambda: _time_scan(lambda w: sc.auxiva_ip2_step_sc(Xs, w), Wd, lambda c: c))
+    record("auxiva_iss1", lambda: _time_scan(sc.auxiva_iss1_step_sc, Xs, lambda c: c))
+    record("auxiva_iss2", lambda: _time_scan(sc.auxiva_iss2_step_sc, Xs, lambda c: c))
+    record("auxiva_ipa", lambda: _time_scan(sc.auxiva_ipa_step_sc, Xs, lambda c: c))
+    record(
+        "ilrma_ip1",
+        lambda: _time_scan(
+            lambda c: sc.gauss_ilrma_ip1_step_sc(Xs, *c), (Wd, Tb, Vb), lambda c: c[0]
+        ),
+    )
+    record(
+        "ilrma_ip2",
+        lambda: _time_scan(
+            lambda c: sc.gauss_ilrma_ip2_step_sc(Xs, *c), (Wd, Tb, Vb), lambda c: c[0]
+        ),
+    )
+    record(
+        "ilrma_iss1",
+        lambda: _time_scan(
+            lambda c: sc.gauss_ilrma_iss1_step_sc(*c), (Xs, Tb, Vb), lambda c: c[0]
+        ),
+    )
+    record(
+        "ilrma_iss2",
+        lambda: _time_scan(
+            lambda c: sc.gauss_ilrma_iss2_step_sc(*c), (Xs, Tb, Vb), lambda c: c[0]
+        ),
+    )
+    record(
+        "ilrma_ipa",
+        lambda: _time_scan(
+            lambda c: sc.gauss_ilrma_ipa_step_sc(*c), (Xs, Tb, Vb), lambda c: c[0]
+        ),
+    )
+    record(
+        "fdica_ip1",
+        lambda: _time_scan(lambda w: sc.aux_laplace_fdica_ip1_step_sc(Xs, w), Wd, lambda c: c),
+    )
+    record(
+        "fdica_ip2",
+        lambda: _time_scan(lambda w: sc.aux_laplace_fdica_ip2_step_sc(Xs, w), Wd, lambda c: c),
+    )
+    record(
+        "mnmf",
+        lambda: _time_scan(
+            lambda c: sc.fast_gauss_mnmf_step_sc(Xs, *c),
+            (Wd, Tb, Vb, Db),
+            lambda c: c[0],
+        ),
+    )
+
+    def wave_e2e():
+        from ssspy_tpu.fast import fast_auxiva_wave
+
+        x = mix.astype(np.float32)
+        fast_auxiva_wave(x, n_iter=N_ITER)  # compile + run
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            y = fast_auxiva_wave(x, n_iter=N_ITER)
+        dt = (time.perf_counter() - t0) / REPS
+        assert np.all(np.isfinite(y))
+        return N_ITER / dt
+
+    record("wave_e2e", wave_e2e)
+
+    def bf16_loss():
+        """Converged AuxIVA loss: f32 covariance vs bf16 covariance."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        def loss_of(impl):
+            @functools.partial(jax.jit, static_argnums=(1,))
+            def runner(w, n):
+                def body(w, _):
+                    return sc.auxiva_ip1_step_sc(Xs, w, covariance_impl=impl), None
+
+                return lax.scan(body, w, None, length=n)[0]
+
+            Wn = runner(Wd, N_ITER)
+            # AuxIVA loss: sum_t mean contrast - 2 log|det W|
+            Wr, Wi = Wn[0], Wn[1]
+            Yr = jnp.einsum("inm,mit->nit", Wr, Xs[0]) - jnp.einsum(
+                "inm,mit->nit", Wi, Xs[1]
+            )
+            Yi = jnp.einsum("inm,mit->nit", Wr, Xs[1]) + jnp.einsum(
+                "inm,mit->nit", Wi, Xs[0]
+            )
+            contrast = 2 * jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))
+            W2 = sc.block_embed(Wr, Wi)
+            logdet = jnp.linalg.slogdet(W2)[1] / 2
+            return float(jnp.sum(jnp.mean(contrast, axis=-1)) - 2 * jnp.sum(logdet))
+
+        f32 = loss_of("pallas")
+        bf16 = loss_of("pallas_bf16")
+        results["bf16_loss_f32"] = round(f32, 4)
+        results["bf16_loss_bf16"] = round(bf16, 4)
+        return bf16 - f32
+
+    record("bf16_loss", bf16_loss)
+
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

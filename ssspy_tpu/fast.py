@@ -39,6 +39,7 @@ __all__ = [
     "fast_gauss_ilrma",
     "fast_aux_fdica",
     "fast_gauss_mnmf",
+    "fast_cacgmm",
     "fast_auxiva_wave",
 ]
 
@@ -225,14 +226,15 @@ def fast_gauss_ilrma(
     return Y, (T, V), None
 
 
-def _permutation_align_host(Y: np.ndarray, W: np.ndarray, eps=1e-10):
+def _permutation_align_host(Y: np.ndarray, *args: np.ndarray, eps=1e-10):
     """Correlation-based frequency-permutation alignment on the host.
 
     NumPy twin of
     :func:`ssspy_tpu.algorithm.correlation_based_permutation_solver`
     (reference ssspy/algorithm/permutation_alignment.py:12-121), kept off
     the device so the fast path never traces a complex program. ``Y``:
-    ``(I, N, T)`` complex; ``W``: ``(I, N, M)``; both permuted in lockstep.
+    ``(I, N, T)`` complex; extra ``args`` of shape ``(I, N, ...)`` are
+    permuted in lockstep. All arrays are modified in place and returned.
     """
     import itertools
 
@@ -252,8 +254,9 @@ def _permutation_align_host(Y: np.ndarray, W: np.ndarray, eps=1e-10):
         perm_best = perms[np.argmax(scores)]
         criteria += P_bin[perm_best]
         Y[bin_idx] = Y[bin_idx][perm_best]
-        W[bin_idx] = W[bin_idx][perm_best]
-    return Y, W
+        for arg in args:
+            arg[bin_idx] = arg[bin_idx][perm_best]
+    return (Y,) + args if args else Y
 
 
 def fast_aux_fdica(
@@ -295,7 +298,7 @@ def fast_aux_fdica(
 
     Y = np.einsum("inm,mit->nit", W, X)
     if permutation_alignment:
-        Yb, W = _permutation_align_host(Y.swapaxes(0, 1).copy(), W.copy())
+        Yb, W = _permutation_align_host(np.ascontiguousarray(Y.swapaxes(0, 1)), W.copy())
         Y = Yb.swapaxes(0, 1)
     if scale_restoration:
         scale = np.linalg.inv(W)[:, reference_id, :]  # (I, N)
@@ -437,3 +440,55 @@ def fast_auxiva_wave(
         jax.device_put(x), n_iter, algorithm, n_fft, hop, x.shape[-1]
     )
     return np.asarray(y)
+
+
+def fast_cacgmm(
+    spectrogram,
+    n_iter: int = 100,
+    n_sources: Optional[int] = None,
+    permutation_alignment: bool = True,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """cACGMM on the planar fast path (EM on device, alignment on host).
+
+    Soft-mask separation supporting ``n_sources > n_channels``
+    (reference ssspy/bss/cacgmm.py:423-738). The EM scan runs on device
+    in split-complex form; the final posterior masks are aligned on the
+    host by amplitude correlation. Returns the separated spectrograms
+    ``(n_sources, n_bins, n_frames)``.
+    """
+    from .ops.splitc import cacgmm_posterior_sc, cacgmm_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    n_sources = n_channels if n_sources is None else n_sources
+    rng = np.random.default_rng() if rng is None else rng
+
+    Z = X / np.maximum(np.abs(np.linalg.norm(X, axis=0)), 1e-10)
+    Zs = jax.device_put(to_split(Z))
+
+    # same init scheme (and rng draw order) as the class path
+    alpha0 = rng.random((n_sources, n_bins))
+    alpha0 = (alpha0 / alpha0.sum(axis=0)).astype(np.float32)
+    B_diag = rng.random((n_sources, n_bins, n_channels))
+    B_diag = B_diag / B_diag.sum(axis=-1, keepdims=True)
+    B0 = (B_diag[:, :, :, None] * np.eye(n_channels)).astype(np.float32)
+    Bs0 = np.stack([B0, np.zeros_like(B0)], axis=0)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        def body(c, _):
+            return cacgmm_step_sc(Zs, *c), None
+
+        (alpha, Bs), _ = lax.scan(body, c := carry, None, length=n)
+        gamma = cacgmm_posterior_sc(Zs, alpha, Bs)
+        return gamma
+
+    gamma = np.asarray(run((jax.device_put(alpha0), jax.device_put(Bs0)), n_iter))
+
+    Y = gamma.astype(X.dtype) * X[reference_id]  # (N, I, T)
+    if permutation_alignment:
+        Yb = _permutation_align_host(np.ascontiguousarray(Y.swapaxes(0, 1)))
+        Y = Yb.swapaxes(0, 1)
+    return Y

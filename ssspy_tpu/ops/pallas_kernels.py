@@ -28,13 +28,19 @@ __all__ = ["weighted_covariance_sc"]
 _MAX_FRAMES_VMEM = 16384
 
 
-def _wcov_kernel(xr_ref, xi_ref, phi_ref, ur_ref, ui_ref, *, inv_frames, n_sources):
+def _wcov_kernel(
+    xr_ref, xi_ref, phi_ref, ur_ref, ui_ref, *, inv_frames, n_sources, cast=None
+):
     # xr/xi: (Ib, M, T) bins-major tiles; phi: full (N, T) weights.
     # One program per bin-block: the X tile is read into VMEM once and
     # reused for every source and all four real contractions — the HBM
     # saving XLA's per-einsum lowering does not get.
+    # ``cast=bfloat16`` feeds the MXU in bf16 with f32 accumulation.
     xr = xr_ref[:]
     xi = xi_ref[:]
+    if cast is not None:
+        xr = xr.astype(cast)
+        xi = xi.astype(cast)
 
     def bdot(a, b):
         # batched over bins: (Ib, M, T) x (Ib, M, T) -> (Ib, M, M), contract T
@@ -47,13 +53,17 @@ def _wcov_kernel(xr_ref, xi_ref, phi_ref, ur_ref, ui_ref, *, inv_frames, n_sourc
 
     for n in range(n_sources):  # static unroll; N <= 8
         phi = phi_ref[n, :]
+        if cast is not None:
+            phi = phi.astype(cast)
         xr_s = xr * phi[None, None, :]
         xi_s = xi * phi[None, None, :]
         ur_ref[:, n] = (bdot(xr_s, xr) + bdot(xi_s, xi)) * inv_frames
         ui_ref[:, n] = (bdot(xi_s, xr) - bdot(xr_s, xi)) * inv_frames
 
 
-def _wcov_pallas(Xr, Xi, varphi, block_bins: int = 8, interpret: bool = False):
+def _wcov_pallas(
+    Xr, Xi, varphi, block_bins: int = 8, interpret: bool = False, cast=None
+):
     """``(M, I, T)`` planar mixture + ``(N, T)`` weights -> (I, N, M, M) pair."""
     n_channels, n_bins, n_frames = Xr.shape
     n_sources = varphi.shape[0]
@@ -64,7 +74,7 @@ def _wcov_pallas(Xr, Xi, varphi, block_bins: int = 8, interpret: bool = False):
 
     grid = (pl.cdiv(n_bins, block_bins),)
     kernel = functools.partial(
-        _wcov_kernel, inv_frames=1.0 / n_frames, n_sources=n_sources
+        _wcov_kernel, inv_frames=1.0 / n_frames, n_sources=n_sources, cast=cast
     )
 
     out_shape = jax.ShapeDtypeStruct(
@@ -111,9 +121,10 @@ def _wcov_einsum(Xr, Xi, varphi):
 def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
     """Split-complex weighted covariance ``(Ur, Ui)`` of shape (I, N, M, M).
 
-    ``impl``: ``"pallas"`` (fused TPU kernel), ``"einsum"`` (XLA),
-    ``"interpret"`` (Pallas interpreter, for tests), or ``"auto"``
-    (pallas on TPU backends, einsum elsewhere).
+    ``impl``: ``"pallas"`` (fused TPU kernel), ``"pallas_bf16"`` (fused
+    kernel with bf16 MXU inputs + f32 accumulation), ``"einsum"`` (XLA),
+    ``"interpret"``/``"interpret_bf16"`` (Pallas interpreter, for tests),
+    or ``"auto"`` (pallas on TPU backends, einsum elsewhere).
     """
     if impl == "auto":
         # the kernel lowers only on TPU targets ("tpu" proper and the
@@ -126,6 +137,10 @@ def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
         return _wcov_einsum(Xr, Xi, varphi)
     if impl == "pallas":
         return _wcov_pallas(Xr, Xi, varphi)
+    if impl == "pallas_bf16":
+        return _wcov_pallas(Xr, Xi, varphi, cast=jnp.bfloat16)
     if impl == "interpret":
         return _wcov_pallas(Xr, Xi, varphi, interpret=True)
+    if impl == "interpret_bf16":
+        return _wcov_pallas(Xr, Xi, varphi, interpret=True, cast=jnp.bfloat16)
     raise ValueError(f"unknown impl {impl}")

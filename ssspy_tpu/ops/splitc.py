@@ -47,6 +47,9 @@ __all__ = [
     "aux_laplace_fdica_ip1_step_sc",
     "aux_laplace_fdica_ip2_step_sc",
     "fast_gauss_mnmf_step_sc",
+    "cacgmm_step_sc",
+    "cacgmm_posterior_sc",
+    "cacgmm_loss_sc",
 ]
 
 
@@ -1259,3 +1262,87 @@ def fast_gauss_mnmf_step_sc(Xs, Qs, T, V, D, eps=1e-6, normalization=True):
         D = D / (psi**2)
 
     return jnp.stack([Qr, Qi], axis=0), T, V, D
+
+
+# ---- cACGMM (EM over unit-norm observations), split-complex ------------------
+
+
+def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10):
+    """E-step quantities from one embedded eigh per (source, bin).
+
+    Returns ``(log_gamma, ZBZ)`` with ``log_gamma[n,i,t] = log alpha -
+    logdet B - M log(z^H B^{-1} z)`` (parity: ssspy/bss/cacgmm.py:629-664).
+    The single eigh serves both the inverse and the log-determinant.
+    """
+    n_channels = Zr.shape[0]
+    lamb2, P2 = _herm_eigh_embed(Br, Bi)  # (N, I, 2M), (N, I, 2M, 2M)
+    lamb2 = jnp.maximum(lamb2, eps)
+
+    F = (P2 * (1 / lamb2)[..., None, :]) @ jnp.swapaxes(P2, -1, -2)
+    Binv_r = (F[..., :n_channels, :n_channels] + F[..., n_channels:, n_channels:]) / 2
+    Binv_i = (F[..., n_channels:, :n_channels] - F[..., :n_channels, n_channels:]) / 2
+    logdet = jnp.sum(jnp.log(lamb2), axis=-1) / 2  # (N, I)
+
+    # ZBZ = Re(z^H B^{-1} z) batched over (N, I, T)
+    wr = jnp.einsum("nipq,qit->npit", Binv_r, Zr) - jnp.einsum(
+        "nipq,qit->npit", Binv_i, Zi
+    )
+    wi = jnp.einsum("nipq,qit->npit", Binv_r, Zi) + jnp.einsum(
+        "nipq,qit->npit", Binv_i, Zr
+    )
+    ZBZ = jnp.einsum("pit,npit->nit", Zr, wr) + jnp.einsum("pit,npit->nit", Zi, wi)
+    ZBZ = jnp.maximum(ZBZ, eps)
+
+    log_gamma = (jnp.log(alpha) - logdet)[:, :, None] - n_channels * jnp.log(ZBZ)
+    return log_gamma, ZBZ
+
+
+def cacgmm_posterior_sc(Zs, alpha, Bs, eps=1e-10):
+    """Posterior ``gamma`` (N, I, T) from planar parameters."""
+    log_gamma, _ = _cacgmm_estep_sc(Zs[0], Zs[1], alpha, Bs[0], Bs[1], eps=eps)
+    return jax.nn.softmax(log_gamma, axis=0)
+
+
+def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True):
+    """One cACGMM EM iteration in split-complex form.
+
+    ``Zs``: unit-normalized observations ``(2, M, I, T)``; ``alpha``:
+    mixing ``(N, I)`` real; ``Bs``: covariances ``(2, N, I, M, M)``
+    planar Hermitian. Returns ``(alpha, Bs)`` (parity:
+    ssspy/bss/cacgmm.py:603-705 via :class:`ssspy_tpu.bss.cacgmm.CACGMM`).
+    Supports ``n_sources != n_channels`` (underdetermined) like the class.
+    """
+    Zr, Zi = Zs[0], Zs[1]
+    Br, Bi = Bs[0], Bs[1]
+    n_channels = Zr.shape[0]
+
+    log_gamma, ZBZ = _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=eps)
+    gamma = jax.nn.softmax(log_gamma, axis=0)  # (N, I, T)
+
+    # M-step
+    alpha = jnp.mean(gamma, axis=-1)
+    G = gamma / ZBZ
+    num_r = jnp.einsum("nit,pit,qit->nipq", G, Zr, Zr) + jnp.einsum(
+        "nit,pit,qit->nipq", G, Zi, Zi
+    )
+    num_i = jnp.einsum("nit,pit,qit->nipq", G, Zi, Zr) - jnp.einsum(
+        "nit,pit,qit->nipq", G, Zr, Zi
+    )
+    denom = jnp.sum(gamma, axis=2)[:, :, None, None]
+    Br = n_channels * num_r / denom
+    Bi = n_channels * num_i / denom
+    Br, Bi = to_psd_sc(Br, Bi, eps=eps)
+
+    if normalization:
+        trace = jnp.sum(jnp.diagonal(Br, axis1=-2, axis2=-1), axis=-1)
+        Br = Br / trace[..., None, None]
+        Bi = Bi / trace[..., None, None]
+
+    return alpha, jnp.stack([Br, Bi], axis=0)
+
+
+def cacgmm_loss_sc(Zs, alpha, Bs, eps=1e-10):
+    """Negative log-likelihood (parity: ssspy/bss/cacgmm.py loss)."""
+    log_gamma, _ = _cacgmm_estep_sc(Zs[0], Zs[1], alpha, Bs[0], Bs[1], eps=eps)
+    value = -jax.scipy.special.logsumexp(log_gamma, axis=0)  # (I, T)
+    return jnp.sum(jnp.mean(value, axis=-1))

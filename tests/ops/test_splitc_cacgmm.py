@@ -1,0 +1,62 @@
+"""Split-complex cACGMM EM parity vs the complex class path."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssspy_tpu.ops.splitc import cacgmm_loss_sc, cacgmm_posterior_sc, cacgmm_step_sc
+
+
+def _setup(seed=0, M=3, N=3, I=9, T=24):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+    Z = X / np.maximum(np.linalg.norm(X, axis=0), 1e-10)
+    alpha = rng.random((N, I))
+    alpha = alpha / alpha.sum(axis=0)
+    B_diag = rng.random((N, I, M))
+    B_diag = B_diag / B_diag.sum(axis=-1, keepdims=True)
+    B = B_diag[:, :, :, None] * np.eye(M)
+    return X, Z, alpha, B.astype(complex)
+
+
+def test_cacgmm_step_matches_class_step():
+    from ssspy_tpu.bss.cacgmm import CACGMM
+
+    X, Z, alpha0, B0 = _setup()
+
+    gmm = CACGMM(permutation_alignment=False, record_loss=False)
+    gmm(X.copy(), n_iter=3, mixing=alpha0.copy(), covariance=B0.copy())
+
+    Zs = jnp.asarray(np.stack([Z.real, Z.imag]))
+    alpha = jnp.asarray(alpha0)
+    Bs = jnp.asarray(np.stack([B0.real, B0.imag]))
+    step = jax.jit(functools.partial(cacgmm_step_sc, eps=1e-10))
+    for _ in range(3):
+        alpha, Bs = step(Zs, alpha, Bs)
+
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(gmm.mixing), atol=1e-8)
+    B_sc = np.asarray(Bs[0]) + 1j * np.asarray(Bs[1])
+    np.testing.assert_allclose(B_sc, np.asarray(gmm.covariance), atol=1e-8)
+
+    # posterior + loss parity on the final parameters
+    gamma = np.asarray(cacgmm_posterior_sc(Zs, alpha, Bs))
+    np.testing.assert_allclose(gamma, np.asarray(gmm.posterior), atol=1e-8)
+
+    loss = float(cacgmm_loss_sc(Zs, alpha, Bs))
+    loss_cls = float(gmm.make_loss()(gmm._state))
+    np.testing.assert_allclose(loss, loss_cls, atol=1e-8)
+
+
+def test_cacgmm_step_underdetermined():
+    """n_sources > n_channels (the cACGMM selling point) stays finite."""
+    X, Z, alpha0, B0 = _setup(seed=1, M=2, N=3)
+    Zs = jnp.asarray(np.stack([Z.real, Z.imag]).astype(np.float32))
+    alpha = jnp.asarray(alpha0.astype(np.float32))
+    Bs = jnp.asarray(np.stack([B0.real, B0.imag]).astype(np.float32))
+    step = jax.jit(cacgmm_step_sc)
+    for _ in range(5):
+        alpha, Bs = step(Zs, alpha, Bs)
+    assert np.all(np.isfinite(np.asarray(alpha)))
+    assert np.all(np.isfinite(np.asarray(Bs)))

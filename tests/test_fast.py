@@ -246,3 +246,49 @@ def test_fast_auxiva_wave_matches_host_composition():
         y_ref = np.asarray(istft(Y, n_fft=256, hop_length=128, length=mix.shape[-1]))
         assert y_wave.shape == (2, mix.shape[-1])
         np.testing.assert_allclose(y_wave, y_ref, atol=1e-4 * np.abs(y_ref).max())
+
+
+def test_fast_cacgmm_matches_class_api():
+    from ssspy_tpu.bss.cacgmm import CACGMM
+    from ssspy_tpu.fast import fast_cacgmm
+
+    X = _mixture(seed=11)
+    rng_init = np.random.default_rng(5)
+    n_sources, n_bins, _ = X.shape
+    alpha0 = rng_init.random((n_sources, n_bins))
+    alpha0 = alpha0 / alpha0.sum(axis=0)
+    B_diag = rng_init.random((n_sources, n_bins, n_sources))
+    B_diag = B_diag / B_diag.sum(axis=-1, keepdims=True)
+    B0 = B_diag[:, :, :, None] * np.eye(n_sources)
+
+    class _FixedRng:
+        def __init__(self):
+            self.draws = [alpha0 * alpha0.sum(axis=0), B_diag * B_diag.sum(axis=-1, keepdims=True)]
+
+        def random(self, shape):
+            value = self.draws.pop(0)
+            assert value.shape == tuple(shape)
+            return value
+
+    Y_fast = fast_cacgmm(X, n_iter=5, rng=_FixedRng())
+
+    gmm = CACGMM(permutation_alignment="amplitude_correlation")
+    Y_cls = np.asarray(
+        gmm(
+            X.astype(np.complex64).copy(),
+            n_iter=5,
+            mixing=alpha0.astype(np.float32),
+            covariance=B0.astype(np.complex64),
+        )
+    )
+    assert Y_fast.shape == Y_cls.shape
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_cacgmm_underdetermined():
+    from ssspy_tpu.fast import fast_cacgmm
+
+    X = _mixture(seed=12)  # 2 channels
+    Y = fast_cacgmm(X, n_iter=5, n_sources=3, rng=np.random.default_rng(0))
+    assert Y.shape == (3,) + X.shape[1:]
+    assert np.all(np.isfinite(Y))
