@@ -25,10 +25,15 @@ _FAST_PATHS = (
 
 @functools.lru_cache(maxsize=None)
 def _supports_complex(platform: str) -> bool:
+    import numpy as np
+
     try:
         x = jax.device_put(jnp.ones((2,), dtype=jnp.complex64))
-        jnp.sum(x).block_until_ready()
-        return True
+        # force a host readback: on remote-execution backends
+        # block_until_ready() can resolve before the computation actually
+        # runs, so the device-to-host copy is the only trustworthy probe
+        value = np.asarray(jnp.sum(x))
+        return bool(np.isfinite(value.real))
     except Exception:
         return False
 
