@@ -312,10 +312,11 @@ def fast_gauss_mnmf(
     n_basis: int,
     n_iter: int = 100,
     n_sources: Optional[int] = None,
+    diagonalizer_algorithm: str = "IP1",
     reference_id: int = 0,
     rng: Optional[np.random.Generator] = None,
 ):
-    """FastGaussMNMF (IP1 diagonalizer) on the planar fast path.
+    """FastGaussMNMF (IP1/IP2 diagonalizer) on the planar fast path.
 
     The iteration loop (NMF + diagonalizer + spatial loading updates)
     runs on device in split-complex form; the multichannel Wiener
@@ -341,7 +342,12 @@ def fast_gauss_mnmf(
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n):
         def body(c, _):
-            return fast_gauss_mnmf_step_sc(Xs, *c), None
+            return (
+                fast_gauss_mnmf_step_sc(
+                    Xs, *c, diagonalizer=diagonalizer_algorithm
+                ),
+                None,
+            )
 
         return lax.scan(body, carry, None, length=n)[0]
 

@@ -1193,14 +1193,16 @@ def aux_laplace_fdica_ip2_step_sc(Xs, Ws, eps=1e-10):
 # ---- FastGaussMNMF (jointly diagonalized covariance model), split-complex ---
 
 
-def fast_gauss_mnmf_step_sc(Xs, Qs, T, V, D, eps=1e-6, normalization=True):
+def fast_gauss_mnmf_step_sc(
+    Xs, Qs, T, V, D, eps=1e-6, normalization=True, diagonalizer: str = "IP1"
+):
     """One FastGaussMNMF iteration in split-complex form.
 
     Mirrors ``FastGaussMNMF.make_step`` (parity: ssspy/bss/mnmf.py:
-    1236-1633 via :class:`ssspy_tpu.bss.mnmf.FastGaussMNMF`, IP1
-    diagonalizer): everything except the diagonalized projection
-    ``QX`` and the IP sweep on ``Q`` is real arithmetic on the powers
-    ``|QX|^2``.
+    1236-1633 via :class:`ssspy_tpu.bss.mnmf.FastGaussMNMF`; IP1 or
+    IP2 ``diagonalizer``): everything except the diagonalized
+    projection ``QX`` and the IP sweep on ``Q`` is real arithmetic on
+    the powers ``|QX|^2``.
 
     ``Xs``: mixture ``(2, M, I, T)``; ``Qs``: diagonalizer
     ``(2, I, M, M)``; ``T``: basis ``(N, I, K)``; ``V``: activation
@@ -1239,12 +1241,24 @@ def fast_gauss_mnmf_step_sc(Xs, Qs, T, V, D, eps=1e-6, normalization=True):
     denom = jnp.einsum("nik,nit->nkt", T, DLambD)
     V = jnp.maximum(V * jnp.sqrt(num / denom), eps)
 
-    # diagonalizer IP1 sweep with per-channel weights 1 / (Lamb D)
+    # diagonalizer IP sweep with per-channel weights 1 / (Lamb D)
     Lamb = jnp.maximum(T @ V, eps)
     LambD_m = jnp.einsum("nit,inm->imt", Lamb, D)  # (I, M, T)
     varphi = jnp.swapaxes(1 / jnp.maximum(LambD_m, eps), 0, 1)  # (M, I, T)
     Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)  # (I, M, M, M)
-    Qr, Qi = ip1_sweep_sc(Qr, Qi, Ur, Ui, eps=eps)
+    if diagonalizer in ("IP", "IP1"):
+        Qr, Qi = ip1_sweep_sc(Qr, Qi, Ur, Ui, eps=eps)
+    elif diagonalizer == "IP2":
+        n_channels_q = Qr.shape[1]
+        for m in range(n_channels_q):
+            n = (m + 1) % n_channels_q
+            Q2r, Q2i = ip2_pair_update_sc(
+                Qr, Qi, Ur[:, m], Ui[:, m], Ur[:, n], Ui[:, n], (m, n), eps=eps
+            )
+            Qr = Qr.at[:, m].set(Q2r[:, 0]).at[:, n].set(Q2r[:, 1])
+            Qi = Qi.at[:, m].set(Q2i[:, 0]).at[:, n].set(Q2i[:, 1])
+    else:
+        raise ValueError(f"unknown diagonalizer {diagonalizer}")
 
     # spatial loading MM update
     QX2, LambD, Lamb = power_stats(Qr, Qi, T, V, D)

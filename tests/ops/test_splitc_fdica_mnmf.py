@@ -94,3 +94,31 @@ def test_fast_gauss_mnmf_step_matches_class():
     np.testing.assert_allclose(np.asarray(Tb), np.asarray(mnmf.basis), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Vb), np.asarray(mnmf.activation), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Db), np.asarray(mnmf.spatial), atol=1e-8)
+
+
+def test_fast_gauss_mnmf_ip2_step_matches_class():
+    from ssspy_tpu.bss.mnmf import FastGaussMNMF
+
+    rng = np.random.default_rng(8)
+    M, I, T_frames, K = 3, 9, 20, 2
+    X = _mixture(3, M=M, I=I, T=T_frames)
+    T0 = rng.random((M, I, K)) + 0.1
+    V0 = rng.random((M, K, T_frames)) + 0.1
+    D0 = rng.random((I, M, M)) + 0.1
+
+    mnmf = FastGaussMNMF(
+        n_basis=K, diagonalizer_algorithm="IP2", partitioning=False, normalization=True
+    )
+    mnmf(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy(), spatial=D0.copy())
+
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    Q0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+    Qs = jnp.asarray(np.stack([Q0.real, Q0.imag]))
+    Tb, Vb, Db = jnp.asarray(T0), jnp.asarray(V0), jnp.asarray(D0)
+    step = jax.jit(functools.partial(fast_gauss_mnmf_step_sc, eps=1e-10, diagonalizer="IP2"))
+    for _ in range(3):
+        Qs, Tb, Vb, Db = step(Xs, Qs, Tb, Vb, Db)
+
+    Q_sc = np.asarray(Qs[0]) + 1j * np.asarray(Qs[1])
+    np.testing.assert_allclose(Q_sc, np.asarray(mnmf.diagonalizer), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Db), np.asarray(mnmf.spatial), atol=1e-8)
