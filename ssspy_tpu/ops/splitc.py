@@ -50,6 +50,9 @@ __all__ = [
     "cacgmm_step_sc",
     "cacgmm_posterior_sc",
     "cacgmm_loss_sc",
+    "prox_neg_logdet_sc",
+    "harmonic_mask_sc",
+    "hva_pds_step_sc",
 ]
 
 
@@ -1360,3 +1363,121 @@ def cacgmm_loss_sc(Zs, alpha, Bs, eps=1e-10):
     log_gamma, _ = _cacgmm_estep_sc(Zs[0], Zs[1], alpha, Bs[0], Bs[1], eps=eps)
     value = -jax.scipy.special.logsumexp(log_gamma, axis=0)  # (I, T)
     return jnp.sum(jnp.mean(value, axis=-1))
+
+
+# ---- HVA / masking-PDS (proximal splitting), split-complex -------------------
+
+
+def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None):
+    """Planar prox of the negative log-determinant.
+
+    The reference shrinks singular values through a complex SVD
+    (ssspy/linalg/prox.py:62-91). Here ``G = U S V^H`` is reached through
+    one real symmetric eigh of the embedded Gram matrix
+    ``E(G)^T E(G) = E(G^H G) = V S^2 V^H`` and the reconstruction
+    ``U f(S) V^H = G V (f(S)/S) V^T`` — complex-free. ``rel`` floors the
+    singular-value divisor relative to ``sigma_max`` (``None``: 1e-15 in
+    f64, 1e-6 in f32; the PDS log-det barrier keeps iterates away from
+    singularity, so the floor is a safety net).
+    """
+    from ..linalg.prox import neg_log
+
+    if rel is None:
+        rel = 1e-15 if Gr.dtype == jnp.float64 else 1e-6
+
+    n = Gr.shape[-1]
+    G2 = block_embed(Gr, Gi)  # E(G), (.., 2M, 2M)
+    S = jnp.swapaxes(G2, -1, -2) @ G2
+    S = (S + jnp.swapaxes(S, -1, -2)) / 2
+    lamb, V2 = jnp.linalg.eigh(S)  # sigma^2, doubled
+    sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
+    divisor = jnp.maximum(sigma, rel * sigma[..., -1:])
+    ratio = neg_log(sigma, step_size=step_size) / divisor
+    W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
+    Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
+    Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
+    return Wr, Wi
+
+
+def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10):
+    """HVA's cepstral cosine-shrinkage mask on planar operands.
+
+    Parity: ssspy/bss/hva.py:81-115 via
+    :func:`ssspy_tpu.bss.hva._make_harmonic_mask_fn`, with the
+    bin-axis irfft expressed as a matmul against the precomputed inverse
+    DFT matrix (FFT-less TPU backends run it on the MXU). Returns the
+    real mask ``(N, I, T)``.
+    """
+    from ..transform.stft import _idft_matrices
+
+    n_bins = Zr.shape[1]
+    n_fft = 2 * (n_bins - 1)
+    Ct, _ = _idft_matrices(n_fft, dtype=Zr.dtype)  # (n_bins, n_fft), 1/n_fft scale
+    C = Ct[:, :n_bins]  # keep the first n_bins output samples
+
+    y = jnp.maximum(jnp.sqrt(Zr**2 + Zi**2), eps)
+    zeta = jnp.log(y)  # (N, I, T)
+    zeta_mean = zeta.mean(axis=1, keepdims=True)
+    rho = zeta - zeta_mean
+
+    # nu = irfft(rho, axis=1, norm="backward")[:, :n_bins] with real rho
+    nu = jnp.einsum("nit,ik->nkt", rho, C)
+    varsigma = jnp.minimum(1.0, nu)
+    for _ in range(mask_iter):
+        varsigma = (1 - jnp.cos(jnp.pi * varsigma)) / 2
+
+    # xi = irfft(varsigma * nu, axis=1, norm="forward")[:, :n_bins]
+    xi = jnp.einsum("nit,ik->nkt", varsigma * nu, C) * n_fft
+    varrho = xi + zeta_mean
+    v = jnp.exp(2 * varrho)
+    return (v / v.sum(axis=0)) ** attenuation
+
+
+def hva_pds_step_sc(
+    Xs,
+    Ws,
+    Ys,
+    mu1: float = 1.0,
+    mu2: float = 1.0,
+    relaxation: float = 1.0,
+    attenuation=None,
+    mask_iter: int = 1,
+    eps=1e-10,
+):
+    """One HVA (masking-PDS) iteration in split-complex form.
+
+    Parity: ssspy/bss/pdsbss.py:396-412 + ssspy/bss/hva.py:20-155 via
+    :class:`ssspy_tpu.bss.hva.MaskingPDSHVA`. ``Xs``: spectral-norm-
+    normalized mixture ``(2, M, I, T)``; ``Ws``: demixing
+    ``(2, I, N, M)``; ``Ys``: dual ``(2, N, I, T)``. Returns
+    ``(Ws, Ys)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    Yr, Yi = Ys[0], Ys[1]
+    n_sources = Yr.shape[0]
+    if attenuation is None:
+        attenuation = 1.0 / n_sources
+
+    # XY[i, n, m] = sum_t Y[n, i, t] conj(X[m, i, t])
+    XYr = jnp.einsum("nit,mit->inm", Yr, Xr) + jnp.einsum("nit,mit->inm", Yi, Xi)
+    XYi = jnp.einsum("nit,mit->inm", Yi, Xr) - jnp.einsum("nit,mit->inm", Yr, Xi)
+
+    Gr = Wr - mu1 * mu2 * XYr
+    Gi = Wi - mu1 * mu2 * XYi
+    Wt_r, Wt_i = prox_neg_logdet_sc(Gr, Gi, step_size=mu1)
+
+    XWr, XWi = _csep(2 * Wt_r - Wr, 2 * Wt_i - Wi, Xr, Xi)  # (N, I, T)
+    Zr = Yr + XWr
+    Zi = Yi + XWi
+
+    mask = harmonic_mask_sc(Zr, Zi, attenuation, mask_iter=mask_iter, eps=eps)
+    Yt_r = Zr - mask * Zr
+    Yt_i = Zi - mask * Zi
+
+    a = relaxation
+    Wr = a * Wt_r + (1 - a) * Wr
+    Wi = a * Wt_i + (1 - a) * Wi
+    Yr = a * Yt_r + (1 - a) * Yr
+    Yi = a * Yt_i + (1 - a) * Yi
+    return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
