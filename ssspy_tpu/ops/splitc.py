@@ -113,7 +113,7 @@ def gauss_jordan_solve(A, b):
     return M[..., n]
 
 
-def gauss_jordan_solve_nopivot(A, b, tiny=1e-20):
+def gauss_jordan_solve_nopivot(A, b, tiny=1e-20, unroll: bool = True):
     """Pivot-free batched Gauss-Jordan solve (the TPU fast path).
 
     Dropping the per-step argmax+row-swap is ~6.5x faster end-to-end in
@@ -124,22 +124,41 @@ def gauss_jordan_solve_nopivot(A, b, tiny=1e-20):
     system yields large-but-finite values (the IP normalization then
     rescales) instead of NaNs. For adversarial matrices use
     :func:`gauss_jordan_solve` (partial pivoting) or LAPACK.
+
+    ``unroll``: static unroll of the elimination (1.55x for AuxIVA's
+    step program) vs ``fori_loop`` + dynamic slices (faster in programs
+    whose XLA fusion degrades under the unroll — ILRMA's per-bin-
+    weighted step measured 1.75x better looped).
     """
     n = A.shape[-1]
     M = jnp.concatenate([A, b[..., None]], axis=-1)
 
-    # static unroll (see gauss_jordan_solve): measured 1.55x end-to-end
-    # over fori_loop + dynamic slices in the IP sweep on a v5e chip
-    for k in range(n):
-        pivot_row = M[..., k, :]
-        pivot = pivot_row[..., k : k + 1]
+    if unroll:
+        for k in range(n):
+            pivot_row = M[..., k, :]
+            pivot = pivot_row[..., k : k + 1]
+            pivot = jnp.where(
+                jnp.abs(pivot) < tiny, jnp.where(pivot < 0, -tiny, tiny), pivot
+            )
+            pivot_row = pivot_row / pivot
+            factor = M[..., :, k]
+            M = M - factor[..., None] * pivot_row[..., None, :]
+            M = M.at[..., k, :].set(pivot_row)
+        return M[..., n]
+
+    rows = jnp.arange(n)
+
+    def body(k, M):
+        pivot_row = lax.dynamic_index_in_dim(M, k, axis=-2, keepdims=False)
+        pivot = lax.dynamic_index_in_dim(pivot_row, k, axis=-1, keepdims=True)
         pivot = jnp.where(jnp.abs(pivot) < tiny, jnp.where(pivot < 0, -tiny, tiny), pivot)
         pivot_row = pivot_row / pivot
         factor = M[..., :, k]
         M = M - factor[..., None] * pivot_row[..., None, :]
-        M = M.at[..., k, :].set(pivot_row)
+        M = jnp.where((rows == k)[:, None], pivot_row[..., None, :], M)
+        return M
 
-    return M[..., n]
+    return lax.fori_loop(0, n, body, M)[..., n]
 
 
 def csolve(Ar, Ai, br, bi, impl: str = "auto"):
@@ -158,6 +177,8 @@ def csolve(Ar, Ai, br, bi, impl: str = "auto"):
         impl = "gjnp" if jax.default_backend() in ("tpu", "axon") else "lu"
     if impl == "gjnp":
         x2 = gauss_jordan_solve_nopivot(A2, b2)
+    elif impl == "gjnp_loop":
+        x2 = gauss_jordan_solve_nopivot(A2, b2, unroll=False)
     elif impl == "gj":
         x2 = gauss_jordan_solve(A2, b2)
     else:
@@ -198,7 +219,7 @@ def auxiva_ip1_step_sc(Xs, Ws, eps=1e-10, covariance_impl: str = "auto"):
     return jnp.stack([Wr, Wi], axis=0)
 
 
-def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto"):
+def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto", unroll: bool = True):
     """Sequential IP1 source sweep on planar operands.
 
     ``W``: ``(I, N, M)`` pair; ``U``: ``(I, N, M, M)`` pair (Hermitian
@@ -208,17 +229,15 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto"):
     """
     n_bins, n_sources, n_channels = Wr.shape
 
-    # static unroll over sources (N <= 8): static slices + .at updates fuse
-    # better than fori_loop + dynamic_update_slice on TPU (1.55x measured)
-    for src in range(n_sources):
-        Urn = Ur[:, src]  # (I, M, M)
-        Uin = Ui[:, src]
-
+    def one_source(src, Wr, Wi, Urn, Uin):
         # WU = W @ U_n per bin (complex product of planar parts)
         Ar = Wr @ Urn - Wi @ Uin  # (I, N, M)
         Ai = Wr @ Uin + Wi @ Urn
 
-        e_n = jnp.zeros((n_channels,), Wr.dtype).at[src].set(1.0)
+        if isinstance(src, int):
+            e_n = jnp.zeros((n_channels,), Wr.dtype).at[src].set(1.0)
+        else:
+            e_n = (jnp.arange(n_channels) == src).astype(Wr.dtype)
         br = jnp.broadcast_to(e_n, (n_bins, n_channels))
         bi = jnp.zeros_like(br)
         wr, wi = csolve(Ar, Ai, br, bi, impl=solve_impl)  # (I, M) pair
@@ -228,12 +247,29 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto"):
         zi = (Urn @ wi[..., None])[..., 0] + (Uin @ wr[..., None])[..., 0]
         wUw = jnp.sum(wr * zr + wi * zi, axis=-1)
         denom = jnp.maximum(jnp.sqrt(jnp.maximum(wUw, 0.0)), eps)[:, None]
+        return wr / denom, -wi / denom  # w_n <- conj(w) / sqrt(w^H U w)
 
-        # w_n <- conj(w) / sqrt(w^H U w)
-        Wr = Wr.at[:, src].set(wr / denom)
-        Wi = Wi.at[:, src].set(-wi / denom)
+    if unroll:
+        # static unroll over sources (N <= 8): static slices + .at updates
+        # fuse better in the AuxIVA step program (1.55x measured)
+        for src in range(n_sources):
+            wr, wi = one_source(src, Wr, Wi, Ur[:, src], Ui[:, src])
+            Wr = Wr.at[:, src].set(wr)
+            Wi = Wi.at[:, src].set(wi)
+        return Wr, Wi
 
-    return Wr, Wi
+    # fori_loop body: faster when the surrounding program is dominated by
+    # per-bin-weighted covariances (ILRMA/FDICA/MNMF; 1.75x measured)
+    def body(src, carry):
+        Wr, Wi = carry
+        Urn = lax.dynamic_index_in_dim(Ur, src, axis=1, keepdims=False)
+        Uin = lax.dynamic_index_in_dim(Ui, src, axis=1, keepdims=False)
+        wr, wi = one_source(src, Wr, Wi, Urn, Uin)
+        Wr = lax.dynamic_update_slice(Wr, wr[:, None, :], (0, src, 0))
+        Wi = lax.dynamic_update_slice(Wi, wi[:, None, :], (0, src, 0))
+        return Wr, Wi
+
+    return lax.fori_loop(0, n_sources, body, (Wr, Wi))
 
 
 def iss1_sweep_sc(Yr, Yi, varphi, eps=1e-10):
@@ -856,14 +892,25 @@ def iss2_sweep_sc(Yr, Yi, varphi, eps=1e-10, tiny=1e-20):
 # eigen-query (eigenvalues doubled, eigenvector pairs (vr; vi), (-vi; vr)).
 
 
-def _herm_eigh_embed(Ar, Ai):
+def _herm_eigh_embed(Ar, Ai, impl: str = "auto"):
     """Real symmetric eigh of the 2Nx2N embedding of Hermitian ``A``.
 
     Returns ``(lamb2, P2)`` with each eigenvalue of ``A`` doubled and
-    adjacent after the ascending sort.
+    adjacent after the ascending sort. ``impl``: ``"jacobi"`` (the
+    fixed-sweep batched parallel-Jacobi kernel — on TPU it is an order
+    of magnitude faster than XLA's QDWH path for these small matrices),
+    ``"lapack"`` (``jnp.linalg.eigh``), or ``"auto"`` (jacobi on TPU
+    backends in f32; lapack elsewhere and for f64 parity runs).
     """
     S = block_embed(Ar, Ai)
     S = (S + jnp.swapaxes(S, -1, -2)) / 2
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "jacobi" if (on_tpu and S.dtype != jnp.float64) else "lapack"
+    if impl == "jacobi":
+        from .jacobi import jacobi_eigh
+
+        return jacobi_eigh(S)
     return jnp.linalg.eigh(S)
 
 
