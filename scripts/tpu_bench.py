@@ -8,7 +8,7 @@ on remote-execution backends).
 Usage: python scripts/tpu_bench.py <variant> [<variant> ...] [--out f.json]
 Variants: auxiva_ip1 auxiva_ip1_bf16 auxiva_ip2 auxiva_iss1 auxiva_iss2
           auxiva_ipa ilrma_ip1 ilrma_ip2 ilrma_iss1 ilrma_iss2 ilrma_ipa
-          fdica_ip1 fdica_ip2 mnmf wave_e2e bf16_loss
+          fdica_ip1 fdica_ip2 mnmf cacgmm hva wave_e2e bf16_loss
 Existing entries in the output JSON are preserved (merge-on-write).
 """
 
@@ -156,6 +156,29 @@ def main():
             lambda c: c[0],
         ),
     )
+
+    def cacgmm():
+        Z = spec / np.maximum(np.abs(np.linalg.norm(spec, axis=0)), 1e-10)
+        Zs = jax.device_put(np.stack([Z.real, Z.imag]).astype(np.float32))
+        alpha0 = rng.random((M, I))
+        alpha0 = (alpha0 / alpha0.sum(axis=0)).astype(np.float32)
+        Bd = rng.random((M, I, M))
+        Bd = Bd / Bd.sum(axis=-1, keepdims=True)
+        B0 = (Bd[:, :, :, None] * np.eye(M)).astype(np.float32)
+        carry = (jax.device_put(alpha0), jax.device_put(np.stack([B0, np.zeros_like(B0)])))
+        return _time_scan(
+            lambda c: sc.cacgmm_step_sc(Zs, *c), carry, lambda c: c[0]
+        )
+
+    record("cacgmm", cacgmm)
+
+    def hva():
+        Y0 = jax.device_put(np.zeros((2, M, I, T), dtype=np.float32))
+        return _time_scan(
+            lambda c: sc.hva_pds_step_sc(Xs, *c), (Wd, Y0), lambda c: c[0]
+        )
+
+    record("hva", hva)
 
     def wave_e2e():
         from ssspy_tpu.fast import fast_auxiva_wave

@@ -428,10 +428,12 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
 
     T, V, R = _ilrma_mm_updates(power(Wr, Wi), T, V, p, eps)
 
-    # IP1 spatial update with varphi = 1 / R^(2/p)
+    # IP1 spatial update with varphi = 1 / R^(2/p). The looped sweep
+    # measures 1.9x faster than the unrolled one inside this step (the
+    # AuxIVA program prefers the unroll; see ip1_sweep_sc docstring).
     varphi = 1 / (R ** (2 / p))  # (N, I, T) per-bin MM weights
     Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
-    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps)
+    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps, unroll=False)
 
     # power normalization couples W and T (ssspy/bss/ilrma.py:365-444)
     psi = jnp.maximum(jnp.sqrt(jnp.mean(power(Wr, Wi), axis=(-2, -1))), eps)  # (N,)
@@ -1073,11 +1075,27 @@ def ipa_sweep_sc(
         Ui = (
             jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)
         ) / n_frames
-        Ur, Ui = to_psd_sc(Ur, Ui, eps=eps, rel=rel)
 
+        # ONE eigh per (bin, source) serves both the PSD projection and the
+        # inverse: flooring changes only eigenvalues, so psd_inv(to_psd(U))
+        # shares to_psd's eigenvectors exactly.
+        Ur_h = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
+        Ui_h = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
+        lamb2, P2 = _herm_eigh_embed(Ur_h, Ui_h)  # (I, N, 2N, 2N)
+        lamb_f = _eig_floor(eps, rel)(lamb2)
+        P2T = jnp.swapaxes(P2, -1, -2)
+
+        def _extract(F):
+            k = n_sources
+            return (F[..., :k, :k] + F[..., k:, k:]) / 2, (
+                F[..., k:, :k] - F[..., :k, k:]
+            ) / 2
+
+        Ur, Ui = _extract((P2 * lamb_f[..., None, :]) @ P2T)
         oth = tuple(k for k in range(n_sources) if k != n)
         Un_r, Un_i = Ur[:, n], Ui[:, n]  # (I, N, N)
-        Vr, Vi = psd_inv_sc(Un_r, Un_i, eps=eps, rel=rel)  # U_tilde_n^{-1}
+        inv_f = 1 / jnp.maximum(lamb_f[:, n], eps)
+        Vr, Vi = _extract((P2[:, n] * inv_f[..., None, :]) @ P2T[:, n])
 
         # static per-source gathers (tuple indexing lowers to gather, which
         # is slow on TPU; N <= 8 so the stacks unroll at trace time)
@@ -1208,9 +1226,10 @@ def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-10):
     Wr, Wi = Ws[0], Ws[1]
 
     Yr, Yi = _csep(Wr, Wi, Xr, Xi)
-    varphi = 1.0 / jnp.maximum(jnp.sqrt(Yr**2 + Yi**2), eps)  # (N, I, T)
+    varphi = 1.0 / jnp.maximum(jnp.sqrt(Yr**2 + Yi**2, ), eps)  # (N, I, T)
     Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
-    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps)
+    # looped sweep: faster under per-bin-weighted covariances (cf. ILRMA)
+    Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps, unroll=False)
     return jnp.stack([Wr, Wi], axis=0)
 
 
@@ -1297,7 +1316,7 @@ def fast_gauss_mnmf_step_sc(
     varphi = jnp.swapaxes(1 / jnp.maximum(LambD_m, eps), 0, 1)  # (M, I, T)
     Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)  # (I, M, M, M)
     if diagonalizer in ("IP", "IP1"):
-        Qr, Qi = ip1_sweep_sc(Qr, Qi, Ur, Ui, eps=eps)
+        Qr, Qi = ip1_sweep_sc(Qr, Qi, Ur, Ui, eps=eps, unroll=False)
     elif diagonalizer == "IP2":
         n_channels_q = Qr.shape[1]
         for m in range(n_channels_q):
