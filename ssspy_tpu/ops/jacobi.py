@@ -16,6 +16,7 @@ import functools
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 __all__ = ["jacobi_eigh"]
 
@@ -89,7 +90,11 @@ def jacobi_eigh(A, sweeps: int = 10, tiny: float = 1e-30):
     V = jnp.broadcast_to(jnp.eye(n, dtype=dtype), A.shape)
     A = (A + jnp.swapaxes(A, -1, -2)) / 2
 
-    for _ in range(sweeps):
+    def one_sweep(_, carry):
+        A, V = carry
+        # rounds unrolled (static masks); sweeps as fori_loop so the
+        # traced program stays one-sweep-sized (compile-time matters:
+        # IPA instantiates this twice per source)
         for r in range(n_rounds):
             # extract the pair entries via mask contractions (matmul-only)
             apq = jnp.einsum("...ij,kij->...k", A, Epq[r])
@@ -112,6 +117,9 @@ def jacobi_eigh(A, sweeps: int = 10, tiny: float = 1e-30):
             A = JT @ A @ J
             A = (A + jnp.swapaxes(A, -1, -2)) / 2
             V = V @ J
+        return A, V
+
+    A, V = lax.fori_loop(0, sweeps, one_sweep, (A, V))
 
     lamb = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(lamb, axis=-1)
