@@ -38,6 +38,8 @@ __all__ = [
     "fast_auxiva_batch",
     "fast_gauss_ilrma",
     "fast_aux_fdica",
+    "fast_grad_iva",
+    "fast_grad_fdica",
     "fast_gauss_mnmf",
     "fast_cacgmm",
     "fast_hva",
@@ -303,6 +305,111 @@ def fast_aux_fdica(
         Y = Yb.swapaxes(0, 1)
     if scale_restoration:
         scale = np.linalg.inv(W)[:, reference_id, :]  # (I, N)
+        W = W * scale[:, :, None]
+        Y = np.einsum("inm,mit->nit", W, X)
+    return Y, W
+
+
+def fast_grad_iva(
+    spectrogram,
+    n_iter: int = 100,
+    step_size: float = 1e-1,
+    natural: bool = False,
+    is_holonomic: bool = True,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Grad/NaturalGrad Laplace IVA on the planar f32 fast path.
+
+    Gradient-descent IVA with the Laplace score (reference
+    ssspy/bss/iva.py:644-908 and the Laplace subclasses :2797-3046).
+    ``natural=True`` uses the natural-gradient direction. Returns
+    ``(separated, demix_filter)`` as host arrays; projection back runs
+    on the host.
+    """
+    from .ops.splitc import grad_laplace_iva_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, _ = X.shape
+    Xs = jax.device_put(to_split(X))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(Xs, W, n):
+        def body(w, _):
+            return (
+                grad_laplace_iva_step_sc(
+                    Xs,
+                    w,
+                    step_size=step_size,
+                    is_holonomic=is_holonomic,
+                    natural=natural,
+                ),
+                None,
+            )
+
+        return lax.scan(body, W, None, length=n)[0]
+
+    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[0] = np.eye(n_channels, dtype=np.float32)
+    Ws = np.asarray(run(Xs, jax.device_put(W0), n_iter))
+    W = Ws[0] + 1j * Ws[1]  # (I, N, M)
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]
+        W = W * scale[:, :, None]
+    Y = np.einsum("inm,mit->nit", W, X)
+    return Y, W
+
+
+def fast_grad_fdica(
+    spectrogram,
+    n_iter: int = 100,
+    step_size: float = 1e-1,
+    natural: bool = False,
+    is_holonomic: bool = False,
+    permutation_alignment: bool = True,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Grad/NaturalGrad Laplace FDICA on the planar f32 fast path.
+
+    Per-bin gradient ICA with the Laplace score (reference
+    ssspy/bss/fdica.py:330-845 and the Laplace subclasses). The
+    iteration loop runs on device; permutation alignment and projection
+    back run on the host. Returns ``(separated, demix_filter)``.
+    """
+    from .ops.splitc import grad_laplace_fdica_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, _ = X.shape
+    Xs = jax.device_put(to_split(X))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(Xs, W, n):
+        def body(w, _):
+            return (
+                grad_laplace_fdica_step_sc(
+                    Xs,
+                    w,
+                    step_size=step_size,
+                    is_holonomic=is_holonomic,
+                    natural=natural,
+                ),
+                None,
+            )
+
+        return lax.scan(body, W, None, length=n)[0]
+
+    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[0] = np.eye(n_channels, dtype=np.float32)
+    Ws = np.asarray(run(Xs, jax.device_put(W0), n_iter))
+    W = Ws[0] + 1j * Ws[1]  # (I, N, M)
+
+    Y = np.einsum("inm,mit->nit", W, X)
+    if permutation_alignment:
+        Yb, W = _permutation_align_host(np.ascontiguousarray(Y.swapaxes(0, 1)), W.copy())
+        Y = Yb.swapaxes(0, 1)
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]
         W = W * scale[:, :, None]
         Y = np.einsum("inm,mit->nit", W, X)
     return Y, W

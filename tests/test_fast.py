@@ -292,3 +292,40 @@ def test_fast_cacgmm_underdetermined():
     Y = fast_cacgmm(X, n_iter=5, n_sources=3, rng=np.random.default_rng(0))
     assert Y.shape == (3,) + X.shape[1:]
     assert np.all(np.isfinite(Y))
+
+
+@pytest.mark.parametrize("natural", [False, True])
+def test_fast_grad_iva_matches_class_api(natural):
+    from ssspy_tpu.bss.iva import GradLaplaceIVA, NaturalGradLaplaceIVA
+    from ssspy_tpu.fast import fast_grad_iva
+
+    X = _mixture(seed=11)
+    Y_fast, W = fast_grad_iva(X, n_iter=5, natural=natural)
+
+    cls = NaturalGradLaplaceIVA() if natural else GradLaplaceIVA()
+    Y_cls = np.asarray(cls(X.astype(np.complex64).copy(), n_iter=5))
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+    assert W.shape == (X.shape[1], X.shape[0], X.shape[0])
+
+
+@pytest.mark.parametrize("natural", [False, True])
+def test_fast_grad_fdica_matches_class_api(natural):
+    from ssspy_tpu.bss.fdica import GradLaplaceFDICA, NaturalGradLaplaceFDICA
+    from ssspy_tpu.fast import fast_grad_fdica
+
+    X = _mixture(seed=12)
+    Y_fast, W = fast_grad_fdica(X, n_iter=5, natural=natural)
+
+    cls = NaturalGradLaplaceFDICA() if natural else GradLaplaceFDICA()
+    Y_cls = np.asarray(cls(X.astype(np.complex64).copy(), n_iter=5))
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+    assert W.shape == (X.shape[1], X.shape[0], X.shape[0])
+
+
+def test_fast_grad_iva_nonholonomic_runs():
+    from ssspy_tpu.fast import fast_grad_iva
+
+    X = _mixture(seed=13)
+    Y, W = fast_grad_iva(X, n_iter=4, natural=True, is_holonomic=False)
+    assert Y.shape == X.shape
+    assert np.all(np.isfinite(Y))
