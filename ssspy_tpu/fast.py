@@ -37,6 +37,8 @@ __all__ = [
     "fast_auxiva",
     "fast_auxiva_batch",
     "fast_gauss_ilrma",
+    "fast_t_ilrma",
+    "fast_ggd_ilrma",
     "fast_aux_fdica",
     "fast_grad_iva",
     "fast_grad_fdica",
@@ -227,6 +229,134 @@ def fast_gauss_ilrma(
     if scale_restoration:
         Y = _projection_back_host(Y, X, reference_id)
     return Y, (T, V), None
+
+
+def _fast_ilrma_generic(
+    spectrogram,
+    n_basis: int,
+    n_iter: int,
+    algorithm: str,
+    model: str,
+    scale_restoration: bool,
+    reference_id: int,
+    rng,
+    **model_kwargs,
+):
+    """Shared driver for the t/GGD ILRMA fast paths (generic SC engine)."""
+    from .ops.splitc import ilrma_ip_step_sc, ilrma_iss_step_sc
+
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2"), f"Not support {algorithm}."
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    rng = np.random.default_rng() if rng is None else rng
+
+    Xs = jax.device_put(to_split(X))
+    T0 = rng.random((n_channels, n_bins, n_basis)).astype(np.float32)
+    V0 = rng.random((n_channels, n_basis, n_frames)).astype(np.float32)
+    TV = (jax.device_put(T0), jax.device_put(V0))
+
+    if algorithm in ("IP1", "IP2"):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(Xs, W, TV, n):
+            def body(c, _):
+                return (
+                    ilrma_ip_step_sc(
+                        Xs, *c, model=model, spatial=algorithm, **model_kwargs
+                    ),
+                    None,
+                )
+
+            return lax.scan(body, (W,) + TV, None, length=n)[0]
+
+        W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+        W0[0] = np.eye(n_channels, dtype=np.float32)
+        Ws, T, V = run(Xs, jax.device_put(W0), TV, n_iter)
+        Ws, T, V = np.asarray(Ws), np.asarray(T), np.asarray(V)
+        W = Ws[0] + 1j * Ws[1]
+        if scale_restoration:
+            scale = np.linalg.inv(W)[:, reference_id, :]
+            W = W * scale[:, :, None]
+        Y = np.einsum("inm,mit->nit", W, X)
+        return Y, (T, V), W
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_iss(carry, TV, n):
+        def body(c, _):
+            return (
+                ilrma_iss_step_sc(*c, model=model, spatial=algorithm, **model_kwargs),
+                None,
+            )
+
+        return lax.scan(body, (carry,) + TV, None, length=n)[0]
+
+    Ys, T, V = run_iss(Xs, TV, n_iter)
+    Ys, T, V = np.asarray(Ys), np.asarray(T), np.asarray(V)
+    Y = Ys[0] + 1j * Ys[1]
+    if scale_restoration:
+        Y = _projection_back_host(Y, X, reference_id)
+    return Y, (T, V), None
+
+
+def fast_t_ilrma(
+    spectrogram,
+    n_basis: int,
+    dof: float,
+    n_iter: int = 100,
+    algorithm: str = "IP1",
+    source_algorithm: str = "MM",
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """TILRMA (Student's-t, MM/ME, power normalization) on the fast path.
+
+    ``dof`` is the t-distribution degrees of freedom (reference
+    ssspy/bss/ilrma.py:1992-3334). ``algorithm``: IP1/IP2/ISS1/ISS2.
+    Returns ``(separated, (basis, activation), demix_filter_or_None)``.
+    """
+    assert source_algorithm in ("MM", "ME"), f"Not support {source_algorithm}."
+    return _fast_ilrma_generic(
+        spectrogram,
+        n_basis,
+        n_iter,
+        algorithm,
+        "t",
+        scale_restoration,
+        reference_id,
+        rng,
+        dof=float(dof),
+        me=source_algorithm == "ME",
+    )
+
+
+def fast_ggd_ilrma(
+    spectrogram,
+    n_basis: int,
+    beta: float,
+    n_iter: int = 100,
+    algorithm: str = "IP1",
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """GGDILRMA (generalized Gaussian, MM, power normalization) fast path.
+
+    ``beta`` in (0, 2) is the GGD shape parameter (reference
+    ssspy/bss/ilrma.py:3337-4410). ``algorithm``: IP1/IP2/ISS1/ISS2.
+    Returns ``(separated, (basis, activation), demix_filter_or_None)``.
+    """
+    assert 0 < beta < 2, f"Shape parameter {beta} should be chosen from (0, 2)."
+    return _fast_ilrma_generic(
+        spectrogram,
+        n_basis,
+        n_iter,
+        algorithm,
+        "ggd",
+        scale_restoration,
+        reference_id,
+        rng,
+        shape=float(beta),
+    )
 
 
 def _permutation_align_host(Y: np.ndarray, *args: np.ndarray, eps=1e-10):

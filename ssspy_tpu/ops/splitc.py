@@ -510,6 +510,165 @@ def gauss_ilrma_iss2_step_sc(Ys, T, V, domain: float = 2.0, eps=1e-6):
     return jnp.stack([Yr, Yi], axis=0), T, V
 
 
+def _ilrma_model_weights(model, Y2, R, p, nu, beta, me):
+    """MM numerator weight ``(N, I, T)``, exponent, and scalar factor.
+
+    Mirrors ``ILRMABase._mm_weights`` across the three source models
+    (reference ssspy/bss/ilrma.py:1007-1204 Gauss, :2384-2827 t,
+    :3698-3905 GGD). ``me=True`` selects the ME update (Gauss/t only;
+    requires ``p == 2``).
+    """
+    if model == "gauss":
+        if me:
+            return Y2 / (R**2), 1.0, 1.0
+        return Y2 / (R ** ((p + 2) / p)), p / (p + 2), 1.0
+    if model == "t":
+        nu_nu2 = nu / (nu + 2)
+        if me:
+            R_tilde = nu_nu2 * R + (1 - nu_nu2) * Y2
+            return Y2 / (R_tilde * R), 1.0, 1.0
+        R_tilde = nu_nu2 * (R ** (2 / p)) + (1 - nu_nu2) * Y2
+        return Y2 / (R_tilde * R), p / (p + 2), 1.0
+    if model == "ggd":
+        Yb = Y2 ** (beta / 2)
+        return Yb / (R ** ((beta + p) / p)), p / (beta + p), beta / 2
+    raise ValueError(f"Not support {model}.")
+
+
+def _ilrma_model_varphi(model, Y2, R, p, nu, beta, eps):
+    """Spatial-update weight ``varphi[n, i, t]`` per source model.
+
+    Mirrors ``ILRMABase._spatial_varphi`` (reference spatial dispatch
+    ssspy/bss/ilrma.py:1403-1438 per model).
+    """
+    if model == "gauss":
+        return 1 / (R ** (2 / p))
+    if model == "t":
+        nu_nu2 = nu / (nu + 2)
+        return 1 / (nu_nu2 * (R ** (2 / p)) + (1 - nu_nu2) * Y2)
+    if model == "ggd":
+        Y2b = jnp.maximum(Y2 ** ((2 - beta) / 2), eps)
+        return 1 / ((2 / beta) * Y2b * (R ** (beta / p)))
+    raise ValueError(f"Not support {model}.")
+
+
+def _ilrma_mm_core(Y2, T, V, *, model, p, eps, nu=None, beta=None, me=False):
+    """Basis + activation multiplicative updates for any source model.
+
+    Generalizes :func:`_ilrma_mm_updates`; the weights are recomputed
+    from the refreshed model between the two updates, matching the class
+    engine (``ILRMABase._update_basis`` / ``_update_activation``).
+    Returns ``(T, V, R)`` with ``R = T @ V`` floored at ``eps``.
+    """
+    R = jnp.maximum(T @ V, eps)
+    w, ex, fac = _ilrma_model_weights(model, Y2, R, p, nu, beta, me)
+    num = fac * jnp.einsum("nkt,nit->nik", V, w)
+    denom = jnp.einsum("nkt,nit->nik", V, 1 / R)
+    T = jnp.maximum(((num / denom) ** ex) * T, eps)
+
+    R = jnp.maximum(T @ V, eps)
+    w, ex, fac = _ilrma_model_weights(model, Y2, R, p, nu, beta, me)
+    num = fac * jnp.einsum("nik,nit->nkt", T, w)
+    denom = jnp.einsum("nik,nit->nkt", T, 1 / R)
+    V = jnp.maximum(((num / denom) ** ex) * V, eps)
+
+    return T, V, jnp.maximum(T @ V, eps)
+
+
+def _ilrma_ip_spatial(Xr, Xi, Wr, Wi, varphi, spatial, eps):
+    """IP1 sweep or sequential-pair IP2 sweep from per-source weights."""
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
+    if spatial == "IP1":
+        return ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps, unroll=False)
+    n_sources = Wr.shape[1]
+    for m in range(n_sources):
+        n = (m + 1) % n_sources
+        W2r, W2i = ip2_pair_update_sc(
+            Wr, Wi, Ur[:, m], Ui[:, m], Ur[:, n], Ui[:, n], (m, n), eps=eps
+        )
+        Wr = Wr.at[:, m].set(W2r[:, 0]).at[:, n].set(W2r[:, 1])
+        Wi = Wi.at[:, m].set(W2i[:, 0]).at[:, n].set(W2i[:, 1])
+    return Wr, Wi
+
+
+def ilrma_ip_step_sc(
+    Xs,
+    Ws,
+    T,
+    V,
+    model: str = "gauss",
+    spatial: str = "IP1",
+    domain: float = 2.0,
+    eps=1e-6,
+    dof: float = None,
+    shape: float = None,
+    me: bool = False,
+):
+    """One ILRMA MM/ME + IP1/IP2 iteration for any source model.
+
+    Generalizes :func:`gauss_ilrma_ip1_step_sc` to the Student's-t
+    (``model="t"``, ``dof``) and generalized-Gaussian (``model="ggd"``,
+    ``shape`` = beta) source models (reference ssspy/bss/ilrma.py:
+    1992-3334 t, :3337-4410 GGD; update order :900-922). Power
+    normalization couples ``W`` and ``T``. Returns ``(Ws, T, V)``.
+    """
+    p = domain
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+
+    def power(Wr, Wi):
+        Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+        return Yr**2 + Yi**2  # (N, I, T)
+
+    Y2 = power(Wr, Wi)
+    T, V, R = _ilrma_mm_core(Y2, T, V, model=model, p=p, eps=eps, nu=dof, beta=shape, me=me)
+    varphi = _ilrma_model_varphi(model, Y2, R, p, dof, shape, eps)
+    Wr, Wi = _ilrma_ip_spatial(Xr, Xi, Wr, Wi, varphi, spatial, eps)
+
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(power(Wr, Wi), axis=(-2, -1))), eps)  # (N,)
+    Wr = Wr / psi[None, :, None]
+    Wi = Wi / psi[None, :, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Wr, Wi], axis=0), T, V
+
+
+def ilrma_iss_step_sc(
+    Ys,
+    T,
+    V,
+    model: str = "gauss",
+    spatial: str = "ISS1",
+    domain: float = 2.0,
+    eps=1e-6,
+    dof: float = None,
+    shape: float = None,
+    me: bool = False,
+):
+    """One ILRMA MM/ME + ISS1/ISS2 iteration for any source model.
+
+    Demix-free twin of :func:`ilrma_ip_step_sc` (state is the separated
+    spectrogram pair). Returns ``(Ys, T, V)``.
+    """
+    p = domain
+    Yr, Yi = Ys[0], Ys[1]
+
+    Y2 = Yr**2 + Yi**2
+    T, V, R = _ilrma_mm_core(Y2, T, V, model=model, p=p, eps=eps, nu=dof, beta=shape, me=me)
+    varphi = _ilrma_model_varphi(model, Y2, R, p, dof, shape, eps)
+    if spatial == "ISS1":
+        Yr, Yi = iss1_sweep_sc(Yr, Yi, varphi, eps=eps)
+    else:
+        Yr, Yi = iss2_sweep_sc(Yr, Yi, varphi, eps=eps)
+
+    psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
+    Yr = Yr / psi[:, None, None]
+    Yi = Yi / psi[:, None, None]
+    T = T / (psi[:, None, None] ** p)
+
+    return jnp.stack([Yr, Yi], axis=0), T, V
+
+
 def csolve_matrix(Ar, Ai, Br, Bi, impl: str = "auto"):
     """Complex solve with a matrix RHS: ``A X = B``.
 

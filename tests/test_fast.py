@@ -329,3 +329,70 @@ def test_fast_grad_iva_nonholonomic_runs():
     Y, W = fast_grad_iva(X, n_iter=4, natural=True, is_holonomic=False)
     assert Y.shape == X.shape
     assert np.all(np.isfinite(Y))
+
+
+def _fixed_rng(T0, V0):
+    class _FixedRng:
+        def __init__(self):
+            self.draws = [T0, V0]
+
+        def random(self, shape):
+            value = self.draws.pop(0)
+            assert value.shape == tuple(shape)
+            return value
+
+    return _FixedRng()
+
+
+@pytest.mark.parametrize("algorithm", ["IP1", "ISS1"])
+def test_fast_t_ilrma_matches_class_api(algorithm):
+    from ssspy_tpu.bss.ilrma import TILRMA
+    from ssspy_tpu.fast import fast_t_ilrma
+
+    X = _mixture(seed=14)
+    rng_init = np.random.default_rng(3)
+    n_basis = 2
+    T0 = rng_init.random((2, X.shape[1], n_basis))
+    V0 = rng_init.random((2, n_basis, X.shape[2]))
+
+    Y_fast, (T, V), W = fast_t_ilrma(
+        X, n_basis=n_basis, dof=5, n_iter=4, algorithm=algorithm, rng=_fixed_rng(T0, V0)
+    )
+
+    cls_algo = {"IP1": "IP", "ISS1": "ISS"}[algorithm]
+    ilrma = TILRMA(n_basis=n_basis, dof=5, spatial_algorithm=cls_algo)
+    Y_cls = np.asarray(
+        ilrma(
+            X.astype(np.complex64).copy(),
+            n_iter=4,
+            basis=T0.astype(np.float32),
+            activation=V0.astype(np.float32),
+        )
+    )
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_ggd_ilrma_matches_class_api():
+    from ssspy_tpu.bss.ilrma import GGDILRMA
+    from ssspy_tpu.fast import fast_ggd_ilrma
+
+    X = _mixture(seed=15)
+    rng_init = np.random.default_rng(4)
+    n_basis = 2
+    T0 = rng_init.random((2, X.shape[1], n_basis))
+    V0 = rng_init.random((2, n_basis, X.shape[2]))
+
+    Y_fast, (T, V), W = fast_ggd_ilrma(
+        X, n_basis=n_basis, beta=1.5, n_iter=4, rng=_fixed_rng(T0, V0)
+    )
+
+    ilrma = GGDILRMA(n_basis=n_basis, beta=1.5, spatial_algorithm="IP")
+    Y_cls = np.asarray(
+        ilrma(
+            X.astype(np.complex64).copy(),
+            n_iter=4,
+            basis=T0.astype(np.float32),
+            activation=V0.astype(np.float32),
+        )
+    )
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
