@@ -1713,6 +1713,124 @@ def hva_pds_step_sc(
 # ---- gradient-descent IVA / FDICA (Laplace), split-complex -------------------
 
 
+def whiten_sc(Xs, tiny=1e-20):
+    """Per-bin whitening ``z = Lambda^{-1/2} Gamma^H x`` in planar form.
+
+    Parity up to a per-component phase with
+    :func:`ssspy_tpu.transform.whiten` on ``(M, I, T)`` complex input
+    (reference ssspy/transform/whiten.py:4-94): the embedded eigensolver
+    fixes a different (arbitrary) eigenvector phase, which every
+    downstream fixed-point update is equivariant to and projection back
+    absorbs. ``Xs``: ``(2, M, I, T)``; returns the same shape.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    n_frames = Xr.shape[-1]
+    Cr = (
+        jnp.einsum("mit,nit->imn", Xr, Xr) + jnp.einsum("mit,nit->imn", Xi, Xi)
+    ) / n_frames
+    Ci = (
+        jnp.einsum("mit,nit->imn", Xi, Xr) - jnp.einsum("mit,nit->imn", Xr, Xi)
+    ) / n_frames
+    M = Xr.shape[0]
+    lamb2, P2 = _herm_eigh_embed(Cr, Ci)
+    lamb = jnp.maximum(lamb2[..., 0::2], tiny)  # (I, M) ascending
+    Gr = P2[..., :M, 0::2]  # (I, M, M) complex eigenvectors, planar parts
+    Gi = P2[..., M:, 0::2]
+    scale = 1 / jnp.sqrt(lamb)  # (I, M)
+    Zr = jnp.einsum("imk,mit->kit", Gr, Xr) + jnp.einsum("imk,mit->kit", Gi, Xi)
+    Zi = jnp.einsum("imk,mit->kit", Gr, Xi) - jnp.einsum("imk,mit->kit", Gi, Xr)
+    Zr = Zr * scale.T[:, :, None]
+    Zi = Zi * scale.T[:, :, None]
+    return jnp.stack([Zr, Zi], axis=0)
+
+
+def _polar_sc(Wr, Wi, tiny=1e-20):
+    """Orthogonal polar factor ``W (W^H W)^{-1/2}`` in planar form.
+
+    Equals the ``u @ v^H`` of the SVD used by the class paths
+    (reference ssspy/bss/iva.py:1203-1207) whenever ``W`` is
+    nonsingular; computed via one embedded Hermitian eigh instead of a
+    complex SVD.
+    """
+    Gr = jnp.swapaxes(Wr, -1, -2) @ Wr + jnp.swapaxes(Wi, -1, -2) @ Wi
+    Gi = jnp.swapaxes(Wr, -1, -2) @ Wi - jnp.swapaxes(Wi, -1, -2) @ Wr
+    Fr, Fi = _spectral_sc(
+        Gr, Gi, lambda l: 1 / jnp.sqrt(jnp.maximum(l, tiny)), hermitize=True
+    )
+    Or = Wr @ Fr - Wi @ Fi
+    Oi = Wr @ Fi + Wi @ Fr
+    return Or, Oi
+
+
+def fast_iva_step_sc(Zs, Ws, eps=1e-10):
+    """One FastIVA fixed-point iteration (Laplace contrast) in planar form.
+
+    Whitened fixed-point update with SVD re-orthogonalization (parity:
+    ssspy/bss/iva.py:1150-1207 via :class:`ssspy_tpu.bss.iva.FastIVA`
+    with ``G(y) = 2||y||``, so ``G'' = 0``). ``Zs``: whitened input
+    ``(2, M, I, T)``; ``Ws``: ``(2, I, N, M)``. Returns the updated
+    ``Ws`` (unitary rows per bin).
+    """
+    Zr, Zi = Zs[0], Zs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    n_frames = Zr.shape[-1]
+
+    Yr, Yi = _csep(Wr, Wi, Zr, Zi)  # (N, I, T)
+    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    denom = jnp.maximum(2 * norm, eps)
+    varphi = 2 / denom  # d_contrast / floored 2||y||
+    y_gg = 2 * varphi / denom  # (2 varphi - G'') / floored 2||y||
+
+    WHr = jnp.transpose(Wr, (1, 2, 0))  # W^H as (N, M, I)
+    WHi = -jnp.transpose(Wi, (1, 2, 0))
+    YZr = (
+        jnp.einsum("nt,nit,mit->nmi", varphi, Yr, Zr)
+        + jnp.einsum("nt,nit,mit->nmi", varphi, Yi, Zi)
+    ) / n_frames
+    YZi = (
+        jnp.einsum("nt,nit,mit->nmi", varphi, Yr, Zi)
+        - jnp.einsum("nt,nit,mit->nmi", varphi, Yi, Zr)
+    ) / n_frames
+    mean_varphi = jnp.mean(varphi, axis=-1)[:, None, None]  # (N, 1, 1)
+    YY_GG = (
+        jnp.einsum("nt,nit->ni", y_gg, Yr**2 + Yi**2) / n_frames
+    )  # (N, I)
+
+    Wn_H_r = WHr * mean_varphi - YZr - WHr * YY_GG[:, None, :]
+    Wn_H_i = WHi * mean_varphi - YZi - WHi * YY_GG[:, None, :]
+    Wn_r = jnp.transpose(Wn_H_r, (2, 0, 1))  # conj-transpose back to (I, N, M)
+    Wn_i = -jnp.transpose(Wn_H_i, (2, 0, 1))
+
+    Or, Oi = _polar_sc(Wn_r, Wn_i)
+    return jnp.stack([Or, Oi], axis=0)
+
+
+def faster_iva_step_sc(Zs, Ws, eps=1e-10):
+    """One FasterIVA iteration (Laplace contrast) in planar form.
+
+    Dominant-eigenvector update of the per-source weighted covariance,
+    then polar re-orthogonalization (parity: ssspy/bss/iva.py:1354-1400
+    via :class:`ssspy_tpu.bss.iva.FasterIVA`). Same shapes as
+    :func:`fast_iva_step_sc`.
+    """
+    Zr, Zi = Zs[0], Zs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    M = Zr.shape[0]
+
+    Yr, Yi = _csep(Wr, Wi, Zr, Zi)
+    norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    varphi = 2 / jnp.maximum(2 * norm, eps)
+
+    varphi_b = jnp.broadcast_to(varphi[:, None, :], (varphi.shape[0],) + Zr.shape[1:])
+    Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, varphi_b)  # (I, N, M, M)
+    _, P2 = _herm_eigh_embed(Ur, Ui)
+    vr = P2[..., :M, -1]  # top eigenvector per (bin, source), planar parts
+    vi = P2[..., M:, -1]
+
+    Or, Oi = _polar_sc(vr, -vi)  # rows are conj(v)
+    return jnp.stack([Or, Oi], axis=0)
+
+
 def _grad_direction_sc(Pr, Pi, is_holonomic):
     """``PhiY - I`` (holonomic) or ``(1 - I) * PhiY`` on planar parts."""
     n = Pr.shape[-1]

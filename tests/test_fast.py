@@ -396,3 +396,25 @@ def test_fast_ggd_ilrma_matches_class_api():
         )
     )
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+@pytest.mark.parametrize("variant", ["fast", "faster"])
+def test_fast_fixed_point_iva_matches_class_api(variant):
+    from ssspy_tpu.bss.iva import FastIVA, FasterIVA
+    from ssspy_tpu.fast import fast_fast_iva, fast_faster_iva
+
+    X = _mixture(seed=16)
+    contrasts = dict(
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+    )
+    if variant == "fast":
+        Y_fast = fast_fast_iva(X, n_iter=4)
+        cls = FastIVA(dd_contrast_fn=lambda y: jnp.zeros_like(y), **contrasts)
+    else:
+        Y_fast = fast_faster_iva(X, n_iter=4)
+        cls = FasterIVA(**contrasts)
+    Y_cls = np.asarray(cls(X.astype(np.complex64).copy(), n_iter=4))
+
+    assert Y_fast.shape == X.shape
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
