@@ -46,6 +46,8 @@ __all__ = [
     "fast_grad_fdica",
     "fast_gauss_mnmf",
     "fast_cacgmm",
+    "fast_pds_iva",
+    "fast_admm_iva",
     "fast_hva",
     "fast_auxiva_wave",
 ]
@@ -799,6 +801,100 @@ def fast_cacgmm(
         Yb = _permutation_align_host(np.ascontiguousarray(Y.swapaxes(0, 1)))
         Y = Yb.swapaxes(0, 1)
     return Y
+
+
+def fast_pds_iva(
+    spectrogram,
+    n_iter: int = 100,
+    mu1: float = 1.0,
+    mu2: float = 1.0,
+    relaxation: float = 1.0,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """PDSIVA (primal-dual splitting, L21 penalty) on the fast path.
+
+    The PDS iteration — log-det prox via embedded-eigh singular
+    shrinkage, reflected separation, group soft-thresholding over bins —
+    runs on device with no complex dtype (reference
+    ssspy/bss/pdsbss.py:58-219 with the IVA defaults of
+    ssspy/bss/iva.py:2217-2277); projection back runs on the host.
+    Returns ``(separated, demix_filter)``.
+    """
+    from .ops.splitc import pds_iva_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    Xs = jax.device_put(to_split(X))
+
+    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[0] = np.eye(n_channels, dtype=np.float32)
+    Y0 = np.zeros((2, n_channels, n_bins, n_frames), dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        def body(c, _):
+            return pds_iva_step_sc(
+                Xs, *c, mu1=mu1, mu2=mu2, relaxation=relaxation
+            ), None
+
+        return lax.scan(body, carry, None, length=n)[0]
+
+    Ws, _ = run((jax.device_put(W0), jax.device_put(Y0)), n_iter)
+    W = np.asarray(Ws)[0] + 1j * np.asarray(Ws)[1]  # (I, N, M)
+
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]
+        W = W * scale[:, :, None]
+    Y = np.einsum("inm,mit->nit", W, X)
+    return Y, W
+
+
+def fast_admm_iva(
+    spectrogram,
+    n_iter: int = 100,
+    rho: float = 1.0,
+    relaxation: float = 1.0,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """ADMMIVA (two auxiliary/dual pairs, L21 penalty) on the fast path.
+
+    Reference ssspy/bss/admmbss.py:74-257 with the IVA defaults of
+    ssspy/bss/iva.py:2280-2338. The full ADMM iteration runs on device
+    in split-complex form; projection back runs on the host. Returns
+    ``(separated, demix_filter)``.
+    """
+    from .ops.splitc import admm_iva_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    Xs = jax.device_put(to_split(X))
+
+    zf = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    zs = np.zeros((2, n_channels, n_bins, n_frames), dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        def body(c, _):
+            _, V, Vt, Y, Yt = admm_iva_step_sc(
+                Xs, c[0], c[1], c[2], c[3], rho=rho, relaxation=relaxation
+            )
+            return (V, Vt, Y, Yt), None
+
+        (V, Vt, Y, Yt), _ = lax.scan(body, carry, None, length=n - 1)
+        return admm_iva_step_sc(Xs, V, Vt, Y, Yt, rho=rho, relaxation=relaxation)[0]
+
+    carry0 = tuple(jax.device_put(a) for a in (zf, zs, zf, zs))
+    assert n_iter >= 1, "n_iter must be at least 1."
+    Ws = np.asarray(run(carry0, n_iter))
+    W = Ws[0] + 1j * Ws[1]  # (I, N, M)
+
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]
+        W = W * scale[:, :, None]
+    Y = np.einsum("inm,mit->nit", W, X)
+    return Y, W
 
 
 def fast_hva(

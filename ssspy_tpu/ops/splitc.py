@@ -1623,6 +1623,15 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None):
     W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
     Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
     Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
+
+    # G == 0 (e.g. ADMM's zero-initialized first iterate): the prox
+    # minimizer set is {sqrt(step) U : U unitary}; LAPACK's svd(0) picks
+    # U = V = I, so the class path returns sqrt(step) I — match it (the
+    # Gram reconstruction above collapses to 0 there).
+    zero = sigma[..., -1] <= 0  # (batch,)
+    eye = jnp.eye(n, dtype=Gr.dtype)
+    Wr = jnp.where(zero[..., None, None], jnp.sqrt(step_size) * eye, Wr)
+    Wi = jnp.where(zero[..., None, None], jnp.zeros_like(eye), Wi)
     return Wr, Wi
 
 
@@ -1708,6 +1717,104 @@ def hva_pds_step_sc(
     Yr = a * Yt_r + (1 - a) * Yr
     Yi = a * Yt_i + (1 - a) * Yi
     return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
+
+
+def prox_l21_sc(Zr, Zi, step_size: float = 1.0, axis: int = 1):
+    """Planar group soft-thresholding over ``axis`` (the bin axis for IVA).
+
+    Parity: ssspy/linalg/prox.py:29-39 (``l21``) on complex operands —
+    the group norm takes both planar parts.
+    """
+    norm = jnp.sqrt(jnp.sum(Zr**2 + Zi**2, axis=axis, keepdims=True))
+    norm = jnp.where(norm < step_size, step_size, norm)
+    scale = jnp.maximum(1 - step_size / norm, 0)
+    return scale * Zr, scale * Zi
+
+
+def pds_iva_step_sc(Xs, Ws, Ys, mu1: float = 1.0, mu2: float = 1.0, relaxation: float = 1.0):
+    """One PDSIVA iteration in split-complex form.
+
+    Primal-dual splitting with the L21 vector-norm penalty (parity:
+    ssspy/bss/pdsbss.py:197-219 with the IVA defaults of
+    ssspy/bss/iva.py:2217-2277). ``Xs``: ``(2, M, I, T)``; ``Ws``:
+    ``(2, I, N, M)``; ``Ys``: dual ``(2, N, I, T)``. Returns
+    ``(Ws, Ys)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    Yr, Yi = Ys[0], Ys[1]
+
+    # XY[i, n, m] = sum_t Y[n, i, t] conj(X[m, i, t])
+    XYr = jnp.einsum("nit,mit->inm", Yr, Xr) + jnp.einsum("nit,mit->inm", Yi, Xi)
+    XYi = jnp.einsum("nit,mit->inm", Yi, Xr) - jnp.einsum("nit,mit->inm", Yr, Xi)
+    Wt_r, Wt_i = prox_neg_logdet_sc(
+        Wr - mu1 * mu2 * XYr, Wi - mu1 * mu2 * XYi, step_size=mu1
+    )
+
+    XWr, XWi = _csep(2 * Wt_r - Wr, 2 * Wt_i - Wi, Xr, Xi)  # (N, I, T)
+    Zr, Zi = Yr + XWr, Yi + XWi
+    Pr, Pi = prox_l21_sc(Zr, Zi, step_size=1 / mu2)
+    Yt_r, Yt_i = Zr - Pr, Zi - Pi
+
+    a = relaxation
+    Wr = a * Wt_r + (1 - a) * Wr
+    Wi = a * Wt_i + (1 - a) * Wi
+    Yr = a * Yt_r + (1 - a) * Yr
+    Yi = a * Yt_i + (1 - a) * Yi
+    return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
+
+
+def admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float = 1.0):
+    """One ADMMIVA iteration in split-complex form.
+
+    ADMM with two auxiliary/dual pairs and the L21 penalty (parity:
+    ssspy/bss/admmbss.py:168-257 with the IVA defaults of
+    ssspy/bss/iva.py:2280-2338, single penalty). ``Vs``/``Ys``:
+    filter-shaped auxiliary/dual ``(2, I, N, M)``; ``Vts``/``Yts``:
+    spectrogram-shaped auxiliary/dual ``(2, N, I, T)``. Returns
+    ``(Ws, Vs, Vts, Ys, Yts)`` — the demixing filter is recomputed from
+    the quadratic subproblem each iteration.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Vr, Vi = Vs[0], Vs[1]
+    Vtr, Vti = Vts[0], Vts[1]
+    Yr, Yi = Ys[0], Ys[1]
+    Ytr, Yti = Yts[0], Yts[1]
+    n_channels = Xr.shape[0]
+
+    # XX[i, m, p] = sum_t conj(X[m, i, t]) X[p, i, t]
+    XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
+    XXi = jnp.einsum("mit,pit->imp", Xr, Xi) - jnp.einsum("mit,pit->imp", Xi, Xr)
+    E = jnp.eye(n_channels, dtype=Xr.dtype)
+
+    VYr, VYi = Vr - Yr, Vi - Yi  # (I, N, M)
+    VTr, VTi = Vtr - Ytr, Vti - Yti  # (N, I, T)
+    # XVY[i, m, n] = sum_t conj(X[m, i, t]) VT[n, i, t]
+    XVYr = jnp.einsum("mit,nit->imn", Xr, VTr) + jnp.einsum("mit,nit->imn", Xi, VTi)
+    XVYi = jnp.einsum("mit,nit->imn", Xr, VTi) - jnp.einsum("mit,nit->imn", Xi, VTr)
+
+    Br = VYr + jnp.swapaxes(XVYr, -2, -1)
+    Bi = VYi + jnp.swapaxes(XVYi, -2, -1)
+    Wr, Wi = csolve_matrix(XXr + E, XXi, Br, Bi)
+    XWr, XWi = _csep(Wr, Wi, Xr, Xi)  # (N, I, T)
+
+    a = relaxation
+    Ur, Ui = a * Wr + (1 - a) * Vr, a * Wi + (1 - a) * Vi
+    Utr, Uti = a * XWr + (1 - a) * Vtr, a * XWi + (1 - a) * Vti
+
+    Vr, Vi = prox_neg_logdet_sc(Ur + Yr, Ui + Yi, step_size=1 / rho)
+    Vtr, Vti = prox_l21_sc(Utr + Ytr, Uti + Yti, step_size=1 / rho)
+
+    Yr, Yi = Yr + Ur - Vr, Yi + Ui - Vi
+    Ytr, Yti = Ytr + Utr - Vtr, Yti + Uti - Vti
+
+    return (
+        jnp.stack([Wr, Wi], axis=0),
+        jnp.stack([Vr, Vi], axis=0),
+        jnp.stack([Vtr, Vti], axis=0),
+        jnp.stack([Yr, Yi], axis=0),
+        jnp.stack([Ytr, Yti], axis=0),
+    )
 
 
 # ---- gradient-descent IVA / FDICA (Laplace), split-complex -------------------

@@ -418,3 +418,28 @@ def test_fast_fixed_point_iva_matches_class_api(variant):
 
     assert Y_fast.shape == X.shape
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_pds_iva_matches_class_api():
+    from ssspy_tpu.bss.iva import PDSIVA
+    from ssspy_tpu.fast import fast_pds_iva
+
+    X = _mixture(seed=17)
+    Y_fast, W = fast_pds_iva(X, n_iter=5)
+
+    pds = PDSIVA()
+    Y_cls = np.asarray(pds(X.astype(np.complex64).copy(), n_iter=5))
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+    assert W.shape == (X.shape[1], X.shape[0], X.shape[0])
+
+
+def test_fast_admm_iva_matches_class_api():
+    from ssspy_tpu.bss.iva import ADMMIVA
+    from ssspy_tpu.fast import fast_admm_iva
+
+    X = _mixture(seed=18)
+    Y_fast, W = fast_admm_iva(X, n_iter=5)
+
+    admm = ADMMIVA()
+    Y_cls = np.asarray(admm(X.astype(np.complex64).copy(), n_iter=5))
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
