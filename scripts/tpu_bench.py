@@ -9,6 +9,8 @@ Usage: python scripts/tpu_bench.py <variant> [<variant> ...] [--out f.json]
 Variants: auxiva_ip1 auxiva_ip1_bf16 auxiva_ip2 auxiva_iss1 auxiva_iss2
           auxiva_ipa ilrma_ip1 ilrma_ip2 ilrma_iss1 ilrma_iss2 ilrma_ipa
           fdica_ip1 fdica_ip2 mnmf cacgmm hva wave_e2e bf16_loss
+          grad_iva natural_grad_iva grad_fdica natural_grad_fdica
+          fast_iva faster_iva pds_iva admm_iva t_ilrma_ip1 ggd_ilrma_ip1
 Existing entries in the output JSON are preserved (merge-on-write).
 """
 
@@ -153,6 +155,74 @@ def main():
         lambda: _time_scan(
             lambda c: sc.fast_gauss_mnmf_step_sc(Xs, *c),
             (Wd, Tb, Vb, Db),
+            lambda c: c[0],
+        ),
+    )
+
+    record(
+        "grad_iva",
+        lambda: _time_scan(lambda w: sc.grad_laplace_iva_step_sc(Xs, w), Wd, lambda c: c),
+    )
+    record(
+        "natural_grad_iva",
+        lambda: _time_scan(
+            lambda w: sc.grad_laplace_iva_step_sc(Xs, w, natural=True), Wd, lambda c: c
+        ),
+    )
+    record(
+        "grad_fdica",
+        lambda: _time_scan(lambda w: sc.grad_laplace_fdica_step_sc(Xs, w), Wd, lambda c: c),
+    )
+    record(
+        "natural_grad_fdica",
+        lambda: _time_scan(
+            lambda w: sc.grad_laplace_fdica_step_sc(Xs, w, natural=True), Wd, lambda c: c
+        ),
+    )
+
+    def fixed_point(variant):
+        import jax.numpy as jnp
+
+        Zs = jax.jit(sc.whiten_sc)(Xs)
+        np.asarray(Zs)
+        step = sc.fast_iva_step_sc if variant == "fast" else sc.faster_iva_step_sc
+        return _time_scan(lambda w: step(Zs, w), Wd, lambda c: c)
+
+    record("fast_iva", lambda: fixed_point("fast"))
+    record("faster_iva", lambda: fixed_point("faster"))
+
+    def pds_iva():
+        Y0 = jax.device_put(np.zeros((2, M, I, T), dtype=np.float32))
+        return _time_scan(
+            lambda c: sc.pds_iva_step_sc(Xs, *c), (Wd, Y0), lambda c: c[0]
+        )
+
+    record("pds_iva", pds_iva)
+
+    def admm_iva():
+        zf = jax.device_put(np.zeros((2, I, M, M), dtype=np.float32))
+        zs = jax.device_put(np.zeros((2, M, I, T), dtype=np.float32))
+
+        def step(c):
+            _, V, Vt, Y, Yt = sc.admm_iva_step_sc(Xs, *c)
+            return (V, Vt, Y, Yt)
+
+        return _time_scan(step, (zf, zs, zf, zs), lambda c: c[0])
+
+    record("admm_iva", admm_iva)
+    record(
+        "t_ilrma_ip1",
+        lambda: _time_scan(
+            lambda c: sc.ilrma_ip_step_sc(Xs, *c, model="t", dof=5.0),
+            (Wd, Tb, Vb),
+            lambda c: c[0],
+        ),
+    )
+    record(
+        "ggd_ilrma_ip1",
+        lambda: _time_scan(
+            lambda c: sc.ilrma_ip_step_sc(Xs, *c, model="ggd", shape=1.5),
+            (Wd, Tb, Vb),
             lambda c: c[0],
         ),
     )

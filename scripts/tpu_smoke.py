@@ -60,6 +60,29 @@ def main():
     smoke("fdica_ip1", sc.aux_laplace_fdica_ip1_step_sc, Xd, Wd)
     smoke("fdica_ip2", sc.aux_laplace_fdica_ip2_step_sc, Xd, Wd)
     smoke("mnmf", sc.fast_gauss_mnmf_step_sc, Xd, Wd, Tb, Vb, Db)
+    smoke(
+        "t_ilrma_ip1",
+        lambda X, W, T, V: sc.ilrma_ip_step_sc(X, W, T, V, model="t", dof=5.0),
+        Xd, Wd, Tb, Vb,
+    )
+    smoke(
+        "ggd_ilrma_iss1",
+        lambda X, T, V: sc.ilrma_iss_step_sc(X, T, V, model="ggd", shape=1.5),
+        Xd, Tb, Vb,
+    )
+    smoke("grad_iva", sc.grad_laplace_iva_step_sc, Xd, Wd)
+    smoke(
+        "natural_grad_fdica",
+        lambda X, W: sc.grad_laplace_fdica_step_sc(X, W, natural=True),
+        Xd, Wd,
+    )
+    smoke("whiten", sc.whiten_sc, Xd)
+    smoke("fast_iva", sc.fast_iva_step_sc, Xd, Wd)
+    smoke("faster_iva", sc.faster_iva_step_sc, Xd, Wd)
+    Yd = jax.device_put(np.zeros((2, M, I, T), dtype=np.float32))
+    smoke("pds_iva", sc.pds_iva_step_sc, Xd, Wd, Yd)
+    zf = jax.device_put(np.zeros((2, I, M, M), dtype=np.float32))
+    smoke("admm_iva", sc.admm_iva_step_sc, Xd, zf, Yd, zf, Yd)
 
     from ssspy_tpu.transform import istft_sc, stft_sc
 

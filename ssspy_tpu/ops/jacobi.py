@@ -72,13 +72,14 @@ def _schedule(n: int):
     return Mcc, Mss, Ires, Epq, Epp, Eqq
 
 
-def jacobi_eigh(A, sweeps: int = 10, tiny: float = 1e-30):
+def jacobi_eigh(A, sweeps: int = 6, tiny: float = 1e-30):
     """Eigendecomposition of real symmetric ``(..., n, n)`` matrices.
 
     Drop-in for ``jnp.linalg.eigh`` on small n: returns ``(lamb, V)``
     with ascending eigenvalues and orthonormal columns. Fixed ``sweeps``
-    cyclic-Jacobi trips (quadratic convergence; 10 sweeps reach f32
-    machine precision for n <= 32).
+    cyclic-Jacobi trips (quadratic convergence; measured on 16x16 f32
+    PSD batches incl. ill-conditioned members: 6 sweeps is bit-identical
+    to 10, 5 is within 3e-6 relative — see BENCHMARKS.md).
     """
     n = A.shape[-1]
     dtype = A.dtype

@@ -1208,7 +1208,14 @@ def lqpqm2_sc(Hr, Hi, vr, vi, z, eps=1e-10, max_iter=10):
 
 
 def ipa_sweep_sc(
-    Yr, Yi, varphi, eps=1e-10, lqpqm_normalization=True, newton_iter=1, rel=None
+    Yr,
+    Yi,
+    varphi,
+    eps=1e-10,
+    lqpqm_normalization=True,
+    newton_iter=1,
+    rel=None,
+    psd_impl: str = "auto",
 ):
     """IPA source sweep on planar operands (parity:
     ssspy/bss/_update_spatial_model.py:398-513 via
@@ -1221,11 +1228,26 @@ def ipa_sweep_sc(
     ``rel`` is the relative eigenvalue floor (see :func:`_eig_floor`);
     ``None`` selects 0 in f64 (exact reference parity) and 1e-6 in f32,
     where the absolute floor alone overflows on near-silent bins.
+
+    ``psd_impl``: ``"eigh"`` reproduces the reference exactly —
+    eigenvalue-floored PSD projection + inverse through one embedded
+    eigh per (bin, source); ``"tikhonov"`` replaces the floor with a
+    relative ridge ``U + (eps + rel tr(U)/N) I`` and a planar
+    Gauss-Jordan inverse — same O(rel) perturbation and the same
+    per-bin scale equivariance, but no eigendecomposition (the
+    eigh-based path's dominant cost; the LQPQM reduction below still
+    eigendecomposes its (N-1)-sized pencil). ``"auto"``: tikhonov on
+    f32 TPU backends (the eigh there is the fixed-sweep Jacobi kernel
+    and dominates the step); eigh elsewhere (CPU parity tests keep the
+    reference-exact trajectory).
     """
     n_sources = Yr.shape[0]
     n_frames = Yr.shape[-1]
     if rel is None:
         rel = 0.0 if Yr.dtype == jnp.float64 else 1e-6
+    if psd_impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        psd_impl = "tikhonov" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
 
     for n in range(n_sources):
         # U[i, s, a, b] = mean_t varphi[s, i, t] Y[a, i, t] conj(Y[b, i, t])
@@ -1237,26 +1259,37 @@ def ipa_sweep_sc(
             jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)
         ) / n_frames
 
-        # ONE eigh per (bin, source) serves both the PSD projection and the
-        # inverse: flooring changes only eigenvalues, so psd_inv(to_psd(U))
-        # shares to_psd's eigenvectors exactly.
         Ur_h = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
         Ui_h = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
-        lamb2, P2 = _herm_eigh_embed(Ur_h, Ui_h)  # (I, N, 2N, 2N)
-        lamb_f = _eig_floor(eps, rel)(lamb2)
-        P2T = jnp.swapaxes(P2, -1, -2)
-
-        def _extract(F):
-            k = n_sources
-            return (F[..., :k, :k] + F[..., k:, k:]) / 2, (
-                F[..., k:, :k] - F[..., :k, k:]
-            ) / 2
-
-        Ur, Ui = _extract((P2 * lamb_f[..., None, :]) @ P2T)
         oth = tuple(k for k in range(n_sources) if k != n)
-        Un_r, Un_i = Ur[:, n], Ui[:, n]  # (I, N, N)
-        inv_f = 1 / jnp.maximum(lamb_f[:, n], eps)
-        Vr, Vi = _extract((P2[:, n] * inv_f[..., None, :]) @ P2T[:, n])
+
+        if psd_impl == "tikhonov":
+            mean_diag = jnp.diagonal(Ur_h, axis1=-2, axis2=-1).mean(-1)  # (I, N)
+            lam = eps + rel * mean_diag
+            eye = jnp.eye(n_sources, dtype=Yr.dtype)
+            Ur = Ur_h + lam[..., None, None] * eye
+            Ui = Ui_h
+            Un_r, Un_i = Ur[:, n], Ui[:, n]  # (I, N, N)
+            E = jnp.broadcast_to(eye, Un_r.shape)
+            Vr, Vi = csolve_matrix(Un_r, Un_i, E, jnp.zeros_like(E))
+        else:
+            # ONE eigh per (bin, source) serves both the PSD projection and
+            # the inverse: flooring changes only eigenvalues, so
+            # psd_inv(to_psd(U)) shares to_psd's eigenvectors exactly.
+            lamb2, P2 = _herm_eigh_embed(Ur_h, Ui_h)  # (I, N, 2N, 2N)
+            lamb_f = _eig_floor(eps, rel)(lamb2)
+            P2T = jnp.swapaxes(P2, -1, -2)
+
+            def _extract(F):
+                k = n_sources
+                return (F[..., :k, :k] + F[..., k:, k:]) / 2, (
+                    F[..., k:, :k] - F[..., :k, k:]
+                ) / 2
+
+            Ur, Ui = _extract((P2 * lamb_f[..., None, :]) @ P2T)
+            Un_r, Un_i = Ur[:, n], Ui[:, n]  # (I, N, N)
+            inv_f = 1 / jnp.maximum(lamb_f[:, n], eps)
+            Vr, Vi = _extract((P2[:, n] * inv_f[..., None, :]) @ P2T[:, n])
 
         # static per-source gathers (tuple indexing lowers to gather, which
         # is slow on TPU; N <= 8 so the stacks unroll at trace time)
@@ -1326,7 +1359,9 @@ def ipa_sweep_sc(
     return Yr, Yi
 
 
-def auxiva_ipa_step_sc(Ys, eps=1e-10, lqpqm_normalization=True, newton_iter=1):
+def auxiva_ipa_step_sc(
+    Ys, eps=1e-10, lqpqm_normalization=True, newton_iter=1, psd_impl: str = "auto"
+):
     """One AuxIVA-IPA iteration in split-complex form (parity:
     ssspy/bss/iva.py AuxIVA IPA dispatch; demix-free Y state)."""
     Yr, Yi = Ys[0], Ys[1]
@@ -1339,12 +1374,20 @@ def auxiva_ipa_step_sc(Ys, eps=1e-10, lqpqm_normalization=True, newton_iter=1):
         eps=eps,
         lqpqm_normalization=lqpqm_normalization,
         newton_iter=newton_iter,
+        psd_impl=psd_impl,
     )
     return jnp.stack([Yr, Yi], axis=0)
 
 
 def gauss_ilrma_ipa_step_sc(
-    Ys, T, V, domain: float = 2.0, eps=1e-6, lqpqm_normalization=True, newton_iter=1
+    Ys,
+    T,
+    V,
+    domain: float = 2.0,
+    eps=1e-6,
+    lqpqm_normalization=True,
+    newton_iter=1,
+    psd_impl: str = "auto",
 ):
     """One GaussILRMA MM+IPA iteration in split-complex form (parity:
     ssspy/bss/ilrma.py:1794+ IPA dispatch; demix-free, power normalization)."""
@@ -1361,6 +1404,7 @@ def gauss_ilrma_ipa_step_sc(
         eps=eps,
         lqpqm_normalization=lqpqm_normalization,
         newton_iter=newton_iter,
+        psd_impl=psd_impl,
     )
 
     psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)

@@ -129,3 +129,60 @@ def test_gauss_ilrma_ipa_step_matches_class():
     Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
     np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-8)
     np.testing.assert_allclose(np.asarray(Tb), np.asarray(ilrma.basis), atol=1e-8)
+
+
+def test_ipa_tikhonov_psd_impl_quality_and_robustness():
+    """The eigh-free tikhonov PSD path reaches the same separation quality
+    as the reference-exact eigh path in f32, and survives near-silent bins."""
+    import functools
+
+    import jax
+
+    from ssspy_tpu.fast import _projection_back_host
+    from ssspy_tpu.ops.splitc import auxiva_ipa_step_sc
+    from ssspy_tpu.transform import istft, stft
+    from ssspy_tpu.utils.dataset import download_sample_speech_data
+    from tests.helpers import si_sdr
+
+    images, _ = download_sample_speech_data(
+        cache_dir="/tmp/ssspy_tpu_test_data", n_sources=2, max_duration=1.0,
+        conv=True, seed=3,
+    )
+    mix = images.sum(axis=0)
+    X = np.asarray(stft(mix, n_fft=256, hop_length=128))
+    Xs = jnp.asarray(np.stack([X.real, X.imag]), dtype=jnp.float32)
+
+    def run(impl, n_iter=30):
+        step = jax.jit(functools.partial(auxiva_ipa_step_sc, psd_impl=impl))
+        Ys = Xs
+        for _ in range(n_iter):
+            Ys = step(Ys)
+        Y = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
+        Y = _projection_back_host(Y, X, 0)
+        return np.asarray(istft(Y, n_fft=256, hop_length=128, length=mix.shape[-1]))
+
+    def quality(y):
+        import itertools
+
+        best = -np.inf
+        for perm in itertools.permutations(range(2)):
+            best = max(
+                best,
+                np.mean([si_sdr(y[perm[s]], images[s, 0]) for s in range(2)]),
+            )
+        return best
+
+    y_t, y_e = run("tikhonov"), run("eigh")
+    assert np.all(np.isfinite(y_t))
+    q_t, q_e = quality(y_t), quality(y_e)
+    assert q_t > q_e - 0.2, (q_t, q_e)
+
+    # near-silent bin: the ridge keeps the planar solves bounded
+    X_bad = X.copy()
+    X_bad[:, 9] *= 1e-6
+    Xs_bad = jnp.asarray(np.stack([X_bad.real, X_bad.imag]), dtype=jnp.float32)
+    step = jax.jit(functools.partial(auxiva_ipa_step_sc, psd_impl="tikhonov"))
+    Ys = Xs_bad
+    for _ in range(30):
+        Ys = step(Ys)
+    assert np.all(np.isfinite(np.asarray(Ys)))
