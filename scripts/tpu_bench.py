@@ -10,7 +10,7 @@ Variants: auxiva_ip1 auxiva_ip1_bf16 auxiva_ip2 auxiva_iss1 auxiva_iss2
           auxiva_ipa ilrma_ip1 ilrma_ip2 ilrma_iss1 ilrma_iss2 ilrma_ipa
           fdica_ip1 fdica_ip2 mnmf cacgmm hva wave_e2e bf16_loss
           grad_iva natural_grad_iva grad_fdica natural_grad_fdica
-          fast_iva faster_iva pds_iva admm_iva t_ilrma_ip1 ggd_ilrma_ip1
+          fast_iva faster_iva pds_iva admm_iva t_ilrma_ip1 ggd_ilrma_ip1 ipsdta
 Existing entries in the output JSON are preserved (merge-on-write).
 """
 
@@ -226,6 +226,27 @@ def main():
             lambda c: c[0],
         ),
     )
+
+    def ipsdta():
+        n_blocks = 64
+        n_remains = I % n_blocks  # 257 bins -> (63, 4) + (1, 5)
+        J = I // n_blocks
+        shapes = [(n_blocks - n_remains, J)] + ([(n_remains, J + 1)] if n_remains else [])
+        parts = []
+        for B, Jp in shapes:
+            Tp = np.zeros((2, M, K, B, Jp, Jp), dtype=np.float32)
+            Tp[0] = rng.random((M, K, B, Jp))[..., None].astype(np.float32) * np.eye(
+                Jp, dtype=np.float32
+            )
+            parts.append(jax.device_put(Tp))
+
+        def step(c):
+            W, ps, V = sc.gauss_ipsdta_vcd_step_sc(Xs, c[0], list(c[1]), c[2])
+            return (W, tuple(ps), V)
+
+        return _time_scan(step, (Wd, tuple(parts), Vb), lambda c: c[0])
+
+    record("ipsdta", ipsdta)
 
     def cacgmm():
         Z = spec / np.maximum(np.abs(np.linalg.norm(spec, axis=0)), 1e-10)

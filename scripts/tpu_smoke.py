@@ -70,6 +70,15 @@ def main():
         lambda X, T, V: sc.ilrma_iss_step_sc(X, T, V, model="ggd", shape=1.5),
         Xd, Tb, Vb,
     )
+    Tp = np.zeros((2, M, K, 11, 3, 3), dtype=np.float32)
+    Tp[0] = rng.random((M, K, 11, 3))[..., None].astype(np.float32) * np.eye(
+        3, dtype=np.float32
+    )
+    smoke(
+        "ipsdta_vcd",
+        lambda X, W, Tp, V: sc.gauss_ipsdta_vcd_step_sc(X, W, [Tp], V),
+        Xd, Wd, jax.device_put(Tp), Vb,
+    )
     smoke("grad_iva", sc.grad_laplace_iva_step_sc, Xd, Wd)
     smoke(
         "natural_grad_fdica",

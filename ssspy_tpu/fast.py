@@ -45,6 +45,7 @@ __all__ = [
     "fast_grad_iva",
     "fast_grad_fdica",
     "fast_gauss_mnmf",
+    "fast_gauss_ipsdta",
     "fast_cacgmm",
     "fast_pds_iva",
     "fast_admm_iva",
@@ -749,6 +750,80 @@ def fast_auxiva_wave(
         jax.device_put(x), n_iter, algorithm, n_fft, hop, x.shape[-1]
     )
     return np.asarray(y)
+
+
+def fast_gauss_ipsdta(
+    spectrogram,
+    n_basis: int,
+    n_blocks: int,
+    n_iter: int = 100,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """GaussIPSDTA (MM source, VCD spatial) on the planar fast path.
+
+    Block-decomposed PSDTF source model with vector-wise coordinate
+    descent (reference ssspy/bss/ipsdta.py:700-1227); handles the
+    remainder part when ``n_bins % n_blocks != 0``. The full iteration
+    (PSDTF reconstruction, geometric-mean basis update, VCD sweep) runs
+    on device in split-complex form; projection back runs on the host.
+    Returns ``(separated, (basis_parts, activation), demix_filter)``.
+    """
+    from .ops.splitc import gauss_ipsdta_vcd_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    rng = np.random.default_rng() if rng is None else rng
+
+    n_remains = n_bins % n_blocks
+    n_neighbors = n_bins // n_blocks
+    part_shapes = [(n_blocks - n_remains, n_neighbors)]
+    if n_remains:
+        part_shapes.append((n_remains, n_neighbors + 1))
+
+    # same init scheme (and rng draw order) as the class path
+    T_parts = []
+    for B, J in part_shapes:
+        diag = rng.random((n_channels, n_basis, B, J)).astype(np.float32)
+        Tp = np.zeros((2, n_channels, n_basis, B, J, J), dtype=np.float32)
+        Tp[0] = diag[..., None] * np.eye(J, dtype=np.float32)
+        T_parts.append(Tp)
+    V0 = np.maximum(rng.random((n_channels, n_basis, n_frames)), 1e-10).astype(
+        np.float32
+    )
+    # the class normalizes the basis at reset (source_normalization)
+    trace = sum(p[0].trace(axis1=-2, axis2=-1).sum(axis=-1) for p in T_parts)
+    T_parts = [p / trace[None, :, :, None, None, None] for p in T_parts]
+    V0 = V0 * trace[:, :, None]
+
+    Xs = jax.device_put(to_split(X))
+    W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+    W0[0] = np.eye(n_channels, dtype=np.float32)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        def body(c, _):
+            W, T_parts, V = gauss_ipsdta_vcd_step_sc(Xs, c[0], list(c[1]), c[2])
+            return (W, tuple(T_parts), V), None
+
+        return lax.scan(body, carry, None, length=n)[0]
+
+    carry0 = (
+        jax.device_put(W0),
+        tuple(jax.device_put(p) for p in T_parts),
+        jax.device_put(V0),
+    )
+    Ws, T_out, V = run(carry0, n_iter)
+    W = np.asarray(Ws)[0] + 1j * np.asarray(Ws)[1]
+    T_out = [np.asarray(p) for p in T_out]
+    V = np.asarray(V)
+
+    if scale_restoration:
+        scale = np.linalg.inv(W)[:, reference_id, :]
+        W = W * scale[:, :, None]
+    Y = np.einsum("inm,mit->nit", W, X)
+    return Y, (T_out, V), W
 
 
 def fast_cacgmm(

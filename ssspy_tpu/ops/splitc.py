@@ -1763,6 +1763,270 @@ def hva_pds_step_sc(
     return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
 
 
+# ---- IPSDTA (block-decomposed PSDTF + VCD), split-complex --------------------
+
+
+def _cmatmul(Ar, Ai, Br, Bi):
+    """Planar complex matmul ``A @ B``."""
+    return Ar @ Br - Ai @ Bi, Ar @ Bi + Ai @ Br
+
+
+def _cinv(Ar, Ai, impl: str = "auto"):
+    """Planar complex inverse via the Gauss-Jordan matrix solve."""
+    n = Ar.shape[-1]
+    E = jnp.broadcast_to(jnp.eye(n, dtype=Ar.dtype), Ar.shape)
+    return csolve_matrix(Ar, Ai, E, jnp.zeros_like(E), impl=impl)
+
+
+def _psd_project_sc(Ar, Ai, eps, impl):
+    """PSD projection: exact eigenvalue flooring or hermitize+ridge.
+
+    ``impl="eigh"`` reproduces ``to_psd`` exactly; ``"ridge"`` hermitizes
+    and adds ``eps I`` — identical whenever no eigenvalue is below the
+    floor (the IPSDTA intermediates are PSD by construction, so the
+    floor is numerical insurance), and eigh-free.
+    """
+    if impl == "eigh":
+        return to_psd_sc(Ar, Ai, eps=eps)
+    Ar = (Ar + jnp.swapaxes(Ar, -1, -2)) / 2
+    Ai = (Ai - jnp.swapaxes(Ai, -1, -2)) / 2
+    return Ar + eps * jnp.eye(Ar.shape[-1], dtype=Ar.dtype), Ai
+
+
+def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0):
+    """Planar geometric mean ``A^{-1} # B`` of Hermitian PSD pairs.
+
+    Parity: ssspy/linalg/mean.py:7-83 ``gmeanmh(A, B, type=2)``. Computed
+    as ``A^{-1/2} (A^{1/2} B A^{1/2})^{1/2} A^{-1/2}`` — one embedded
+    eigh of ``A`` serves both square roots, one more takes the inner
+    square root (vs. the reference's GEVD + non-Hermitian inverse).
+    """
+    lamb2, P2 = _herm_eigh_embed(Ar, Ai)
+    lamb2 = jnp.maximum(lamb2, eps)
+    n = Ar.shape[-1]
+    P2T = jnp.swapaxes(P2, -1, -2)
+
+    def _extract(F):
+        return (F[..., :n, :n] + F[..., n:, n:]) / 2, (
+            F[..., n:, :n] - F[..., :n, n:]
+        ) / 2
+
+    sqrt_l = jnp.sqrt(lamb2)
+    Ah_r, Ah_i = _extract((P2 * sqrt_l[..., None, :]) @ P2T)  # A^{1/2}
+    Aih_r, Aih_i = _extract((P2 / sqrt_l[..., None, :]) @ P2T)  # A^{-1/2}
+
+    Mr, Mi = _cmatmul(*_cmatmul(Ah_r, Ah_i, Br, Bi), Ah_r, Ah_i)
+    Mr = (Mr + jnp.swapaxes(Mr, -1, -2)) / 2
+    Mi = (Mi - jnp.swapaxes(Mi, -1, -2)) / 2
+    Sr, Si = _spectral_sc(Mr, Mi, lambda l: jnp.sqrt(jnp.maximum(l, 0.0)))
+
+    Gr, Gi = _cmatmul(*_cmatmul(Aih_r, Aih_i, Sr, Si), Aih_r, Aih_i)
+    Gr = (Gr + jnp.swapaxes(Gr, -1, -2)) / 2
+    Gi = (Gi - jnp.swapaxes(Gi, -1, -2)) / 2
+    return Gr, Gi
+
+
+def _ipsdta_model_sc(Tr, Ti, V, eps, psd_impl):
+    """Reconstruct ``R = sum_k v_kt T_kb`` and its inverse, planar.
+
+    Parity: ssspy/bss/ipsdta.py:584-663 (PSD-projected reconstruction).
+    Returns ``(Rinv_r, Rinv_i)`` of shape ``(N, T, B, J, J)``.
+    """
+    Rr = jnp.einsum("nkt,nkbij->ntbij", V, Tr)
+    Ri = jnp.einsum("nkt,nkbij->ntbij", V, Ti)
+    Rr, Ri = _psd_project_sc(Rr, Ri, eps, psd_impl)
+    return _cinv(Rr, Ri)
+
+
+def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
+    """Vector-wise coordinate descent sweep on planar operands.
+
+    Parity: ssspy/bss/_update_spatial_model.py:516-608 via
+    :func:`ssspy_tpu.bss._update_spatial_model.update_by_block_decomposition_vcd`.
+    ``W``: ``(B, J, N, M)`` pair; ``RXX``: ``(B, J, J, N, M, M)`` pair.
+    """
+    n_blocks_p, n_neighbors, n_sources, _ = Wr.shape
+    Ur_d = jnp.moveaxis(jnp.diagonal(RXXr, axis1=1, axis2=2), -1, 0)  # (J, B, N, M, M)
+    Ui_d = jnp.moveaxis(jnp.diagonal(RXXi, axis1=1, axis2=2), -1, 0)
+    E_i = jnp.eye(n_neighbors, dtype=Wr.dtype)
+
+    def neighbor_body(i, carry):
+        Wr, Wi = carry
+        pad = (1 - E_i[i])[None, :, None]  # (1, J, 1)
+        U_ir = lax.dynamic_index_in_dim(Ur_d, i, axis=0, keepdims=False)  # (B, N, M, M)
+        U_ii = lax.dynamic_index_in_dim(Ui_d, i, axis=0, keepdims=False)
+        RXX_ir = lax.dynamic_index_in_dim(RXXr, i, axis=1, keepdims=False)  # (B,J,N,M,M)
+        RXX_ii = lax.dynamic_index_in_dim(RXXi, i, axis=1, keepdims=False)
+
+        for n in range(n_sources):
+            U_inr, U_ini = U_ir[:, n], U_ii[:, n]  # (B, M, M)
+            RXX_inr, RXX_ini = RXX_ir[:, :, n], RXX_ii[:, :, n]  # (B, J, M, M)
+            wr, wi = Wr[:, :, n, :], Wi[:, :, n, :]  # (B, J, M)
+
+            # RXY = RXX_in @ conj(w_n)
+            RXYr = (RXX_inr @ wr[..., None])[..., 0] + (RXX_ini @ wi[..., None])[..., 0]
+            RXYi = (RXX_ini @ wr[..., None])[..., 0] - (RXX_inr @ wi[..., None])[..., 0]
+            gr = jnp.sum(pad * RXYr, axis=1)  # (B, M)
+            gi = jnp.sum(pad * RXYi, axis=1)
+
+            W_ir = lax.dynamic_index_in_dim(Wr, i, axis=1, keepdims=False)  # (B, N, M)
+            W_ii = lax.dynamic_index_in_dim(Wi, i, axis=1, keepdims=False)
+            WUr, WUi = _cmatmul(W_ir, W_ii, U_inr, U_ini)
+            e_n = jnp.zeros((n_blocks_p, n_sources), Wr.dtype).at[:, n].set(1.0)
+            etar, etai = csolve(WUr, WUi, e_n, jnp.zeros_like(e_n))
+            ehr, ehi = csolve(U_inr, U_ini, gr, gi)
+
+            # z = eta^H U (row); xi = Re(z eta); xi_hat = z eta_hat
+            zr = jnp.einsum("bm,bmp->bp", etar, U_inr) + jnp.einsum(
+                "bm,bmp->bp", etai, U_ini
+            )
+            zi = jnp.einsum("bm,bmp->bp", etar, U_ini) - jnp.einsum(
+                "bm,bmp->bp", etai, U_inr
+            )
+            xi = jnp.maximum(jnp.sum(zr * etar - zi * etai, axis=-1), 0)
+            xhr = jnp.sum(zr * ehr - zi * ehi, axis=-1)
+            xhi = jnp.sum(zr * ehi + zi * ehr, axis=-1)
+
+            mag2 = xhr**2 + xhi**2
+            singular = jnp.sqrt(mag2) < eps
+            mag2_safe = jnp.where(singular, 1.0, mag2)
+            xi_safe = jnp.maximum(xi, tiny)
+            s = (1 - jnp.sqrt(1 + 4 * xi / mag2_safe)) / (2 * xi_safe)
+            cr = jnp.where(singular, 1 / jnp.sqrt(xi_safe), s * xhr)
+            ci = jnp.where(singular, jnp.zeros_like(xhi), s * xhi)
+
+            # w_new = coeff * eta - eta_hat; stored row is conj(w_new)
+            w_newr = cr[:, None] * etar - ci[:, None] * etai - ehr
+            w_newi = cr[:, None] * etai + ci[:, None] * etar - ehi
+            Wr = lax.dynamic_update_slice(Wr, w_newr[:, None, None, :], (0, i, n, 0))
+            Wi = lax.dynamic_update_slice(Wi, -w_newi[:, None, None, :], (0, i, n, 0))
+        return Wr, Wi
+
+    Wr, Wi = lax.fori_loop(0, n_neighbors, neighbor_body, (Wr, Wi))
+    return Wr, Wi
+
+
+def gauss_ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=1e-10, psd_impl: str = "auto"):
+    """One GaussIPSDTA (MM source, VCD spatial) iteration, split-complex.
+
+    Parity: ssspy/bss/ipsdta.py:700-1227 via
+    :class:`ssspy_tpu.bss.ipsdta.GaussIPSDTA` (source_normalization on).
+    ``Xs``: ``(2, M, I, T)``; ``Ws``: ``(2, I, N, M)``; ``T_parts``:
+    list of planar PSDTF bases ``(2, N, K, B_p, J_p, J_p)`` (two parts
+    when ``n_bins % n_blocks != 0``); ``V``: ``(N, K, T)`` real.
+    ``psd_impl``: "eigh" = reference-exact eigenvalue-floored PSD
+    projections; "ridge" = hermitize + ``eps I`` (identical when no
+    eigenvalue is under the floor, eigh-free); "auto" = ridge on f32
+    TPU backends. Returns ``(Ws, T_parts, V)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    n_frames = Xr.shape[-1]
+    if psd_impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
+
+    part_shapes = [(Tp.shape[3], Tp.shape[4]) for Tp in T_parts]  # (B_p, J_p)
+
+    def split_bins(arr, axis):
+        sizes = [B * J for B, J in part_shapes]
+        pieces = (
+            [arr]
+            if len(part_shapes) == 1
+            else jnp.split(arr, [sizes[0]], axis=axis)
+        )
+        out = []
+        for piece, (B, J) in zip(pieces, part_shapes):
+            shape = piece.shape[:axis] + (B, J) + piece.shape[axis + 1 :]
+            out.append(piece.reshape(shape))
+        return out
+
+    def separated_parts(Wr, Wi):
+        Yr, Yi = _csep(Wr, Wi, Xr, Xi)  # (N, I, T)
+        return list(zip(split_bins(Yr, 1), split_bins(Yi, 1)))
+
+    def part_stats(Tp, Yp):
+        """R^{-1} and the rank-1 RYYR per (frame, block), planar."""
+        Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl)
+        Ypr = jnp.transpose(Yp[0], (0, 3, 1, 2))  # (N, T, B, J)
+        Ypi = jnp.transpose(Yp[1], (0, 3, 1, 2))
+        ur = (Rinv_r @ Ypr[..., None])[..., 0] - (Rinv_i @ Ypi[..., None])[..., 0]
+        ui = (Rinv_r @ Ypi[..., None])[..., 0] + (Rinv_i @ Ypr[..., None])[..., 0]
+        # RYYR = u u^H (R^{-1} is Hermitian)
+        RYYRr = ur[..., :, None] * ur[..., None, :] + ui[..., :, None] * ui[..., None, :]
+        RYYRi = ui[..., :, None] * ur[..., None, :] - ur[..., :, None] * ui[..., None, :]
+        return (Rinv_r, Rinv_i), (RYYRr, RYYRi)
+
+    # ---- source model: basis update (ipsdta.py:932-997) ---------------------
+    Y_parts = separated_parts(Wr, Wi)
+    new_T_parts = []
+    for Tp, Yp in zip(T_parts, Y_parts):
+        (Rinv_r, Rinv_i), (RYYRr, RYYRi) = part_stats(Tp, Yp)
+        Pr = jnp.einsum("nkt,ntbij->nkbij", V, Rinv_r) / n_frames
+        Pi = jnp.einsum("nkt,ntbij->nkbij", V, Rinv_i) / n_frames
+        Qr = jnp.einsum("nkt,ntbij->nkbij", V, RYYRr) / n_frames
+        Qi = jnp.einsum("nkt,ntbij->nkbij", V, RYYRi) / n_frames
+        TQTr, TQTi = _cmatmul(*_cmatmul(Tp[0], Tp[1], Qr, Qi), Tp[0], Tp[1])
+        Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
+        TQTr, TQTi = _psd_project_sc(TQTr, TQTi, eps, psd_impl)
+        Tr_new, Ti_new = gmean2_sc(Pr, Pi, TQTr, TQTi)
+        Tr_new, Ti_new = _psd_project_sc(Tr_new, Ti_new, eps, psd_impl)
+        new_T_parts.append(jnp.stack([Tr_new, Ti_new], axis=0))
+    T_parts = new_T_parts
+
+    # ---- source model: activation update (ipsdta.py:1001-1006) --------------
+    num = denom = 0.0
+    for Tp, Yp in zip(T_parts, Y_parts):
+        (Rinv_r, Rinv_i), (RYYRr, RYYRi) = part_stats(Tp, Yp)
+        num = num + (
+            jnp.einsum("ntbij,nkbji->nkt", RYYRr, Tp[0])
+            - jnp.einsum("ntbij,nkbji->nkt", RYYRi, Tp[1])
+        )
+        denom = denom + (
+            jnp.einsum("ntbij,nkbji->nkt", Rinv_r, Tp[0])
+            - jnp.einsum("ntbij,nkbji->nkt", Rinv_i, Tp[1])
+        )
+    V = V * jnp.sqrt(num / denom)
+
+    # ---- source normalization (ipsdta.py:666-697) ----------------------------
+    trace = sum(
+        jnp.sum(jnp.trace(Tp[0], axis1=-2, axis2=-1), axis=-1) for Tp in T_parts
+    )  # (N, K)
+    T_parts = [Tp / trace[None, :, :, None, None, None] for Tp in T_parts]
+    V = V * trace[:, :, None]
+
+    # ---- spatial model: VCD (ipsdta.py:1058-1147) ----------------------------
+    X_parts = list(zip(split_bins(Xr, 1), split_bins(Xi, 1)))  # (M, B, J, T)
+    W_parts = list(zip(split_bins(Wr, 0), split_bins(Wi, 0)))  # (B, J, N, M)
+    new_W = []
+    for Tp, (Xpr, Xpi), (Wpr, Wpi) in zip(T_parts, X_parts, W_parts):
+        Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl)
+        # RXX[b,i,j,n,p,q] = mean_t Rinv[n,t,b,j,i] x[p,b,i,t] conj(x[q,b,j,t])
+        args = dict(optimize=True)
+        RXXr = (
+            jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpr, Xpr, **args)
+            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpi, Xpi, **args)
+            - jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpi, Xpr, **args)
+            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpr, Xpi, **args)
+        ) / n_frames
+        RXXi = (
+            jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpr, Xpr, **args)
+            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpi, Xpi, **args)
+            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpi, Xpr, **args)
+            - jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpr, Xpi, **args)
+        ) / n_frames
+        Wpr, Wpi = _vcd_sweep_sc(Wpr, Wpi, RXXr, RXXi, eps=eps)
+        new_W.append((Wpr, Wpi))
+
+    def merge(parts, axis):
+        flat = [p.reshape(p.shape[:axis] + (-1,) + p.shape[axis + 2 :]) for p in parts]
+        return flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=axis)
+
+    Wr = merge([p[0] for p in new_W], 0)
+    Wi = merge([p[1] for p in new_W], 0)
+    return jnp.stack([Wr, Wi], axis=0), T_parts, V
+
+
 def prox_l21_sc(Zr, Zi, step_size: float = 1.0, axis: int = 1):
     """Planar group soft-thresholding over ``axis`` (the bin axis for IVA).
 

@@ -443,3 +443,23 @@ def test_fast_admm_iva_matches_class_api():
     admm = ADMMIVA()
     Y_cls = np.asarray(admm(X.astype(np.complex64).copy(), n_iter=5))
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_gauss_ipsdta_matches_class_api():
+    from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+    from ssspy_tpu.fast import fast_gauss_ipsdta
+
+    X = _mixture(seed=19)[:, :33]  # 33 bins, n_blocks=4 -> remainder part
+    n_basis, n_blocks = 2, 4
+
+    Y_fast, (T, V), W = fast_gauss_ipsdta(
+        X, n_basis=n_basis, n_blocks=n_blocks, n_iter=3,
+        rng=np.random.default_rng(11),
+    )
+
+    ipsdta = GaussIPSDTA(
+        n_basis=n_basis, n_blocks=n_blocks, rng=np.random.default_rng(11)
+    )
+    Y_cls = np.asarray(ipsdta(X.astype(np.complex64).copy(), n_iter=3))
+    assert Y_fast.shape == X.shape
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
