@@ -46,6 +46,7 @@ __all__ = [
     "fast_grad_fdica",
     "fast_gauss_mnmf",
     "fast_gauss_ipsdta",
+    "fast_t_ipsdta",
     "fast_cacgmm",
     "fast_pds_iva",
     "fast_admm_iva",
@@ -770,7 +771,38 @@ def fast_gauss_ipsdta(
     on device in split-complex form; projection back runs on the host.
     Returns ``(separated, (basis_parts, activation), demix_filter)``.
     """
-    from .ops.splitc import gauss_ipsdta_vcd_step_sc
+    return _fast_ipsdta(
+        spectrogram, n_basis, n_blocks, None, n_iter, scale_restoration,
+        reference_id, rng,
+    )
+
+
+def fast_t_ipsdta(
+    spectrogram,
+    n_basis: int,
+    n_blocks: int,
+    dof: float,
+    n_iter: int = 100,
+    scale_restoration: bool = True,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """TIPSDTA (Student's-t source, VCD spatial) on the planar fast path.
+
+    Reference ssspy/bss/ipsdta.py:1230-1869; the t frame weight couples
+    the block parts and is recomputed before each stage on device.
+    Returns ``(separated, (basis_parts, activation), demix_filter)``.
+    """
+    return _fast_ipsdta(
+        spectrogram, n_basis, n_blocks, float(dof), n_iter, scale_restoration,
+        reference_id, rng,
+    )
+
+
+def _fast_ipsdta(
+    spectrogram, n_basis, n_blocks, dof, n_iter, scale_restoration, reference_id, rng
+):
+    from .ops.splitc import ipsdta_vcd_step_sc
 
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
@@ -804,7 +836,7 @@ def fast_gauss_ipsdta(
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n):
         def body(c, _):
-            W, T_parts, V = gauss_ipsdta_vcd_step_sc(Xs, c[0], list(c[1]), c[2])
+            W, T_parts, V = ipsdta_vcd_step_sc(Xs, c[0], list(c[1]), c[2], dof=dof)
             return (W, tuple(T_parts), V), None
 
         return lax.scan(body, carry, None, length=n)[0]

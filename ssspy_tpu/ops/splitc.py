@@ -1911,17 +1911,34 @@ def gauss_ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=1e-10, psd_impl: str = "aut
 
     Parity: ssspy/bss/ipsdta.py:700-1227 via
     :class:`ssspy_tpu.bss.ipsdta.GaussIPSDTA` (source_normalization on).
-    ``Xs``: ``(2, M, I, T)``; ``Ws``: ``(2, I, N, M)``; ``T_parts``:
-    list of planar PSDTF bases ``(2, N, K, B_p, J_p, J_p)`` (two parts
-    when ``n_bins % n_blocks != 0``); ``V``: ``(N, K, T)`` real.
-    ``psd_impl``: "eigh" = reference-exact eigenvalue-floored PSD
-    projections; "ridge" = hermitize + ``eps I`` (identical when no
-    eigenvalue is under the floor, eigh-free); "auto" = ridge on f32
-    TPU backends. Returns ``(Ws, T_parts, V)``.
+    See :func:`ipsdta_vcd_step_sc` for shapes and knobs.
+    """
+    return ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=eps, psd_impl=psd_impl)
+
+
+def ipsdta_vcd_step_sc(
+    Xs, Ws, T_parts, V, dof=None, eps=1e-10, psd_impl: str = "auto"
+):
+    """One IPSDTA (MM source, VCD spatial) iteration, split-complex.
+
+    ``dof=None`` is the Gaussian model (parity: ssspy/bss/ipsdta.py:
+    700-1227); a float ``dof`` selects the Student's-t model, whose
+    frame weight ``pi = (nu + 2I) / (nu + 2 sum_b y^H R^-1 y)`` is
+    recomputed before each stage and whose basis update routes through
+    ``Q^{1/2} (Q^{1/2} T P T Q^{1/2})^{-1/2} Q^{1/2}`` (parity:
+    ssspy/bss/ipsdta.py:1230-1869). ``Xs``: ``(2, M, I, T)``; ``Ws``:
+    ``(2, I, N, M)``; ``T_parts``: list of planar PSDTF bases
+    ``(2, N, K, B_p, J_p, J_p)`` (two parts when ``n_bins % n_blocks
+    != 0``); ``V``: ``(N, K, T)`` real. ``psd_impl``: "eigh" =
+    reference-exact eigenvalue-floored PSD projections; "ridge" =
+    hermitize + ``eps I`` (identical when no eigenvalue is under the
+    floor, eigh-free); "auto" = ridge on f32 TPU backends. Returns
+    ``(Ws, T_parts, V)``.
     """
     Xr, Xi = Xs[0], Xs[1]
     Wr, Wi = Ws[0], Ws[1]
     n_frames = Xr.shape[-1]
+    n_bins = Xr.shape[1]
     if psd_impl == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
         psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
@@ -1946,7 +1963,7 @@ def gauss_ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=1e-10, psd_impl: str = "aut
         return list(zip(split_bins(Yr, 1), split_bins(Yi, 1)))
 
     def part_stats(Tp, Yp):
-        """R^{-1} and the rank-1 RYYR per (frame, block), planar."""
+        """R^{-1}, the rank-1 RYYR, and ``sum_b y^H R^-1 y``, planar."""
         Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl)
         Ypr = jnp.transpose(Yp[0], (0, 3, 1, 2))  # (N, T, B, J)
         Ypi = jnp.transpose(Yp[1], (0, 3, 1, 2))
@@ -1955,32 +1972,69 @@ def gauss_ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=1e-10, psd_impl: str = "aut
         # RYYR = u u^H (R^{-1} is Hermitian)
         RYYRr = ur[..., :, None] * ur[..., None, :] + ui[..., :, None] * ui[..., None, :]
         RYYRi = ui[..., :, None] * ur[..., None, :] - ur[..., :, None] * ui[..., None, :]
-        return (Rinv_r, Rinv_i), (RYYRr, RYYRi)
+        # YRY = sum_b max(Re(y^H R^-1 y), 0) (ipsdta.py:1425-1446)
+        YRY = jnp.sum(
+            jnp.maximum(jnp.sum(Ypr * ur + Ypi * ui, axis=-1), 0), axis=-1
+        )  # (N, T)
+        return (Rinv_r, Rinv_i), (RYYRr, RYYRi), YRY
 
-    # ---- source model: basis update (ipsdta.py:932-997) ---------------------
+    def frame_weight(stats):
+        """t-model frame weight ``pi`` (N, T) (ipsdta.py:1440-1446)."""
+        if dof is None:
+            return None
+        YRY = sum(s[2] for s in stats)
+        return (dof + 2 * n_bins) / (dof + 2 * YRY)
+
+    def weight_frames(A, pi):
+        return A if pi is None else pi[:, :, None, None, None] * A
+
+    # ---- source model: basis update (gauss ipsdta.py:932-997; t :1491-1580) --
     Y_parts = separated_parts(Wr, Wi)
+    stats = [part_stats(Tp, Yp) for Tp, Yp in zip(T_parts, Y_parts)]
+    pi = frame_weight(stats)
     new_T_parts = []
-    for Tp, Yp in zip(T_parts, Y_parts):
-        (Rinv_r, Rinv_i), (RYYRr, RYYRi) = part_stats(Tp, Yp)
+    for Tp, ((Rinv_r, Rinv_i), (RYYRr, RYYRi), _) in zip(T_parts, stats):
         Pr = jnp.einsum("nkt,ntbij->nkbij", V, Rinv_r) / n_frames
         Pi = jnp.einsum("nkt,ntbij->nkbij", V, Rinv_i) / n_frames
-        Qr = jnp.einsum("nkt,ntbij->nkbij", V, RYYRr) / n_frames
-        Qi = jnp.einsum("nkt,ntbij->nkbij", V, RYYRi) / n_frames
-        TQTr, TQTi = _cmatmul(*_cmatmul(Tp[0], Tp[1], Qr, Qi), Tp[0], Tp[1])
-        Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
-        TQTr, TQTi = _psd_project_sc(TQTr, TQTi, eps, psd_impl)
-        Tr_new, Ti_new = gmean2_sc(Pr, Pi, TQTr, TQTi)
+        Qr = jnp.einsum("nkt,ntbij->nkbij", V, weight_frames(RYYRr, pi)) / n_frames
+        Qi = jnp.einsum("nkt,ntbij->nkbij", V, weight_frames(RYYRi, pi)) / n_frames
+        if dof is None:
+            TQTr, TQTi = _cmatmul(*_cmatmul(Tp[0], Tp[1], Qr, Qi), Tp[0], Tp[1])
+            Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
+            TQTr, TQTi = _psd_project_sc(TQTr, TQTi, eps, psd_impl)
+            Tr_new, Ti_new = gmean2_sc(Pr, Pi, TQTr, TQTi)
+        else:
+            # T <- T Q^{1/2} (Q^{1/2} T P T Q^{1/2})^{-1/2} Q^{1/2} T
+            Qr, Qi = _psd_project_sc(Qr, Qi, eps, psd_impl)
+            Qsr, Qsi = _spectral_sc(
+                Qr, Qi, lambda l: jnp.sqrt(jnp.maximum(l, 0.0)), hermitize=True
+            )
+            Mr, Mi = _cmatmul(Qsr, Qsi, Tp[0], Tp[1])
+            Mr, Mi = _cmatmul(Mr, Mi, Pr, Pi)
+            Mr, Mi = _cmatmul(Mr, Mi, Tp[0], Tp[1])
+            Mr, Mi = _cmatmul(Mr, Mi, Qsr, Qsi)
+            Mr, Mi = _psd_project_sc(Mr, Mi, eps, psd_impl)
+            Invr, Invi = _spectral_sc(
+                Mr,
+                Mi,
+                lambda l: 1 / jnp.maximum(jnp.sqrt(jnp.maximum(l, 0.0)), eps),
+                hermitize=True,
+            )
+            Gr, Gi = _cmatmul(Qsr, Qsi, Invr, Invi)
+            Gr, Gi = _cmatmul(Gr, Gi, Qsr, Qsi)
+            Tr_new, Ti_new = _cmatmul(*_cmatmul(Tp[0], Tp[1], Gr, Gi), Tp[0], Tp[1])
         Tr_new, Ti_new = _psd_project_sc(Tr_new, Ti_new, eps, psd_impl)
         new_T_parts.append(jnp.stack([Tr_new, Ti_new], axis=0))
     T_parts = new_T_parts
 
     # ---- source model: activation update (ipsdta.py:1001-1006) --------------
+    stats = [part_stats(Tp, Yp) for Tp, Yp in zip(T_parts, Y_parts)]
+    pi = frame_weight(stats)
     num = denom = 0.0
-    for Tp, Yp in zip(T_parts, Y_parts):
-        (Rinv_r, Rinv_i), (RYYRr, RYYRi) = part_stats(Tp, Yp)
+    for Tp, ((Rinv_r, Rinv_i), (RYYRr, RYYRi), _) in zip(T_parts, stats):
         num = num + (
-            jnp.einsum("ntbij,nkbji->nkt", RYYRr, Tp[0])
-            - jnp.einsum("ntbij,nkbji->nkt", RYYRi, Tp[1])
+            jnp.einsum("ntbij,nkbji->nkt", weight_frames(RYYRr, pi), Tp[0])
+            - jnp.einsum("ntbij,nkbji->nkt", weight_frames(RYYRi, pi), Tp[1])
         )
         denom = denom + (
             jnp.einsum("ntbij,nkbji->nkt", Rinv_r, Tp[0])
@@ -1995,12 +2049,17 @@ def gauss_ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=1e-10, psd_impl: str = "aut
     T_parts = [Tp / trace[None, :, :, None, None, None] for Tp in T_parts]
     V = V * trace[:, :, None]
 
-    # ---- spatial model: VCD (ipsdta.py:1058-1147) ----------------------------
+    # ---- spatial model: VCD (ipsdta.py:1058-1147; t weights :1751-1811) ------
+    stats = [part_stats(Tp, Yp) for Tp, Yp in zip(T_parts, Y_parts)]
+    pi = frame_weight(stats)
     X_parts = list(zip(split_bins(Xr, 1), split_bins(Xi, 1)))  # (M, B, J, T)
     W_parts = list(zip(split_bins(Wr, 0), split_bins(Wi, 0)))  # (B, J, N, M)
     new_W = []
-    for Tp, (Xpr, Xpi), (Wpr, Wpi) in zip(T_parts, X_parts, W_parts):
-        Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl)
+    for ((Rinv_r, Rinv_i), _, _), (Xpr, Xpi), (Wpr, Wpi) in zip(
+        stats, X_parts, W_parts
+    ):
+        Rinv_r = weight_frames(Rinv_r, pi)
+        Rinv_i = weight_frames(Rinv_i, pi)
         # RXX[b,i,j,n,p,q] = mean_t Rinv[n,t,b,j,i] x[p,b,i,t] conj(x[q,b,j,t])
         args = dict(optimize=True)
         RXXr = (

@@ -106,3 +106,43 @@ def test_gauss_ipsdta_vcd_step_matches_class_remainder_blocks():
     np.testing.assert_allclose(V_sc, V_cls, atol=1e-8)
     for p_sc, p_cls in zip(T_sc, T_cls):
         np.testing.assert_allclose(p_sc, np.asarray(p_cls), atol=1e-8)
+
+
+def _run_sc_t(X, parts, V0, n_iter, dof):
+    from ssspy_tpu.ops.splitc import ipsdta_vcd_step_sc
+
+    M, I = X.shape[0], X.shape[1]
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+    Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
+    T_parts = [jnp.asarray(np.stack([p.real, p.imag])) for p in parts]
+    V = jnp.asarray(V0)
+    step = jax.jit(
+        functools.partial(ipsdta_vcd_step_sc, dof=dof, psd_impl="eigh")
+    )
+    for _ in range(n_iter):
+        Ws, T_parts, V = step(Xs, Ws, T_parts, V)
+    W = np.asarray(Ws[0]) + 1j * np.asarray(Ws[1])
+    return W, [np.asarray(p[0]) + 1j * np.asarray(p[1]) for p in T_parts], np.asarray(V)
+
+
+def test_t_ipsdta_vcd_step_matches_class():
+    from ssspy_tpu.bss.ipsdta import TIPSDTA
+
+    X, parts, V0 = _fixture(seed=3, I=9, n_blocks=2, M=3)
+    parts_n, V_n = _prenormalize(parts, V0)
+
+    basis = tuple(p.astype(complex) for p in parts) if len(parts) > 1 else parts[0].astype(complex)
+    ipsdta = TIPSDTA(
+        n_basis=V0.shape[1], n_blocks=2, dof=5,
+        scale_restoration=False, record_loss=False, rng=np.random.default_rng(0),
+    )
+    ipsdta(X.copy(), n_iter=2, basis=basis, activation=V0.copy())
+    W_cls = np.asarray(ipsdta.demix_filter)
+    V_cls = np.asarray(ipsdta.activation)
+
+    W_sc, T_sc, V_sc = _run_sc_t(X, parts_n, V_n, n_iter=2, dof=5.0)
+    np.testing.assert_allclose(W_sc, W_cls, atol=1e-8)
+    np.testing.assert_allclose(V_sc, V_cls, atol=1e-8)
+    for p_sc, p_cls in zip(T_sc, ipsdta.basis):
+        np.testing.assert_allclose(p_sc, np.asarray(p_cls), atol=1e-8)

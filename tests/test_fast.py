@@ -463,3 +463,23 @@ def test_fast_gauss_ipsdta_matches_class_api():
     Y_cls = np.asarray(ipsdta(X.astype(np.complex64).copy(), n_iter=3))
     assert Y_fast.shape == X.shape
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_t_ipsdta_matches_class_api():
+    from ssspy_tpu.bss.ipsdta import TIPSDTA
+    from ssspy_tpu.fast import fast_t_ipsdta
+
+    X = _mixture(seed=20)[:, :32]  # 32 bins, n_blocks=4 -> even parts
+    n_basis, n_blocks = 2, 4
+
+    Y_fast, (T, V), W = fast_t_ipsdta(
+        X, n_basis=n_basis, n_blocks=n_blocks, dof=5, n_iter=3,
+        rng=np.random.default_rng(12),
+    )
+
+    ipsdta = TIPSDTA(
+        n_basis=n_basis, n_blocks=n_blocks, dof=5, rng=np.random.default_rng(12)
+    )
+    Y_cls = np.asarray(ipsdta(X.astype(np.complex64).copy(), n_iter=3))
+    assert Y_fast.shape == X.shape
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
