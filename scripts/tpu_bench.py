@@ -10,7 +10,7 @@ Variants: auxiva_ip1 auxiva_ip1_bf16 auxiva_ip2 auxiva_iss1 auxiva_iss2
           auxiva_ipa ilrma_ip1 ilrma_ip2 ilrma_iss1 ilrma_iss2 ilrma_ipa
           fdica_ip1 fdica_ip2 mnmf cacgmm hva wave_e2e bf16_loss
           grad_iva natural_grad_iva grad_fdica natural_grad_fdica
-          fast_iva faster_iva pds_iva admm_iva t_ilrma_ip1 ggd_ilrma_ip1 ipsdta
+          fast_iva faster_iva pds_iva admm_iva t_ilrma_ip1 ggd_ilrma_ip1 ipsdta mnmf_dense
 Existing entries in the output JSON are preserved (merge-on-write).
 """
 
@@ -226,6 +226,19 @@ def main():
             lambda c: c[0],
         ),
     )
+
+    def mnmf_dense():
+        Hd = np.zeros((2, M, I, M, M), dtype=np.float32)
+        Hd[0] = np.eye(M, dtype=np.float32) / M
+        XXs = jax.jit(sc.instant_covariance_sc)(Xs)
+        np.asarray(XXs)
+        return _time_scan(
+            lambda c: sc.gauss_mnmf_step_sc(XXs, *c),
+            (Tb, Vb, jax.device_put(Hd)),
+            lambda c: c[0],
+        )
+
+    record("mnmf_dense", mnmf_dense)
 
     def ipsdta():
         n_blocks = 64

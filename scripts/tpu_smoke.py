@@ -70,6 +70,15 @@ def main():
         lambda X, T, V: sc.ilrma_iss_step_sc(X, T, V, model="ggd", shape=1.5),
         Xd, Tb, Vb,
     )
+    Hd = np.zeros((2, M, I, M, M), dtype=np.float32)
+    Hd[0] = np.eye(M, dtype=np.float32) / M
+    smoke(
+        "gauss_mnmf_dense",
+        lambda X, T, V, H: sc.gauss_mnmf_step_sc(
+            sc.instant_covariance_sc(X), T, V, H
+        ),
+        Xd, Tb, Vb, jax.device_put(Hd),
+    )
     Tp = np.zeros((2, M, K, 11, 3, 3), dtype=np.float32)
     Tp[0] = rng.random((M, K, 11, 3))[..., None].astype(np.float32) * np.eye(
         3, dtype=np.float32

@@ -45,6 +45,7 @@ __all__ = [
     "fast_grad_iva",
     "fast_grad_fdica",
     "fast_gauss_mnmf",
+    "fast_gauss_mnmf_dense",
     "fast_gauss_ipsdta",
     "fast_t_ipsdta",
     "fast_cacgmm",
@@ -751,6 +752,63 @@ def fast_auxiva_wave(
         jax.device_put(x), n_iter, algorithm, n_fft, hop, x.shape[-1]
     )
     return np.asarray(y)
+
+
+def fast_gauss_mnmf_dense(
+    spectrogram,
+    n_basis: int,
+    n_iter: int = 100,
+    n_sources: Optional[int] = None,
+    reference_id: int = 0,
+    rng: Optional[np.random.Generator] = None,
+):
+    """GaussMNMF (dense spatial covariances) on the planar fast path.
+
+    The full-rank covariance model without joint diagonalization
+    (reference ssspy/bss/mnmf.py:681-1073); supports under/over-
+    determined ``n_sources``. The MM + geometric-mean iteration runs on
+    device in split-complex form; the multichannel Wiener separation
+    runs on the host. Returns ``(separated, (T, V, H))``.
+    """
+    from .ops.splitc import gauss_mnmf_step_sc, instant_covariance_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    n_sources = n_channels if n_sources is None else n_sources
+    rng = np.random.default_rng() if rng is None else rng
+
+    # same init scheme (and rng draw order) as the class path
+    T0 = np.maximum(rng.random((n_sources, n_bins, n_basis)), 1e-10).astype(np.float32)
+    V0 = np.maximum(rng.random((n_sources, n_basis, n_frames)), 1e-10).astype(
+        np.float32
+    )
+    H0 = np.zeros((2, n_sources, n_bins, n_channels, n_channels), dtype=np.float32)
+    H0[0] = np.eye(n_channels, dtype=np.float32) / n_channels
+
+    Xs = jax.device_put(to_split(X))
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(carry, n):
+        XXs = instant_covariance_sc(Xs)
+
+        def body(c, _):
+            return gauss_mnmf_step_sc(XXs, *c), None
+
+        return lax.scan(body, carry, None, length=n)[0]
+
+    carry0 = (jax.device_put(T0), jax.device_put(V0), jax.device_put(H0))
+    T, V, Hs = run(carry0, n_iter)
+    T, V, Hs = np.asarray(T), np.asarray(V), np.asarray(Hs)
+    H = Hs[0] + 1j * Hs[1]  # (N, I, M, M)
+
+    # host-side multichannel Wiener separation (mnmf.py:729-763)
+    Lamb = T @ V  # (N, I, Tf)
+    R_n = np.einsum("nit,nipq->nitpq", Lamb, H)
+    R = R_n.sum(axis=0)
+    W_Hermite = np.linalg.solve(R[None], R_n)
+    W_ref = np.swapaxes(W_Hermite, -2, -1).conj()[..., reference_id, :]
+    Y = np.einsum("nitm,mit->nit", W_ref, X)
+    return Y, (T, V, H)
 
 
 def fast_gauss_ipsdta(

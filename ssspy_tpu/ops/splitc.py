@@ -1763,6 +1763,129 @@ def hva_pds_step_sc(
     return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
 
 
+# ---- GaussMNMF (dense spatial covariances), split-complex --------------------
+
+
+def instant_covariance_sc(Xs, eps=1e-10, psd_impl: str = "auto"):
+    """``XX[i,t] = to_psd(x x^H)`` per (bin, frame), planar.
+
+    Parity: ssspy/bss/mnmf.py:167-188. ``psd_impl`` as in
+    :func:`gauss_mnmf_step_sc` ("ridge" skips the eigh; the rank-1
+    outer product is PSD by construction).
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    if psd_impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
+    XXr = jnp.einsum("pit,qit->itpq", Xr, Xr) + jnp.einsum("pit,qit->itpq", Xi, Xi)
+    XXi = jnp.einsum("pit,qit->itpq", Xi, Xr) - jnp.einsum("pit,qit->itpq", Xr, Xi)
+    return jnp.stack(list(_psd_project_sc(XXr, XXi, eps, psd_impl)), axis=0)
+
+
+def gauss_mnmf_step_sc(
+    XXs, T, V, Hs, Z=None, eps=1e-10, psd_impl: str = "auto", normalization=True
+):
+    """One GaussMNMF iteration in split-complex form.
+
+    Full-rank spatial covariance model, no demixing matrix (parity:
+    ssspy/bss/mnmf.py:681-1073 via :class:`ssspy_tpu.bss.mnmf.GaussMNMF`):
+    MM updates of the NMF factors from Wiener traces, Riccati-style
+    geometric-mean spatial update ``H <- P^{-1} # HQH``, unit-trace
+    normalization, optional latent partitioning. ``XXs``: instant
+    covariances ``(2, I, Tf, M, M)``; ``T``/``V``: NMF factors; ``Hs``:
+    spatial covariances ``(2, N, I, M, M)``; ``Z``: latent ``(N, K)``
+    or None. ``psd_impl`` as in :func:`ipsdta_vcd_step_sc`. Returns
+    ``(T, V, Hs[, Z])``.
+    """
+    XXr, XXi = XXs[0], XXs[1]
+    Hr, Hi = Hs[0], Hs[1]
+    if psd_impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        psd_impl = "ridge" if (on_tpu and XXr.dtype != jnp.float64) else "eigh"
+
+    def lamb_of(T, V, Z):
+        if Z is None:
+            return T @ V  # (N, I, K) @ (N, K, Tf)
+        return jnp.einsum("nk,ik,kt->nit", Z, T, V)
+
+    def model(T, V, Z):
+        """R = to_psd(sum_n Lamb_n H_n) (I, Tf, M, M), planar."""
+        Lamb = lamb_of(T, V, Z)
+        Rr = jnp.einsum("nit,nipq->itpq", Lamb, Hr)
+        Ri = jnp.einsum("nit,nipq->itpq", Lamb, Hi)
+        return _psd_project_sc(Rr, Ri, eps, psd_impl)
+
+    def traces(T, V, Z):
+        """``tr(R^-1 XX R^-1 H)`` and ``tr(R^-1 H)`` as (N, I, Tf)."""
+        Rr, Ri = model(T, V, Z)
+        RXXr, RXXi = csolve_matrix(Rr, Ri, XXr, XXi)  # R^-1 XX
+        n_src = Hr.shape[0]
+        Rb_r = jnp.broadcast_to(Rr[None], (n_src,) + Rr.shape)
+        Rb_i = jnp.broadcast_to(Ri[None], (n_src,) + Ri.shape)
+        Hb_r = jnp.broadcast_to(Hr[:, :, None], Rb_r.shape)
+        Hb_i = jnp.broadcast_to(Hi[:, :, None], Rb_r.shape)
+        RHr, RHi = csolve_matrix(Rb_r, Rb_i, Hb_r, Hb_i)  # R^-1 H (N,I,Tf,M,M)
+        tr_RXXRH = jnp.einsum("itab,nitba->nit", RXXr, RHr) - jnp.einsum(
+            "itab,nitba->nit", RXXi, RHi
+        )
+        tr_RH = jnp.einsum("nitaa->nit", RHr)
+        return tr_RXXRH, tr_RH
+
+    # ---- MM updates of basis then activation (mnmf.py:836-968) ---------------
+    num, denom = traces(T, V, Z)
+    if Z is None:
+        n_ = jnp.einsum("nkt,nit->nik", V, num)
+        d_ = jnp.einsum("nkt,nit->nik", V, denom)
+    else:
+        n_ = jnp.einsum("nk,kt,nit->ik", Z, V, num)
+        d_ = jnp.einsum("nk,kt,nit->ik", Z, V, denom)
+    T = jnp.maximum(T * jnp.sqrt(n_ / d_), eps)
+
+    num, denom = traces(T, V, Z)
+    if Z is None:
+        n_ = jnp.einsum("nik,nit->nkt", T, num)
+        d_ = jnp.einsum("nik,nit->nkt", T, denom)
+    else:
+        n_ = jnp.einsum("nk,ik,nit->kt", Z, T, num)
+        d_ = jnp.einsum("nk,ik,nit->kt", Z, T, denom)
+    V = jnp.maximum(V * jnp.sqrt(n_ / d_), eps)
+
+    # ---- spatial update H <- P^{-1} # HQH (mnmf.py:970-1016) ------------------
+    Lamb = lamb_of(T, V, Z)
+    Rr, Ri = model(T, V, Z)
+    Rinv_r, Rinv_i = _cinv(Rr, Ri)
+    RXr, RXi = _cmatmul(Rinv_r, Rinv_i, XXr, XXi)
+    RXXRr, RXXRi = _cmatmul(RXr, RXi, Rinv_r, Rinv_i)
+    Pr = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_r)
+    Pi = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_i)
+    Qr = jnp.einsum("nit,itpq->nipq", Lamb, RXXRr)
+    Qi = jnp.einsum("nit,itpq->nipq", Lamb, RXXRi)
+    HQHr, HQHi = _cmatmul(*_cmatmul(Hr, Hi, Qr, Qi), Hr, Hi)
+    Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
+    HQHr, HQHi = _psd_project_sc(HQHr, HQHi, eps, psd_impl)
+    Hr, Hi = gmean2_sc(Pr, Pi, HQHr, HQHi)
+    Hr, Hi = _psd_project_sc(Hr, Hi, eps, psd_impl)
+
+    # ---- unit-trace normalization (mnmf.py:391-414) ---------------------------
+    if normalization:
+        trace = jnp.trace(Hr, axis1=-2, axis2=-1)  # (N, I)
+        Hr = Hr / trace[..., None, None]
+        Hi = Hi / trace[..., None, None]
+        if Z is None:
+            T = trace[:, :, None] * T
+
+    # ---- latent update (partitioning, mnmf.py:1018-1073) ----------------------
+    if Z is not None:
+        num, denom = traces(T, V, Z)
+        n_ = jnp.einsum("ik,kt,nit->nk", T, V, num)
+        d_ = jnp.einsum("ik,kt,nit->nk", T, V, denom)
+        Z = Z * jnp.sqrt(n_ / d_)
+        Z = Z / Z.sum(axis=0)
+        return T, V, jnp.stack([Hr, Hi], axis=0), Z
+
+    return T, V, jnp.stack([Hr, Hi], axis=0)
+
+
 # ---- IPSDTA (block-decomposed PSDTF + VCD), split-complex --------------------
 
 

@@ -483,3 +483,20 @@ def test_fast_t_ipsdta_matches_class_api():
     Y_cls = np.asarray(ipsdta(X.astype(np.complex64).copy(), n_iter=3))
     assert Y_fast.shape == X.shape
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_gauss_mnmf_dense_matches_class_api():
+    from ssspy_tpu.bss.mnmf import GaussMNMF
+    from ssspy_tpu.fast import fast_gauss_mnmf_dense
+
+    X = _mixture(seed=21)[:, :33]
+    n_basis = 2
+
+    Y_fast, (T, V, H) = fast_gauss_mnmf_dense(
+        X, n_basis=n_basis, n_iter=3, rng=np.random.default_rng(13)
+    )
+
+    mnmf = GaussMNMF(n_basis=n_basis, rng=np.random.default_rng(13))
+    Y_cls = np.asarray(mnmf(X.astype(np.complex64).copy(), n_iter=3))
+    assert Y_fast.shape == X.shape
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
