@@ -1643,39 +1643,47 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None):
     """Planar prox of the negative log-determinant.
 
     The reference shrinks singular values through a complex SVD
-    (ssspy/linalg/prox.py:62-91). Here ``G = U S V^H`` is reached through
-    one real symmetric eigh of the embedded Gram matrix
-    ``E(G)^T E(G) = E(G^H G) = V S^2 V^H`` and the reconstruction
-    ``U f(S) V^H = G V (f(S)/S) V^T`` — complex-free. ``rel`` floors the
-    singular-value divisor relative to ``sigma_max`` (``None``: 1e-15 in
-    f64, 1e-6 in f32; the PDS log-det barrier keeps iterates away from
-    singularity, so the floor is a safety net).
+    (ssspy/linalg/prox.py:62-91). Here ``G = U S V^H`` is reached
+    complex-free through one real symmetric eigh of the embedded right
+    Gram ``E(G)^T E(G) = V S^2 V^T`` with the left factor recovered as
+    ``U = G V S^{-1}``. Singular directions (``S`` under ``rel`` of
+    ``sigma_max``) cannot yield ``U`` from ``G`` — there the left basis
+    comes from an eigh of the left Gram ``E(G) E(G)^T``, paired in
+    ascending order, so the prox still lifts them to ``f(0) =
+    sqrt(step)`` (a valid minimizer; the reference's LAPACK SVD makes an
+    equally arbitrary null-basis choice, so trajectories may differ
+    AFTER an exactly-singular iterate — e.g. ADMM's zero-initialized
+    start — while both remain valid proximal sequences).
     """
     from ..linalg.prox import neg_log
 
     if rel is None:
-        rel = 1e-15 if Gr.dtype == jnp.float64 else 1e-6
+        rel = 1e-12 if Gr.dtype == jnp.float64 else 1e-6
 
     n = Gr.shape[-1]
     G2 = block_embed(Gr, Gi)  # E(G), (.., 2M, 2M)
-    S = jnp.swapaxes(G2, -1, -2) @ G2
-    S = (S + jnp.swapaxes(S, -1, -2)) / 2
-    lamb, V2 = jnp.linalg.eigh(S)  # sigma^2, doubled
+    SR = jnp.swapaxes(G2, -1, -2) @ G2
+    SR = (SR + jnp.swapaxes(SR, -1, -2)) / 2
+    lamb, V2 = jnp.linalg.eigh(SR)  # sigma^2, doubled, ascending
     sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
-    divisor = jnp.maximum(sigma, rel * sigma[..., -1:])
-    ratio = neg_log(sigma, step_size=step_size) / divisor
-    W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
+
+    K = G2 @ V2  # = U S in the embedding
+    big = sigma > rel * sigma[..., -1:]  # (batch, 2n); False everywhere if G=0
+    safe = jnp.where(big, sigma, 1.0)
+    U_big = K / safe[..., None, :]
+
+    # left Gram supplies the null-space columns (aligned by the shared
+    # ascending spectrum; eigh of the zero matrix returns the identity,
+    # so prox(0) = sqrt(step) I like LAPACK's svd(0) convention)
+    SL = G2 @ jnp.swapaxes(G2, -1, -2)
+    SL = (SL + jnp.swapaxes(SL, -1, -2)) / 2
+    _, U2 = jnp.linalg.eigh(SL)
+    U_full = jnp.where(big[..., None, :], U_big, U2)
+
+    shrunk = neg_log(sigma, step_size=step_size)
+    W2 = (U_full * shrunk[..., None, :]) @ jnp.swapaxes(V2, -1, -2)
     Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
     Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
-
-    # G == 0 (e.g. ADMM's zero-initialized first iterate): the prox
-    # minimizer set is {sqrt(step) U : U unitary}; LAPACK's svd(0) picks
-    # U = V = I, so the class path returns sqrt(step) I — match it (the
-    # Gram reconstruction above collapses to 0 there).
-    zero = sigma[..., -1] <= 0  # (batch,)
-    eye = jnp.eye(n, dtype=Gr.dtype)
-    Wr = jnp.where(zero[..., None, None], jnp.sqrt(step_size) * eye, Wr)
-    Wi = jnp.where(zero[..., None, None], jnp.zeros_like(eye), Wi)
     return Wr, Wi
 
 
