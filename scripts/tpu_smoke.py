@@ -114,6 +114,16 @@ def main():
         jax.device_put(wave),
     )
 
+    # time-domain ICA is real-dtype: the class path runs on the chip as-is
+    def ica_cls():
+        from ssspy_tpu.bss.ica import NaturalGradLaplaceICA
+
+        x = rng.standard_normal((2, 4000)).astype(np.float32)
+        ica = NaturalGradLaplaceICA(record_loss=False)
+        return jnp.asarray(ica(x, n_iter=3))
+
+    smoke("ica_natural_grad_class_path", ica_cls)
+
     # the standalone eigh embedding (IPA's workhorse) at production size
     H = rng.standard_normal((257, 7, 7)).astype(np.float32)
     H = H @ H.swapaxes(-1, -2) + np.eye(7, dtype=np.float32)

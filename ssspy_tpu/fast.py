@@ -197,6 +197,7 @@ def fast_gauss_ilrma(
     n_basis: int,
     n_iter: int = 100,
     algorithm: str = "IP1",
+    partitioning: bool = False,
     scale_restoration: bool = True,
     reference_id: int = 0,
     rng: Optional[np.random.Generator] = None,
@@ -204,10 +205,17 @@ def fast_gauss_ilrma(
     """GaussILRMA (MM, power normalization) on the planar fast path.
 
     ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, ``"ISS2"``, or
-    ``"IPA"``. Returns ``(separated, (basis, activation), demix_filter_or_None)``
-    as host arrays.
+    ``"IPA"``. ``partitioning=True`` selects the shared-basis latent
+    model (IP1/IP2/ISS1/ISS2 only). Returns ``(separated, (basis,
+    activation), demix_filter_or_None)`` as host arrays.
     """
     assert algorithm in _ILRMA_STEPS, f"Not support {algorithm}."
+    if partitioning:
+        assert algorithm != "IPA", "Not support IPA with partitioning."
+        return _fast_gauss_ilrma_partitioning(
+            spectrogram, n_basis, n_iter, algorithm, scale_restoration,
+            reference_id, rng,
+        )
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
     rng = np.random.default_rng() if rng is None else rng
@@ -364,6 +372,57 @@ def fast_ggd_ilrma(
         rng,
         shape=float(beta),
     )
+
+
+def _fast_gauss_ilrma_partitioning(
+    spectrogram, n_basis, n_iter, algorithm, scale_restoration, reference_id, rng
+):
+    """Shared-basis latent GaussILRMA on the generic SC engine."""
+    from .ops.splitc import ilrma_ip_step_sc, ilrma_iss_step_sc
+
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    rng = np.random.default_rng() if rng is None else rng
+
+    Xs = jax.device_put(to_split(X))
+    # same init scheme (and rng draw order: Z, T, V) as the class path
+    Z0 = rng.random((n_channels, n_basis))
+    Z0 = np.maximum(Z0 / Z0.sum(axis=0), 1e-10).astype(np.float32)
+    T0 = np.maximum(rng.random((n_bins, n_basis)), 1e-10).astype(np.float32)
+    V0 = np.maximum(rng.random((n_basis, n_frames)), 1e-10).astype(np.float32)
+    TVZ = tuple(jax.device_put(a) for a in (T0, V0, Z0))
+
+    if algorithm in ("IP1", "IP2"):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(Xs, W, TVZ, n):
+            def body(c, _):
+                return ilrma_ip_step_sc(Xs, *c, spatial=algorithm), None
+
+            return lax.scan(body, (W,) + TVZ, None, length=n)[0]
+
+        W0 = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
+        W0[0] = np.eye(n_channels, dtype=np.float32)
+        Ws, T, V, Z = run(Xs, jax.device_put(W0), TVZ, n_iter)
+        W = np.asarray(Ws)[0] + 1j * np.asarray(Ws)[1]
+        if scale_restoration:
+            scale = np.linalg.inv(W)[:, reference_id, :]
+            W = W * scale[:, :, None]
+        Y = np.einsum("inm,mit->nit", W, X)
+        return Y, (np.asarray(T), np.asarray(V), np.asarray(Z)), W
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_iss(carry, TVZ, n):
+        def body(c, _):
+            return ilrma_iss_step_sc(*c, spatial=algorithm), None
+
+        return lax.scan(body, (carry,) + TVZ, None, length=n)[0]
+
+    Ys, T, V, Z = run_iss(Xs, TVZ, n_iter)
+    Ys = np.asarray(Ys)
+    Y = Ys[0] + 1j * Ys[1]
+    if scale_restoration:
+        Y = _projection_back_host(Y, X, reference_id)
+    return Y, (np.asarray(T), np.asarray(V), np.asarray(Z)), None
 
 
 def _permutation_align_host(Y: np.ndarray, *args: np.ndarray, eps=1e-10):

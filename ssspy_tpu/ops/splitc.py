@@ -552,6 +552,48 @@ def _ilrma_model_varphi(model, Y2, R, p, nu, beta, eps):
     raise ValueError(f"Not support {model}.")
 
 
+def _ilrma_mm_core_partitioning(Y2, T, V, Z, *, model, p, eps, nu=None, beta=None, me=False):
+    """Latent + basis + activation updates for the shared-basis model.
+
+    Mirrors ``ILRMABase._update_latent/_update_basis/_update_activation``
+    with ``partitioning=True`` (reference ssspy/bss/ilrma.py:1007-1204):
+    ``Z``: ``(N, K)``; ``T``: ``(I, K)``; ``V``: ``(K, T)``. Returns
+    ``(T, V, Z, R)``.
+    """
+
+    def reconstruct(T, V, Z):
+        return jnp.maximum(jnp.einsum("nk,ik,kt->nit", Z, T, V), eps)
+
+    R = reconstruct(T, V, Z)
+    w, ex, fac = _ilrma_model_weights(model, Y2, R, p, nu, beta, me)
+    num = fac * jnp.einsum("ik,kt,nit->nk", T, V, w)
+    denom = jnp.einsum("ik,kt,nit->nk", T, V, 1 / R)
+    Z = ((num / denom) ** ex) * Z
+    Z = Z / Z.sum(axis=0)
+
+    R = reconstruct(T, V, Z)
+    w, ex, fac = _ilrma_model_weights(model, Y2, R, p, nu, beta, me)
+    num = fac * jnp.einsum("nk,kt,nit->ik", Z, V, w)
+    denom = jnp.einsum("nk,kt,nit->ik", Z, V, 1 / R)
+    T = jnp.maximum(((num / denom) ** ex) * T, eps)
+
+    R = reconstruct(T, V, Z)
+    w, ex, fac = _ilrma_model_weights(model, Y2, R, p, nu, beta, me)
+    num = fac * jnp.einsum("nk,ik,nit->kt", Z, T, w)
+    denom = jnp.einsum("nk,ik,nit->kt", Z, T, 1 / R)
+    V = jnp.maximum(((num / denom) ** ex) * V, eps)
+
+    return T, V, Z, reconstruct(T, V, Z)
+
+
+def _ilrma_power_normalize_partitioning(psi, T, V, Z, p):
+    """Power normalization of the shared-basis factors
+    (reference ssspy/bss/ilrma.py:365-444, partitioning branch)."""
+    Z_psi = Z / (psi[:, None] ** p)
+    scale = jnp.sum(Z_psi, axis=0)  # (K,)
+    return T * scale[None, :], Z_psi / scale
+
+
 def _ilrma_mm_core(Y2, T, V, *, model, p, eps, nu=None, beta=None, me=False):
     """Basis + activation multiplicative updates for any source model.
 
@@ -596,6 +638,7 @@ def ilrma_ip_step_sc(
     Ws,
     T,
     V,
+    Z=None,
     model: str = "gauss",
     spatial: str = "IP1",
     domain: float = 2.0,
@@ -609,8 +652,10 @@ def ilrma_ip_step_sc(
     Generalizes :func:`gauss_ilrma_ip1_step_sc` to the Student's-t
     (``model="t"``, ``dof``) and generalized-Gaussian (``model="ggd"``,
     ``shape`` = beta) source models (reference ssspy/bss/ilrma.py:
-    1992-3334 t, :3337-4410 GGD; update order :900-922). Power
-    normalization couples ``W`` and ``T``. Returns ``(Ws, T, V)``.
+    1992-3334 t, :3337-4410 GGD; update order :900-922), and to the
+    shared-basis latent model (``Z`` not None: ``T`` is ``(I, K)``,
+    ``V`` ``(K, T)``, ``Z`` ``(N, K)``). Power normalization couples
+    ``W`` and the NMF factors. Returns ``(Ws, T, V[, Z])``.
     """
     p = domain
     Xr, Xi = Xs[0], Xs[1]
@@ -621,22 +666,29 @@ def ilrma_ip_step_sc(
         return Yr**2 + Yi**2  # (N, I, T)
 
     Y2 = power(Wr, Wi)
-    T, V, R = _ilrma_mm_core(Y2, T, V, model=model, p=p, eps=eps, nu=dof, beta=shape, me=me)
+    kw = dict(model=model, p=p, eps=eps, nu=dof, beta=shape, me=me)
+    if Z is None:
+        T, V, R = _ilrma_mm_core(Y2, T, V, **kw)
+    else:
+        T, V, Z, R = _ilrma_mm_core_partitioning(Y2, T, V, Z, **kw)
     varphi = _ilrma_model_varphi(model, Y2, R, p, dof, shape, eps)
     Wr, Wi = _ilrma_ip_spatial(Xr, Xi, Wr, Wi, varphi, spatial, eps)
 
     psi = jnp.maximum(jnp.sqrt(jnp.mean(power(Wr, Wi), axis=(-2, -1))), eps)  # (N,)
     Wr = Wr / psi[None, :, None]
     Wi = Wi / psi[None, :, None]
-    T = T / (psi[:, None, None] ** p)
-
-    return jnp.stack([Wr, Wi], axis=0), T, V
+    if Z is None:
+        T = T / (psi[:, None, None] ** p)
+        return jnp.stack([Wr, Wi], axis=0), T, V
+    T, Z = _ilrma_power_normalize_partitioning(psi, T, V, Z, p)
+    return jnp.stack([Wr, Wi], axis=0), T, V, Z
 
 
 def ilrma_iss_step_sc(
     Ys,
     T,
     V,
+    Z=None,
     model: str = "gauss",
     spatial: str = "ISS1",
     domain: float = 2.0,
@@ -648,13 +700,17 @@ def ilrma_iss_step_sc(
     """One ILRMA MM/ME + ISS1/ISS2 iteration for any source model.
 
     Demix-free twin of :func:`ilrma_ip_step_sc` (state is the separated
-    spectrogram pair). Returns ``(Ys, T, V)``.
+    spectrogram pair). Returns ``(Ys, T, V[, Z])``.
     """
     p = domain
     Yr, Yi = Ys[0], Ys[1]
 
     Y2 = Yr**2 + Yi**2
-    T, V, R = _ilrma_mm_core(Y2, T, V, model=model, p=p, eps=eps, nu=dof, beta=shape, me=me)
+    kw = dict(model=model, p=p, eps=eps, nu=dof, beta=shape, me=me)
+    if Z is None:
+        T, V, R = _ilrma_mm_core(Y2, T, V, **kw)
+    else:
+        T, V, Z, R = _ilrma_mm_core_partitioning(Y2, T, V, Z, **kw)
     varphi = _ilrma_model_varphi(model, Y2, R, p, dof, shape, eps)
     if spatial == "ISS1":
         Yr, Yi = iss1_sweep_sc(Yr, Yi, varphi, eps=eps)
@@ -664,9 +720,11 @@ def ilrma_iss_step_sc(
     psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
     Yr = Yr / psi[:, None, None]
     Yi = Yi / psi[:, None, None]
-    T = T / (psi[:, None, None] ** p)
-
-    return jnp.stack([Yr, Yi], axis=0), T, V
+    if Z is None:
+        T = T / (psi[:, None, None] ** p)
+        return jnp.stack([Yr, Yi], axis=0), T, V
+    T, Z = _ilrma_power_normalize_partitioning(psi, T, V, Z, p)
+    return jnp.stack([Yr, Yi], axis=0), T, V, Z
 
 
 def csolve_matrix(Ar, Ai, Br, Bi, impl: str = "auto"):

@@ -150,3 +150,68 @@ def test_ggd_ilrma_domain1_matches_class():
     W_sc, T_sc, _ = _run_ip(X, T0, V0, 3, model="ggd", spatial="IP1", shape=1.8, domain=1.0)
     np.testing.assert_allclose(W_sc, np.asarray(ilrma.demix_filter), atol=1e-8)
     np.testing.assert_allclose(T_sc, np.asarray(ilrma.basis), atol=1e-8)
+
+
+def test_gauss_ilrma_partitioning_ip1_matches_class():
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+
+    rng = np.random.default_rng(12)
+    M, I, T_frames, K = 2, 9, 20, 3
+    X = rng.standard_normal((M, I, T_frames)) + 1j * rng.standard_normal(
+        (M, I, T_frames)
+    )
+    T0 = rng.random((I, K)) + 0.1
+    V0 = rng.random((K, T_frames)) + 0.1
+    Z0 = rng.random((M, K))
+    Z0 = Z0 / Z0.sum(axis=0)
+
+    ilrma = GaussILRMA(
+        n_basis=K, spatial_algorithm="IP", partitioning=True, scale_restoration=False
+    )
+    ilrma(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy(), latent=Z0.copy())
+
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+    Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
+    T, V, Z = jnp.asarray(T0), jnp.asarray(V0), jnp.asarray(Z0)
+    from ssspy_tpu.ops.splitc import ilrma_ip_step_sc
+
+    step = jax.jit(functools.partial(ilrma_ip_step_sc, eps=1e-10, spatial="IP1"))
+    for _ in range(3):
+        Ws, T, V, Z = step(Xs, Ws, T, V, Z)
+
+    W_sc = np.asarray(Ws[0]) + 1j * np.asarray(Ws[1])
+    np.testing.assert_allclose(W_sc, np.asarray(ilrma.demix_filter), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ilrma.basis), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Z), np.asarray(ilrma.latent), atol=1e-8)
+
+
+def test_gauss_ilrma_partitioning_iss1_matches_class():
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+
+    rng = np.random.default_rng(13)
+    M, I, T_frames, K = 3, 9, 20, 2
+    X = rng.standard_normal((M, I, T_frames)) + 1j * rng.standard_normal(
+        (M, I, T_frames)
+    )
+    T0 = rng.random((I, K)) + 0.1
+    V0 = rng.random((K, T_frames)) + 0.1
+    Z0 = rng.random((M, K))
+    Z0 = Z0 / Z0.sum(axis=0)
+
+    ilrma = GaussILRMA(
+        n_basis=K, spatial_algorithm="ISS", partitioning=True, scale_restoration=False
+    )
+    ilrma(X.copy(), n_iter=3, basis=T0.copy(), activation=V0.copy(), latent=Z0.copy())
+
+    from ssspy_tpu.ops.splitc import ilrma_iss_step_sc
+
+    Ys = jnp.asarray(np.stack([X.real, X.imag]))
+    T, V, Z = jnp.asarray(T0), jnp.asarray(V0), jnp.asarray(Z0)
+    step = jax.jit(functools.partial(ilrma_iss_step_sc, eps=1e-10, spatial="ISS1"))
+    for _ in range(3):
+        Ys, T, V, Z = step(Ys, T, V, Z)
+
+    Y_sc = np.asarray(Ys[0]) + 1j * np.asarray(Ys[1])
+    np.testing.assert_allclose(Y_sc, np.asarray(ilrma.output), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Z), np.asarray(ilrma.latent), atol=1e-8)

@@ -500,3 +500,23 @@ def test_fast_gauss_mnmf_dense_matches_class_api():
     Y_cls = np.asarray(mnmf(X.astype(np.complex64).copy(), n_iter=3))
     assert Y_fast.shape == X.shape
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_gauss_ilrma_partitioning_matches_class_api():
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+    from ssspy_tpu.fast import fast_gauss_ilrma
+
+    X = _mixture(seed=22)
+    n_basis = 2
+
+    Y_fast, (T, V, Z), W = fast_gauss_ilrma(
+        X, n_basis=n_basis, n_iter=4, partitioning=True,
+        rng=np.random.default_rng(14),
+    )
+
+    ilrma = GaussILRMA(
+        n_basis=n_basis, spatial_algorithm="IP", partitioning=True,
+        rng=np.random.default_rng(14),
+    )
+    Y_cls = np.asarray(ilrma(X.astype(np.complex64).copy(), n_iter=4))
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
