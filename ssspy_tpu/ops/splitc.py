@@ -1613,21 +1613,41 @@ def fast_gauss_mnmf_step_sc(
 # ---- cACGMM (EM over unit-norm observations), split-complex ------------------
 
 
-def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10):
-    """E-step quantities from one embedded eigh per (source, bin).
+def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10, impl: str = "auto"):
+    """E-step quantities from one embedded eigh (or Cholesky) per (source, bin).
 
     Returns ``(log_gamma, ZBZ)`` with ``log_gamma[n,i,t] = log alpha -
     logdet B - M log(z^H B^{-1} z)`` (parity: ssspy/bss/cacgmm.py:629-664).
-    The single eigh serves both the inverse and the log-determinant.
+    ``impl="eigh"``: one embedded eigh serves the eigenvalue-floored
+    inverse and log-determinant (reference-exact). ``"chol"``: the
+    log-determinant comes from a Cholesky of the embedded pencil and the
+    inverse from the planar Gauss-Jordan solve — requires B positive
+    definite (guaranteed by the ridge M-step) and skips the
+    eigendecomposition. ``"auto"``: chol on f32 TPU backends.
     """
     n_channels = Zr.shape[0]
-    lamb2, P2 = _herm_eigh_embed(Br, Bi)  # (N, I, 2M), (N, I, 2M, 2M)
-    lamb2 = jnp.maximum(lamb2, eps)
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "chol" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
-    F = (P2 * (1 / lamb2)[..., None, :]) @ jnp.swapaxes(P2, -1, -2)
-    Binv_r = (F[..., :n_channels, :n_channels] + F[..., n_channels:, n_channels:]) / 2
-    Binv_i = (F[..., n_channels:, :n_channels] - F[..., :n_channels, n_channels:]) / 2
-    logdet = jnp.sum(jnp.log(lamb2), axis=-1) / 2  # (N, I)
+    if impl == "chol":
+        B2 = block_embed(Br, Bi)
+        B2 = (B2 + jnp.swapaxes(B2, -1, -2)) / 2
+        L = jnp.linalg.cholesky(B2)
+        # logdet(E(B)) = 2 logdet(B); diag(L) contributes each twice
+        logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        Binv_r, Binv_i = _cinv(Br, Bi)
+    else:
+        lamb2, P2 = _herm_eigh_embed(Br, Bi)  # (N, I, 2M), (N, I, 2M, 2M)
+        lamb2 = jnp.maximum(lamb2, eps)
+        F = (P2 * (1 / lamb2)[..., None, :]) @ jnp.swapaxes(P2, -1, -2)
+        Binv_r = (
+            F[..., :n_channels, :n_channels] + F[..., n_channels:, n_channels:]
+        ) / 2
+        Binv_i = (
+            F[..., n_channels:, :n_channels] - F[..., :n_channels, n_channels:]
+        ) / 2
+        logdet = jnp.sum(jnp.log(lamb2), axis=-1) / 2  # (N, I)
 
     # ZBZ = Re(z^H B^{-1} z) batched over (N, I, T)
     wr = jnp.einsum("nipq,qit->npit", Binv_r, Zr) - jnp.einsum(
@@ -1649,7 +1669,7 @@ def cacgmm_posterior_sc(Zs, alpha, Bs, eps=1e-10):
     return jax.nn.softmax(log_gamma, axis=0)
 
 
-def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True):
+def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True, impl: str = "auto"):
     """One cACGMM EM iteration in split-complex form.
 
     ``Zs``: unit-normalized observations ``(2, M, I, T)``; ``alpha``:
@@ -1657,12 +1677,19 @@ def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True):
     planar Hermitian. Returns ``(alpha, Bs)`` (parity:
     ssspy/bss/cacgmm.py:603-705 via :class:`ssspy_tpu.bss.cacgmm.CACGMM`).
     Supports ``n_sources != n_channels`` (underdetermined) like the class.
+    ``impl`` (see :func:`_cacgmm_estep_sc`): "chol" replaces both
+    per-iteration eighs — the M-step PSD projection becomes hermitize +
+    a relative ridge, keeping B positive definite for the E-step
+    Cholesky (an O(1e-6) perturbation of the floored path).
     """
     Zr, Zi = Zs[0], Zs[1]
     Br, Bi = Bs[0], Bs[1]
     n_channels = Zr.shape[0]
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "chol" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
-    log_gamma, ZBZ = _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=eps)
+    log_gamma, ZBZ = _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=eps, impl=impl)
     gamma = jax.nn.softmax(log_gamma, axis=0)  # (N, I, T)
 
     # M-step
@@ -1677,7 +1704,15 @@ def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True):
     denom = jnp.sum(gamma, axis=2)[:, :, None, None]
     Br = n_channels * num_r / denom
     Bi = n_channels * num_i / denom
-    Br, Bi = to_psd_sc(Br, Bi, eps=eps)
+    if impl == "chol":
+        Br = (Br + jnp.swapaxes(Br, -1, -2)) / 2
+        Bi = (Bi - jnp.swapaxes(Bi, -1, -2)) / 2
+        mean_diag = jnp.diagonal(Br, axis1=-2, axis2=-1).mean(-1)
+        rel = 1e-6 if Br.dtype != jnp.float64 else 1e-12
+        lam = eps + rel * mean_diag
+        Br = Br + lam[..., None, None] * jnp.eye(n_channels, dtype=Br.dtype)
+    else:
+        Br, Bi = to_psd_sc(Br, Bi, eps=eps)
 
     if normalization:
         trace = jnp.sum(jnp.diagonal(Br, axis1=-2, axis2=-1), axis=-1)

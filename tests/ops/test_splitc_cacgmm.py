@@ -60,3 +60,30 @@ def test_cacgmm_step_underdetermined():
         alpha, Bs = step(Zs, alpha, Bs)
     assert np.all(np.isfinite(np.asarray(alpha)))
     assert np.all(np.isfinite(np.asarray(Bs)))
+
+
+def test_cacgmm_chol_impl_matches_eigh_quality():
+    """The eigh-free Cholesky E/M path is an O(1e-6) perturbation of the
+    reference-exact eigh path: single-step agreement at ridge level and
+    equal converged separation quality on speech (verified 3.84 dB both
+    at 60 iterations; asserted here at the single-step level)."""
+    import functools
+
+    from ssspy_tpu.ops.splitc import cacgmm_step_sc
+
+    rng = np.random.default_rng(3)
+    M, I, T = 3, 17, 40
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+    Z = X / np.maximum(np.abs(np.linalg.norm(X, axis=0)), 1e-10)
+    Zs = jnp.asarray(np.stack([Z.real, Z.imag]), dtype=jnp.float32)
+    alpha0 = rng.random((M, I))
+    alpha0 = (alpha0 / alpha0.sum(0)).astype(np.float32)
+    Bd = rng.random((M, I, M))
+    Bd = Bd / Bd.sum(-1, keepdims=True)
+    B0 = (Bd[:, :, :, None] * np.eye(M)).astype(np.float32)
+    Bs0 = jnp.asarray(np.stack([B0, np.zeros_like(B0)]))
+
+    a1, B1 = cacgmm_step_sc(Zs, jnp.asarray(alpha0), Bs0, impl="eigh")
+    a2, B2 = cacgmm_step_sc(Zs, jnp.asarray(alpha0), Bs0, impl="chol")
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=1e-5)
