@@ -197,24 +197,33 @@ def fast_gauss_ilrma(
     n_basis: int,
     n_iter: int = 100,
     algorithm: str = "IP1",
+    source_algorithm: str = "MM",
     partitioning: bool = False,
     scale_restoration: bool = True,
     reference_id: int = 0,
     rng: Optional[np.random.Generator] = None,
 ):
-    """GaussILRMA (MM, power normalization) on the planar fast path.
+    """GaussILRMA (MM/ME, power normalization) on the planar fast path.
 
     ``algorithm``: ``"IP1"``, ``"IP2"``, ``"ISS1"``, ``"ISS2"``, or
-    ``"IPA"``. ``partitioning=True`` selects the shared-basis latent
-    model (IP1/IP2/ISS1/ISS2 only). Returns ``(separated, (basis,
-    activation), demix_filter_or_None)`` as host arrays.
+    ``"IPA"``. ``source_algorithm``: MM or ME (ME: IP/ISS only, like
+    the reference's ``domain == 2`` constraint). ``partitioning=True``
+    selects the shared-basis latent model (IP1/IP2/ISS1/ISS2 only).
+    Returns ``(separated, (basis, activation), demix_filter_or_None)``.
     """
     assert algorithm in _ILRMA_STEPS, f"Not support {algorithm}."
+    assert source_algorithm in ("MM", "ME"), f"Not support {source_algorithm}."
     if partitioning:
         assert algorithm != "IPA", "Not support IPA with partitioning."
         return _fast_gauss_ilrma_partitioning(
             spectrogram, n_basis, n_iter, algorithm, scale_restoration,
             reference_id, rng,
+        )
+    if source_algorithm == "ME":
+        assert algorithm != "IPA", "Not support IPA with ME."
+        return _fast_ilrma_generic(
+            spectrogram, n_basis, n_iter, algorithm, "gauss",
+            scale_restoration, reference_id, rng, me=True,
         )
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape

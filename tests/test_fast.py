@@ -520,3 +520,29 @@ def test_fast_gauss_ilrma_partitioning_matches_class_api():
     )
     Y_cls = np.asarray(ilrma(X.astype(np.complex64).copy(), n_iter=4))
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_fast_gauss_ilrma_me_matches_class_api():
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+    from ssspy_tpu.fast import fast_gauss_ilrma
+
+    X = _mixture(seed=23)
+    rng_init = np.random.default_rng(5)
+    n_basis = 2
+    T0 = rng_init.random((2, X.shape[1], n_basis))
+    V0 = rng_init.random((2, n_basis, X.shape[2]))
+
+    Y_fast, (T, V), W = fast_gauss_ilrma(
+        X, n_basis=n_basis, n_iter=4, source_algorithm="ME", rng=_fixed_rng(T0, V0)
+    )
+
+    ilrma = GaussILRMA(n_basis=n_basis, spatial_algorithm="IP", source_algorithm="ME")
+    Y_cls = np.asarray(
+        ilrma(
+            X.astype(np.complex64).copy(),
+            n_iter=4,
+            basis=T0.astype(np.float32),
+            activation=V0.astype(np.float32),
+        )
+    )
+    np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
