@@ -10,6 +10,14 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)  # run from anywhere without installing
 sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
+# The examples drive the host STFT through jnp.fft, which FFT-less TPU
+# runtimes reject — run the demos on CPU. On-device runs are exercised by
+# scripts/tpu_smoke.py and scripts/tpu_bench.py (which keep FFT work off
+# the device entirely).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def make_mixture(n_sources=3, duration=4.0, seed=0):
     """Synthetic convolutive speech-like mixture + ground-truth images."""

@@ -1732,21 +1732,26 @@ def cacgmm_loss_sc(Zs, alpha, Bs, eps=1e-10):
 # ---- HVA / masking-PDS (proximal splitting), split-complex -------------------
 
 
-def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None):
+def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool = False):
     """Planar prox of the negative log-determinant.
 
     The reference shrinks singular values through a complex SVD
     (ssspy/linalg/prox.py:62-91). Here ``G = U S V^H`` is reached
     complex-free through one real symmetric eigh of the embedded right
     Gram ``E(G)^T E(G) = V S^2 V^T`` with the left factor recovered as
-    ``U = G V S^{-1}``. Singular directions (``S`` under ``rel`` of
-    ``sigma_max``) cannot yield ``U`` from ``G`` — there the left basis
-    comes from an eigh of the left Gram ``E(G) E(G)^T``, paired in
-    ascending order, so the prox still lifts them to ``f(0) =
-    sqrt(step)`` (a valid minimizer; the reference's LAPACK SVD makes an
-    equally arbitrary null-basis choice, so trajectories may differ
-    AFTER an exactly-singular iterate — e.g. ADMM's zero-initialized
-    start — while both remain valid proximal sequences).
+    ``U = G V S^{-1}``.
+
+    Singular directions (``S`` under ``rel`` of ``sigma_max``) cannot
+    yield ``U`` from ``G``. With ``lift_null=True`` the left basis comes
+    from a second eigh of the left Gram ``E(G) E(G)^T`` (paired by the
+    shared ascending spectrum), so the prox still lifts them to ``f(0) =
+    sqrt(step)`` — a valid minimizer; the reference's LAPACK SVD makes
+    an equally arbitrary null-basis choice, so trajectories may differ
+    AFTER an exactly-singular iterate while both remain valid proximal
+    sequences. ADMM needs this (its zero-initialized first iterate and
+    early iterates are exactly singular); PDS/HVA iterates never are
+    (the log-det barrier repels singularity), so their default skips the
+    second eigh.
     """
     from ..linalg.prox import neg_log
 
@@ -1759,21 +1764,29 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None):
     SR = (SR + jnp.swapaxes(SR, -1, -2)) / 2
     lamb, V2 = jnp.linalg.eigh(SR)  # sigma^2, doubled, ascending
     sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
+    shrunk = neg_log(sigma, step_size=step_size)
+
+    if not lift_null:
+        divisor = jnp.maximum(sigma, rel * sigma[..., -1:])
+        ratio = shrunk / divisor
+        W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
+        Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
+        Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
+        return Wr, Wi
 
     K = G2 @ V2  # = U S in the embedding
     big = sigma > rel * sigma[..., -1:]  # (batch, 2n); False everywhere if G=0
     safe = jnp.where(big, sigma, 1.0)
     U_big = K / safe[..., None, :]
 
-    # left Gram supplies the null-space columns (aligned by the shared
-    # ascending spectrum; eigh of the zero matrix returns the identity,
-    # so prox(0) = sqrt(step) I like LAPACK's svd(0) convention)
+    # left Gram supplies the null-space columns (eigh of the zero matrix
+    # returns the identity, so prox(0) = sqrt(step) I like LAPACK's
+    # svd(0) convention)
     SL = G2 @ jnp.swapaxes(G2, -1, -2)
     SL = (SL + jnp.swapaxes(SL, -1, -2)) / 2
     _, U2 = jnp.linalg.eigh(SL)
     U_full = jnp.where(big[..., None, :], U_big, U2)
 
-    shrunk = neg_log(sigma, step_size=step_size)
     W2 = (U_full * shrunk[..., None, :]) @ jnp.swapaxes(V2, -1, -2)
     Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
     Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
@@ -2393,7 +2406,7 @@ def admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float =
     Ur, Ui = a * Wr + (1 - a) * Vr, a * Wi + (1 - a) * Vi
     Utr, Uti = a * XWr + (1 - a) * Vtr, a * XWi + (1 - a) * Vti
 
-    Vr, Vi = prox_neg_logdet_sc(Ur + Yr, Ui + Yi, step_size=1 / rho)
+    Vr, Vi = prox_neg_logdet_sc(Ur + Yr, Ui + Yi, step_size=1 / rho, lift_null=True)
     Vtr, Vti = prox_l21_sc(Utr + Ytr, Uti + Yti, step_size=1 / rho)
 
     Yr, Yi = Yr + Ur - Vr, Yi + Ui - Vi

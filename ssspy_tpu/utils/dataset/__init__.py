@@ -14,19 +14,34 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _sparse_envelope(rng, n_samples, events_per_sec, sample_rate, smooth):
+    """Sparse syllabic on/off envelope (independent across sources)."""
+    onsets = rng.random(n_samples) < events_per_sec / sample_rate
+    env = np.convolve(onsets.astype(float), np.ones(smooth), mode="same")
+    return np.clip(env, 0.0, 1.0)
+
+
 def _synthetic_speech_like(rng: np.random.Generator, n_samples: int, sample_rate: int):
-    """Deterministic speech-like signal: sum of AM-modulated harmonics + noise bursts."""
+    """Deterministic speech-like signal: syllabically-gated harmonics +
+    sparsely-gated wideband bursts.
+
+    Both components ride SPARSE independent envelopes: a stationary
+    (constant-envelope) component is Gaussian in every STFT bin and
+    fundamentally unseparable by ICA/IVA-family methods, so the synthetic
+    sources must be strongly non-stationary to exercise separation
+    meaningfully (super-Gaussian bin marginals through amplitude
+    modulation — the same property real speech has).
+    """
     t = np.arange(n_samples) / sample_rate
     f0 = rng.uniform(90.0, 250.0)
+    smooth = int(0.12 * sample_rate)  # ~120 ms syllables
     sig = np.zeros(n_samples)
     for k in range(1, 6):
-        env_rate = rng.uniform(1.5, 4.0)
-        env = 0.5 * (1 + np.sin(2 * np.pi * env_rate * t + rng.uniform(0, 2 * np.pi)))
+        env = _sparse_envelope(rng, n_samples, 4.0, sample_rate, smooth)
         sig += env * np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)) / k
-    # wideband "consonant" bursts
-    burst_env = (rng.random(n_samples) < 0.5).astype(float)
-    burst_env = np.convolve(burst_env, np.ones(256) / 256, mode="same")
-    sig += 0.3 * burst_env * rng.standard_normal(n_samples)
+    # wideband "consonant" bursts, sparsely gated
+    burst_env = _sparse_envelope(rng, n_samples, 3.0, sample_rate, smooth // 2)
+    sig += 0.5 * burst_env * rng.standard_normal(n_samples)
     return sig / np.max(np.abs(sig))
 
 
