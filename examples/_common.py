@@ -17,6 +17,11 @@ sys.path.insert(0, os.path.join(_ROOT, "tests"))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# class-API branches demo the parity surface, which matches the f64 NumPy
+# reference (complex64 class paths keep the reference's eps=1e-10, which
+# underflows on high-dynamic-range mixtures; the --fast branches use the
+# f32-calibrated split-complex paths instead)
+jax.config.update("jax_enable_x64", True)
 
 
 def make_mixture(n_sources=3, duration=4.0, seed=0):

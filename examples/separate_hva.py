@@ -1,4 +1,12 @@
-"""HVA: harmonic vector analysis (proximal splitting + cepstral mask)."""
+"""HVA: harmonic vector analysis (proximal splitting + cepstral mask).
+
+Proximal-splitting methods are stable only when the PDS operator norm is
+bounded — the reference ships ``normalize_by_spectral_norm`` for exactly
+this, so the mixture is scaled before separation here (projection back
+restores absolute scale against the original reference channel).
+"""
+
+import sys
 
 import numpy as np
 
@@ -8,10 +16,24 @@ from _common import make_mixture, report, save_wavs
 def main():
     mix, images = make_mixture()
 
-    from ssspy_tpu.bss.hva import HVA
-    from ssspy_tpu.pipeline import separate
+    from ssspy_tpu.transform import istft, stft
 
-    y = np.asarray(separate(mix, HVA(), n_iter=100))
+    X = np.asarray(stft(mix, n_fft=512, hop_length=256))
+    norm = np.linalg.norm(X.swapaxes(0, 1), ord=2, axis=(-2, -1)).max()
+    Xn = X / norm
+
+    if "--fast" in sys.argv:
+        from ssspy_tpu.fast import fast_hva
+
+        Y, _ = fast_hva(Xn, n_iter=100)
+    else:
+        from ssspy_tpu.bss.hva import HVA
+
+        hva = HVA()
+        Y = np.asarray(hva(Xn.astype(np.complex64), n_iter=100))
+    Y = Y * norm  # undo the stability scaling (PB used the scaled reference)
+
+    y = np.asarray(istft(Y, n_fft=512, hop_length=256, length=mix.shape[-1]))
     report(y, images, mix)
     save_wavs(y, "hva")
 

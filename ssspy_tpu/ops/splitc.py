@@ -1823,7 +1823,10 @@ def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10):
     # xi = irfft(varsigma * nu, axis=1, norm="forward")[:, :n_bins]
     xi = jnp.einsum("nit,ik->nkt", varsigma * nu, C) * n_fft
     varrho = xi + zeta_mean
-    v = jnp.exp(2 * varrho)
+    # softmax over sources with max-subtraction: the ratio is invariant
+    # and exp(2 varrho) overflows f32 on high-dynamic-range mixtures
+    m = 2 * varrho
+    v = jnp.exp(m - jnp.max(m, axis=0, keepdims=True))
     return (v / v.sum(axis=0)) ** attenuation
 
 

@@ -35,13 +35,20 @@ def _synthetic_speech_like(rng: np.random.Generator, n_samples: int, sample_rate
     t = np.arange(n_samples) / sample_rate
     f0 = rng.uniform(90.0, 250.0)
     smooth = int(0.12 * sample_rate)  # ~120 ms syllables
+    # ONE envelope per source, shared by every component: IVA's source
+    # model is a single co-modulating envelope across all bins, so
+    # independently-gated harmonics would read as several distinct
+    # narrowband sources and make the mixture unseparable by design.
+    # 15% envelope baseline: fully-silent frames make NMF-model paths
+    # (ILRMA/MNMF/HVA) blow up in f32; the co-modulating 85% still
+    # dominates, which is what ICA/IVA-family separation keys on
+    env = 0.15 + 0.85 * _sparse_envelope(rng, n_samples, 4.0, sample_rate, smooth)
     sig = np.zeros(n_samples)
     for k in range(1, 6):
-        env = _sparse_envelope(rng, n_samples, 4.0, sample_rate, smooth)
-        sig += env * np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)) / k
-    # wideband "consonant" bursts, sparsely gated
-    burst_env = _sparse_envelope(rng, n_samples, 3.0, sample_rate, smooth // 2)
-    sig += 0.5 * burst_env * rng.standard_normal(n_samples)
+        sig += np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi)) / k
+    # wideband "consonant" component under the same syllabic gate
+    sig += 0.5 * rng.standard_normal(n_samples)
+    sig = env * sig
     return sig / np.max(np.abs(sig))
 
 
