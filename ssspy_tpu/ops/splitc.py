@@ -1476,7 +1476,7 @@ def gauss_ilrma_ipa_step_sc(
 # ---- AuxFDICA (per-bin independent ICA), split-complex ----------------------
 
 
-def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-10):
+def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-6):
     """One AuxLaplaceFDICA-IP1 iteration in split-complex form.
 
     Per-bin independent weights ``varphi[n,i,t] = 1/|y_nit|`` (the
@@ -1484,6 +1484,12 @@ def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-10):
     ssspy/bss/fdica.py:1065-1116 with contrast ``2|y|``), then the same
     weighted-covariance + IP1 sweep as ILRMA. ``Xs``: ``(2, M, I, T)``;
     ``Ws``: ``(2, I, N, M)``.
+
+    ``eps`` defaults to 1e-6 (not the reference's 1e-10): FDICA's
+    weights are per TF cell, so near-silent cells push 1/|y| to 1e10 in
+    f32, and the resulting 10-decade summands make fused reductions
+    NaN-prone (observed under jit on high-dynamic-range mixtures). Pass
+    ``eps=1e-10`` for f64 parity runs.
     """
     Xr, Xi = Xs[0], Xs[1]
     Wr, Wi = Ws[0], Ws[1]
@@ -1496,7 +1502,7 @@ def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-10):
     return jnp.stack([Wr, Wi], axis=0)
 
 
-def aux_laplace_fdica_ip2_step_sc(Xs, Ws, eps=1e-10):
+def aux_laplace_fdica_ip2_step_sc(Xs, Ws, eps=1e-6):
     """One AuxLaplaceFDICA-IP2 iteration in split-complex form.
 
     Pairwise GEVD updates; per-pair weights come from the current pair

@@ -16,6 +16,7 @@ import numpy as np
 
 def _sparse_envelope(rng, n_samples, events_per_sec, sample_rate, smooth):
     """Sparse syllabic on/off envelope (independent across sources)."""
+    smooth = max(1, min(smooth, n_samples))  # convolve("same") follows the longer operand
     onsets = rng.random(n_samples) < events_per_sec / sample_rate
     env = np.convolve(onsets.astype(float), np.ones(smooth), mode="same")
     return np.clip(env, 0.0, 1.0)
