@@ -1765,10 +1765,16 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
         rel = 1e-12 if Gr.dtype == jnp.float64 else 1e-6
 
     n = Gr.shape[-1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu and Gr.dtype != jnp.float64:
+        from .jacobi import jacobi_eigh as _eigh
+    else:
+        _eigh = jnp.linalg.eigh
+
     G2 = block_embed(Gr, Gi)  # E(G), (.., 2M, 2M)
     SR = jnp.swapaxes(G2, -1, -2) @ G2
     SR = (SR + jnp.swapaxes(SR, -1, -2)) / 2
-    lamb, V2 = jnp.linalg.eigh(SR)  # sigma^2, doubled, ascending
+    lamb, V2 = _eigh(SR)  # sigma^2, doubled, ascending
     sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
     shrunk = neg_log(sigma, step_size=step_size)
 
@@ -1790,7 +1796,7 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     # svd(0) convention)
     SL = G2 @ jnp.swapaxes(G2, -1, -2)
     SL = (SL + jnp.swapaxes(SL, -1, -2)) / 2
-    _, U2 = jnp.linalg.eigh(SL)
+    _, U2 = _eigh(SL)
     U_full = jnp.where(big[..., None, :], U_big, U2)
 
     W2 = (U_full * shrunk[..., None, :]) @ jnp.swapaxes(V2, -1, -2)

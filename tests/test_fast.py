@@ -546,3 +546,33 @@ def test_fast_gauss_ilrma_me_matches_class_api():
         )
     )
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+@pytest.mark.parametrize("algorithm", ["IP1", "ISS1"])
+def test_fast_gauss_ilrma_wave_matches_host_composition(algorithm):
+    from ssspy_tpu.fast import fast_gauss_ilrma, fast_gauss_ilrma_wave
+    from ssspy_tpu.transform import istft, stft
+    from ssspy_tpu.utils.dataset import download_sample_speech_data
+
+    images, _ = download_sample_speech_data(
+        cache_dir="/tmp/ssspy_tpu_test_data", n_sources=2, max_duration=0.5,
+        conv=True, seed=4,
+    )
+    mix = images.sum(axis=0).astype(np.float32)
+    n_basis = 2
+    rng_init = np.random.default_rng(9)
+    n_fft, hop = 256, 128
+
+    y_wave = fast_gauss_ilrma_wave(
+        mix, n_basis=n_basis, n_iter=4, algorithm=algorithm, n_fft=n_fft,
+        rng=np.random.default_rng(9),
+    )
+
+    X = np.asarray(stft(mix, n_fft=n_fft, hop_length=hop))
+    Y, _, _ = fast_gauss_ilrma(
+        X, n_basis=n_basis, n_iter=4, algorithm=algorithm,
+        rng=np.random.default_rng(9),
+    )
+    y_host = np.asarray(istft(Y, n_fft=n_fft, hop_length=hop, length=mix.shape[-1]))
+    assert y_wave.shape == y_host.shape
+    np.testing.assert_allclose(y_wave, y_host, atol=5e-3)
