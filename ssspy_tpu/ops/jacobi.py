@@ -72,16 +72,19 @@ def _schedule(n: int):
     return Mcc, Mss, Ires, Epq, Epp, Eqq
 
 
-def jacobi_eigh(A, sweeps: int = 6, tiny: float = 1e-30):
+def jacobi_eigh(A, sweeps: int = None, tiny: float = 1e-30):
     """Eigendecomposition of real symmetric ``(..., n, n)`` matrices.
 
     Drop-in for ``jnp.linalg.eigh`` on small n: returns ``(lamb, V)``
     with ascending eigenvalues and orthonormal columns. Fixed ``sweeps``
-    cyclic-Jacobi trips (quadratic convergence; measured on 16x16 f32
-    PSD batches incl. ill-conditioned members: 6 sweeps is bit-identical
-    to 10, 5 is within 3e-6 relative — see BENCHMARKS.md).
+    cyclic-Jacobi trips (quadratic convergence); the default scales with
+    n — measured on f32 PSD batches incl. ill-conditioned members:
+    6 sweeps is converged (bit-identical to 12) through n=32, n=64/128
+    need 8 (6 leaves ~1e-4 relative error there).
     """
     n = A.shape[-1]
+    if sweeps is None:
+        sweeps = 6 if n <= 32 else 8
     dtype = A.dtype
     Mcc, Mss, Ires, Epq, Epp, Eqq = (
         jnp.asarray(m, dtype) for m in _schedule(n)

@@ -58,6 +58,16 @@ __all__ = [
 ]
 
 
+def _on_tpu_backend() -> bool:
+    """True on TPU-class backends (incl. the axon remote runtime).
+
+    One shared probe: every kernel that swaps an eigenvalue-floored exact
+    path for an eigh-free substitute (Gauss-Jordan solves, Tikhonov
+    ridges, Cholesky logdet, Jacobi eigh) keys off this plus the dtype.
+    """
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def to_split(x):
     """Complex array -> real array with leading [real, imag] axis."""
     x = np.asarray(x)
@@ -176,7 +186,7 @@ def csolve(Ar, Ai, br, bi, impl: str = "auto"):
     if impl == "auto":
         # vectorized Gauss-Jordan pays off on TPU targets; CPUs/GPUs have
         # fast native batched LU
-        impl = "gjnp" if jax.default_backend() in ("tpu", "axon") else "lu"
+        impl = "gjnp" if _on_tpu_backend() else "lu"
     if impl == "gjnp":
         x2 = gauss_jordan_solve_nopivot(A2, b2)
     elif impl == "gjnp_loop":
@@ -383,23 +393,10 @@ def _ilrma_mm_updates(Y2, T, V, p, eps):
 
     ``Y2``: source powers ``(N, I, T)``; returns ``(T, V, R)`` with the
     final reconstructed model ``R = T @ V`` floored at ``eps``
-    (reference ssspy/bss/ilrma.py:1051-1204, non-partitioning).
+    (reference ssspy/bss/ilrma.py:1051-1204, non-partitioning). Thin
+    alias of the generic source-model core at ``model="gauss"``.
     """
-    p2p = (p + 2) / p
-    exp = p / (p + 2)
-
-    R = jnp.maximum(T @ V, eps)
-    num = jnp.einsum("nkt,nit->nik", V, Y2 / (R**p2p))
-    denom = jnp.einsum("nkt,nit->nik", V, 1 / R)
-    T = jnp.maximum(((num / denom) ** exp) * T, eps)
-
-    R = jnp.maximum(T @ V, eps)
-    num = jnp.einsum("nik,nit->nkt", T, Y2 / (R**p2p))
-    denom = jnp.einsum("nik,nit->nkt", T, 1 / R)
-    V = jnp.maximum(((num / denom) ** exp) * V, eps)
-
-    R = jnp.maximum(T @ V, eps)
-    return T, V, R
+    return _ilrma_mm_core(Y2, T, V, model="gauss", p=p, eps=eps)
 
 
 def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
@@ -586,7 +583,7 @@ def _ilrma_mm_core_partitioning(Y2, T, V, Z, *, model, p, eps, nu=None, beta=Non
     return T, V, Z, reconstruct(T, V, Z)
 
 
-def _ilrma_power_normalize_partitioning(psi, T, V, Z, p):
+def _ilrma_power_normalize_partitioning(psi, T, Z, p):
     """Power normalization of the shared-basis factors
     (reference ssspy/bss/ilrma.py:365-444, partitioning branch)."""
     Z_psi = Z / (psi[:, None] ** p)
@@ -680,7 +677,7 @@ def ilrma_ip_step_sc(
     if Z is None:
         T = T / (psi[:, None, None] ** p)
         return jnp.stack([Wr, Wi], axis=0), T, V
-    T, Z = _ilrma_power_normalize_partitioning(psi, T, V, Z, p)
+    T, Z = _ilrma_power_normalize_partitioning(psi, T, Z, p)
     return jnp.stack([Wr, Wi], axis=0), T, V, Z
 
 
@@ -723,7 +720,7 @@ def ilrma_iss_step_sc(
     if Z is None:
         T = T / (psi[:, None, None] ** p)
         return jnp.stack([Yr, Yi], axis=0), T, V
-    T, Z = _ilrma_power_normalize_partitioning(psi, T, V, Z, p)
+    T, Z = _ilrma_power_normalize_partitioning(psi, T, Z, p)
     return jnp.stack([Yr, Yi], axis=0), T, V, Z
 
 
@@ -737,7 +734,7 @@ def csolve_matrix(Ar, Ai, Br, Bi, impl: str = "auto"):
     A2 = block_embed(Ar, Ai)
     B2 = jnp.concatenate([Br, Bi], axis=-2)  # (..., 2M, K)
     if impl == "auto":
-        impl = "gjnp" if jax.default_backend() in ("tpu", "axon") else "lu"
+        impl = "gjnp" if _on_tpu_backend() else "lu"
     if impl == "lu":
         X2 = jnp.linalg.solve(A2, B2)
     else:
@@ -1126,7 +1123,7 @@ def _herm_eigh_embed(Ar, Ai, impl: str = "auto"):
     S = block_embed(Ar, Ai)
     S = (S + jnp.swapaxes(S, -1, -2)) / 2
     if impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         impl = "jacobi" if (on_tpu and S.dtype != jnp.float64) else "lapack"
     if impl == "jacobi":
         from .jacobi import jacobi_eigh
@@ -1304,7 +1301,7 @@ def ipa_sweep_sc(
     if rel is None:
         rel = 0.0 if Yr.dtype == jnp.float64 else 1e-6
     if psd_impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         psd_impl = "tikhonov" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
 
     for n in range(n_sources):
@@ -1633,7 +1630,7 @@ def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10, impl: str = "auto"):
     """
     n_channels = Zr.shape[0]
     if impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         impl = "chol" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
     if impl == "chol":
@@ -1692,7 +1689,7 @@ def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True, impl: str = "au
     Br, Bi = Bs[0], Bs[1]
     n_channels = Zr.shape[0]
     if impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         impl = "chol" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
     log_gamma, ZBZ = _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=eps, impl=impl)
@@ -1758,14 +1755,24 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     early iterates are exactly singular); PDS/HVA iterates never are
     (the log-det barrier repels singularity), so their default skips the
     second eigh.
+
+    The lift is assembled in complex space (see the inline note), so
+    every lifted direction carries exactly ``f(0) = sqrt(step)``
+    regardless of the two eighs' arbitrary intra-pair rotations; which
+    unit phase/basis the null directions get remains free, as it is in
+    the reference's LAPACK SVD.
     """
     from ..linalg.prox import neg_log
 
     if rel is None:
-        rel = 1e-12 if Gr.dtype == jnp.float64 else 1e-6
+        # the Gram squaring bounds the resolvable singular value at
+        # sqrt(machine eps) * sigma_max — classify anything below that
+        # as null (a numerically-zero sigma's K column is roundoff noise,
+        # so dividing by it would zero the direction instead of lifting it)
+        rel = 1e-7 if Gr.dtype == jnp.float64 else 1e-3
 
     n = Gr.shape[-1]
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    on_tpu = _on_tpu_backend()
     if on_tpu and Gr.dtype != jnp.float64:
         from .jacobi import jacobi_eigh as _eigh
     else:
@@ -1786,23 +1793,46 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
         Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
         return Wr, Wi
 
-    K = G2 @ V2  # = U S in the embedding
     big = sigma > rel * sigma[..., -1:]  # (batch, 2n); False everywhere if G=0
-    safe = jnp.where(big, sigma, 1.0)
-    U_big = K / safe[..., None, :]
+    ratio = jnp.where(big, shrunk / jnp.where(big, sigma, 1.0), 0.0)
+    W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
+    Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
+    Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
 
-    # left Gram supplies the null-space columns (eigh of the zero matrix
-    # returns the identity, so prox(0) = sqrt(step) I like LAPACK's
-    # svd(0) convention)
+    # Null-space lift, built in COMPLEX space so it is E-structured by
+    # construction: the left Gram's eigh supplies a left null basis, and
+    # each complex null direction's outer product is summed over BOTH
+    # embedded columns of its pair — the arbitrary intra-pair rotations
+    # of the two independent eighs appear only as a common unit phase,
+    # so every lifted direction carries exactly f(0) = sqrt(step) (for
+    # G = 0 both eighs return the identity and the lift is sqrt(step) I,
+    # LAPACK's svd(0) convention; complex null spaces of dimension >= 2
+    # may mix directions, which is within the minimizer set's freedom).
     SL = G2 @ jnp.swapaxes(G2, -1, -2)
     SL = (SL + jnp.swapaxes(SL, -1, -2)) / 2
     _, U2 = _eigh(SL)
-    U_full = jnp.where(big[..., None, :], U_big, U2)
-
-    W2 = (U_full * shrunk[..., None, :]) @ jnp.swapaxes(V2, -1, -2)
-    Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
-    Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
-    return Wr, Wi
+    U2r, U2i = U2[..., :n, :], U2[..., n:, :]
+    V2r, V2i = V2[..., :n, :], V2[..., n:, :]
+    # per-column complex outer products u_j v_j^H of the two bases
+    Tr = jnp.einsum("...mj,...nj->...jmn", U2r, V2r) + jnp.einsum(
+        "...mj,...nj->...jmn", U2i, V2i
+    )
+    Ti = jnp.einsum("...mj,...nj->...jmn", U2i, V2r) - jnp.einsum(
+        "...mj,...nj->...jmn", U2r, V2i
+    )
+    # each complex null direction appears as an adjacent embedded pair
+    # whose two outer products are +-equal up to the (independent)
+    # intra-pair orientations of the two eighs — align the sign before
+    # averaging, or the pair can cancel to zero
+    T1r, T1i = Tr[..., 0::2, :, :], Ti[..., 0::2, :, :]
+    T2r, T2i = Tr[..., 1::2, :, :], Ti[..., 1::2, :, :]
+    align = jnp.sum(T1r * T2r + T1i * T2i, axis=(-1, -2))  # Re<T1, T2>_F
+    s = jnp.where(align >= 0, 1.0, -1.0)[..., None, None]
+    null_pair = jnp.logical_and(~big[..., 0::2], ~big[..., 1::2])
+    wp = jnp.where(null_pair, jnp.sqrt(step_size), 0.0)[..., None, None]
+    Lr = jnp.sum(wp * (T1r + s * T2r) / 2, axis=-3)
+    Li = jnp.sum(wp * (T1i + s * T2i) / 2, axis=-3)
+    return Wr + Lr, Wi + Li
 
 
 def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10):
@@ -1904,7 +1934,7 @@ def instant_covariance_sc(Xs, eps=1e-10, psd_impl: str = "auto"):
     """
     Xr, Xi = Xs[0], Xs[1]
     if psd_impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
     XXr = jnp.einsum("pit,qit->itpq", Xr, Xr) + jnp.einsum("pit,qit->itpq", Xi, Xi)
     XXi = jnp.einsum("pit,qit->itpq", Xi, Xr) - jnp.einsum("pit,qit->itpq", Xr, Xi)
@@ -1929,7 +1959,7 @@ def gauss_mnmf_step_sc(
     XXr, XXi = XXs[0], XXs[1]
     Hr, Hi = Hs[0], Hs[1]
     if psd_impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         psd_impl = "ridge" if (on_tpu and XXr.dtype != jnp.float64) else "eigh"
 
     def lamb_of(T, V, Z):
@@ -2192,7 +2222,7 @@ def ipsdta_vcd_step_sc(
     n_frames = Xr.shape[-1]
     n_bins = Xr.shape[1]
     if psd_impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        on_tpu = _on_tpu_backend()
         psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
 
     part_shapes = [(Tp.shape[3], Tp.shape[4]) for Tp in T_parts]  # (B_p, J_p)
@@ -2451,13 +2481,26 @@ def whiten_sc(Xs, tiny=1e-20):
     """
     Xr, Xi = Xs[0], Xs[1]
     n_frames = Xr.shape[-1]
+    M = Xr.shape[0]
     Cr = (
         jnp.einsum("mit,nit->imn", Xr, Xr) + jnp.einsum("mit,nit->imn", Xi, Xi)
     ) / n_frames
     Ci = (
         jnp.einsum("mit,nit->imn", Xi, Xr) - jnp.einsum("mit,nit->imn", Xr, Xi)
     ) / n_frames
-    M = Xr.shape[0]
+
+    # deterministic tie-breaking: a (near-)isotropic bin covariance makes
+    # the embedded eigh return an arbitrary basis of the degenerate
+    # cluster, in which the per-pair column extraction below can yield
+    # complex-PARALLEL vectors (rank-deficient whitening). A graded
+    # relative diagonal perturbation splits such clusters along the
+    # coordinate axes, whose extraction is always orthogonal; the shift
+    # is below the whitening's own roundoff for non-degenerate bins.
+    jitter = 1e-12 if Xr.dtype == jnp.float64 else 1e-5
+    mean_diag = jnp.einsum("imm->i", Cr) / M
+    grades = jnp.diag(jnp.arange(M, dtype=Cr.dtype))
+    Cr = Cr + (jitter * mean_diag)[:, None, None] * grades
+
     lamb2, P2 = _herm_eigh_embed(Cr, Ci)
     lamb = jnp.maximum(lamb2[..., 0::2], tiny)  # (I, M) ascending
     Gr = P2[..., :M, 0::2]  # (I, M, M) complex eigenvectors, planar parts

@@ -123,3 +123,25 @@ def test_fast_iva_whiten_sc_end_to_end_matches_class():
     Y_sc = np.einsum("inm,mit->nit", W_sc, Z)
     Y_sc = _projection_back_host(Y_sc, X, 0)
     np.testing.assert_allclose(Y_sc, Y_cls, atol=1e-8)
+
+
+def test_whiten_sc_isotropic_bin_stays_full_rank():
+    """An exactly-isotropic bin covariance (degenerate embedded spectrum)
+    must still whiten to a full-rank basis: the graded diagonal jitter
+    breaks the cluster so the per-pair column extraction cannot return
+    complex-parallel vectors."""
+    rng = np.random.default_rng(7)
+    M, I, T = 3, 5, 12
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+    # bin 2: frames cycle through the scaled identity basis -> cov == I
+    iso = np.zeros((M, T), dtype=complex)
+    for t in range(T):
+        iso[t % M, t] = np.sqrt(M)
+    X[:, 2, :] = iso
+
+    Zs = whiten_sc(jnp.asarray(np.stack([X.real, X.imag]), dtype=jnp.float32))
+    Z = np.asarray(Zs[0]) + 1j * np.asarray(Zs[1])
+    cov = np.einsum("mit,nit->imn", Z, Z.conj()) / T
+    np.testing.assert_allclose(
+        cov, np.tile(np.eye(M), (I, 1, 1)), atol=1e-3
+    )

@@ -45,7 +45,8 @@ def test_aux_fdica_ip1_step_matches_class():
     X = _mixture(0)
     fdica = _fdica_class("IP1")
     fdica(X.copy(), n_iter=3)
-    W_sc = _run_sc(aux_laplace_fdica_ip1_step_sc, X, 3)
+    # pin the reference eps (the SC default is the f32-calibrated 1e-6)
+    W_sc = _run_sc(functools.partial(aux_laplace_fdica_ip1_step_sc, eps=1e-10), X, 3)
     np.testing.assert_allclose(W_sc, np.asarray(fdica.demix_filter), atol=1e-8)
 
 
@@ -53,7 +54,7 @@ def test_aux_fdica_ip2_step_matches_class():
     X = _mixture(1, M=4)
     fdica = _fdica_class("IP2")
     fdica(X.copy(), n_iter=3)
-    W_sc = _run_sc(aux_laplace_fdica_ip2_step_sc, X, 3)
+    W_sc = _run_sc(functools.partial(aux_laplace_fdica_ip2_step_sc, eps=1e-10), X, 3)
     np.testing.assert_allclose(W_sc, np.asarray(fdica.demix_filter), atol=1e-8)
 
 

@@ -92,3 +92,36 @@ def test_admm_iva_step_matches_class():
     np.testing.assert_allclose(
         np.asarray(Ws[0]) + 1j * np.asarray(Ws[1]), W_cls, atol=1e-8
     )
+
+
+def test_prox_neg_logdet_lift_null_exact_on_singular_matrices():
+    """Every null direction of a rank-deficient G must be lifted to exactly
+    sqrt(step) (the prox minimizer's singular value at sigma=0), for both
+    the zero matrix and structurally singular nonzero matrices."""
+    from ssspy_tpu.ops.splitc import prox_neg_logdet_sc
+
+    rng = np.random.default_rng(5)
+    step = 0.7
+
+    # zero matrix: LAPACK convention sqrt(step) I
+    Z = jnp.zeros((3, 4, 4))
+    Pr, Pi = prox_neg_logdet_sc(Z, Z, step_size=step, lift_null=True)
+    np.testing.assert_allclose(
+        np.asarray(Pr), np.sqrt(step) * np.tile(np.eye(4), (3, 1, 1)), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(Pi), 0.0, atol=1e-12)
+
+    # rank-1-deficient complex G: singular values of the prox must be
+    # f(sigma) for the big directions and exactly sqrt(step) for the null one
+    a = rng.standard_normal((5, 4, 3)) + 1j * rng.standard_normal((5, 4, 3))
+    b = rng.standard_normal((5, 3, 4)) + 1j * rng.standard_normal((5, 3, 4))
+    G = a @ b  # rank 3 of 4
+    Pr, Pi = prox_neg_logdet_sc(
+        jnp.asarray(G.real), jnp.asarray(G.imag), step_size=step, lift_null=True
+    )
+    P = np.asarray(Pr) + 1j * np.asarray(Pi)
+    s_g = np.linalg.svd(G, compute_uv=False)
+    s_p = np.sort(np.linalg.svd(P, compute_uv=False), axis=-1)
+    f = (s_g + np.sqrt(s_g**2 + 4 * step)) / 2
+    want = np.sort(np.concatenate([f[:, :3], np.full((5, 1), np.sqrt(step))], axis=1), axis=-1)
+    np.testing.assert_allclose(s_p, want, atol=1e-8)
