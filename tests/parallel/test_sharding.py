@@ -178,3 +178,23 @@ def test_sharded_ilrma_runner_matches_unsharded():
 
     for got, ref in zip(out, carry):
         np.testing.assert_allclose(got, np.asarray(ref), atol=1e-4)
+
+
+def test_batched_auxiva_wave_runner_matches_single_device():
+    """The sharded whole-pipeline wave runner equals per-utterance
+    fast_auxiva_wave on a virtual 8-device (dp, bin) mesh."""
+    from ssspy_tpu.fast import fast_auxiva_wave
+    from ssspy_tpu.parallel import make_batched_auxiva_wave_runner_sc, make_mesh
+
+    rng = np.random.default_rng(0)
+    n_batch, n_channels, n_samples = 2, 2, 2048
+    xw = rng.standard_normal((n_batch, n_channels, n_samples)).astype(np.float32)
+
+    mesh = make_mesh()
+    runner = make_batched_auxiva_wave_runner_sc(mesh, n_fft=256)
+    y = np.asarray(runner(xw, 3))
+    assert y.shape == (n_batch, n_channels, n_samples)
+
+    for k in range(n_batch):
+        y_ref = fast_auxiva_wave(xw[k], n_iter=3, n_fft=256)
+        np.testing.assert_allclose(y[k], y_ref, atol=1e-4)
