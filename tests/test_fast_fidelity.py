@@ -288,3 +288,97 @@ def test_fast_ggd_ilrma_si_sdr_within_tenth_db_of_reference(mixture):
 
     got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
+
+
+@pytest.mark.parametrize("natural", [False, True])
+def test_fast_grad_fdica_si_sdr_within_tenth_db_of_reference(natural, mixture):
+    from ssspy.bss.fdica import GradLaplaceFDICA, NaturalGradLaplaceFDICA
+
+    from ssspy_tpu.fast import fast_grad_fdica
+
+    images, mix, X = mixture
+    n_iter = 100
+
+    Y_fast, _ = fast_grad_fdica(X, n_iter=n_iter, natural=natural)
+    ref_cls = NaturalGradLaplaceFDICA if natural else GradLaplaceFDICA
+    Y_ref = ref_cls(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter)
+
+    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"natural={natural}: {got:.3f} vs {want:.3f} dB"
+
+
+def test_fast_hva_si_sdr_within_tenth_db_of_reference(mixture):
+    from ssspy.bss.hva import HVA
+
+    from ssspy_tpu.fast import fast_hva
+
+    images, mix, X = mixture
+    # spectral-norm scaling: the PDS operator-norm stability bound
+    X = X / np.linalg.norm(X.swapaxes(0, 1), ord=2, axis=(-2, -1)).max()
+    n_iter = 50
+
+    Y_fast, _ = fast_hva(X, n_iter=n_iter)
+    Y_ref = HVA()(X.astype(np.complex128).copy(), n_iter=n_iter)
+
+    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
+
+
+def test_fast_cacgmm_si_sdr_within_tenth_db_of_reference(mixture):
+    from ssspy.bss.cacgmm import CACGMM
+
+    from ssspy_tpu.fast import fast_cacgmm
+
+    images, mix, X = mixture
+    n_iter = 50
+
+    # match the fast path's host aligner (the class default is the
+    # score-based solver — a different algorithm, not a fidelity issue)
+    Y_fast = fast_cacgmm(X, n_iter=n_iter, rng=np.random.default_rng(3))
+    ref = CACGMM(
+        rng=np.random.default_rng(3), permutation_alignment="amplitude_correlation"
+    )
+    Y_ref = np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter))
+
+    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
+
+
+def test_fast_gauss_ipsdta_si_sdr_within_tenth_db_of_reference(mixture):
+    from ssspy.bss.ipsdta import GaussIPSDTA
+
+    from ssspy_tpu.fast import fast_gauss_ipsdta
+
+    images, mix, X = mixture
+    n_iter, n_basis, n_blocks = 10, 2, 16
+
+    Y_fast, _, _ = fast_gauss_ipsdta(
+        X, n_basis=n_basis, n_blocks=n_blocks, n_iter=n_iter,
+        rng=np.random.default_rng(4),
+    )
+    ref = GaussIPSDTA(
+        n_basis=n_basis, n_blocks=n_blocks, rng=np.random.default_rng(4),
+        record_loss=False,
+    )
+    Y_ref = np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter))
+
+    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
+
+
+def test_fast_gauss_mnmf_dense_si_sdr_within_tenth_db_of_reference(mixture):
+    from ssspy.bss.mnmf import GaussMNMF
+
+    from ssspy_tpu.fast import fast_gauss_mnmf_dense
+
+    images, mix, X = mixture
+    n_iter, n_basis = 10, 2
+
+    Y_fast, _ = fast_gauss_mnmf_dense(
+        X, n_basis=n_basis, n_iter=n_iter, rng=np.random.default_rng(5)
+    )
+    ref = GaussMNMF(n_basis=n_basis, rng=np.random.default_rng(5), record_loss=False)
+    Y_ref = np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter))
+
+    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
