@@ -1975,19 +1975,24 @@ def gauss_mnmf_step_sc(
         return _psd_project_sc(Rr, Ri, eps, psd_impl)
 
     def traces(T, V, Z):
-        """``tr(R^-1 XX R^-1 H)`` and ``tr(R^-1 H)`` as (N, I, Tf)."""
+        """``tr(R^-1 XX R^-1 H)`` and ``tr(R^-1 H)`` as (N, I, Tf).
+
+        One inverse of ``R`` serves every source: ``R^-1 H_n`` is a
+        batched matmul against it, instead of an n_sources-fold
+        broadcast Gauss-Jordan solve (the dominant cost of the MM
+        updates at (bins x frames) batch sizes).
+        """
         Rr, Ri = model(T, V, Z)
-        RXXr, RXXi = csolve_matrix(Rr, Ri, XXr, XXi)  # R^-1 XX
-        n_src = Hr.shape[0]
-        Rb_r = jnp.broadcast_to(Rr[None], (n_src,) + Rr.shape)
-        Rb_i = jnp.broadcast_to(Ri[None], (n_src,) + Ri.shape)
-        Hb_r = jnp.broadcast_to(Hr[:, :, None], Rb_r.shape)
-        Hb_i = jnp.broadcast_to(Hi[:, :, None], Rb_r.shape)
-        RHr, RHi = csolve_matrix(Rb_r, Rb_i, Hb_r, Hb_i)  # R^-1 H (N,I,Tf,M,M)
-        tr_RXXRH = jnp.einsum("itab,nitba->nit", RXXr, RHr) - jnp.einsum(
-            "itab,nitba->nit", RXXi, RHi
+        Rinv_r, Rinv_i = _cinv(Rr, Ri)
+        RXXr, RXXi = _cmatmul(Rinv_r, Rinv_i, XXr, XXi)  # R^-1 XX (I,Tf,M,M)
+        # tr(R^-1 XX R^-1 H) = sum_ab (R^-1 XX R^-1)[a,b] H[b,a]
+        Mr, Mi = _cmatmul(RXXr, RXXi, Rinv_r, Rinv_i)  # R^-1 XX R^-1
+        tr_RXXRH = jnp.einsum("itab,niba->nit", Mr, Hr) - jnp.einsum(
+            "itab,niba->nit", Mi, Hi
         )
-        tr_RH = jnp.einsum("nitaa->nit", RHr)
+        tr_RH = jnp.einsum("itab,niba->nit", Rinv_r, Hr) - jnp.einsum(
+            "itab,niba->nit", Rinv_i, Hi
+        )
         return tr_RXXRH, tr_RH
 
     # ---- MM updates of basis then activation (mnmf.py:836-968) ---------------
