@@ -1305,29 +1305,59 @@ def ipa_sweep_sc(
         psd_impl = "tikhonov" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
 
     for n in range(n_sources):
-        # U[i, s, a, b] = mean_t varphi[s, i, t] Y[a, i, t] conj(Y[b, i, t])
-        eq = "st,ait,bit->isab" if varphi.ndim == 2 else "sit,ait,bit->isab"
-        Ur = (
-            jnp.einsum(eq, varphi, Yr, Yr) + jnp.einsum(eq, varphi, Yi, Yi)
-        ) / n_frames
-        Ui = (
-            jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)
-        ) / n_frames
-
-        Ur_h = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
-        Ui_h = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
         oth = tuple(k for k in range(n_sources) if k != n)
 
         if psd_impl == "tikhonov":
-            mean_diag = jnp.diagonal(Ur_h, axis1=-2, axis2=-1).mean(-1)  # (I, N)
-            lam = eps + rel * mean_diag
+            # the LQPQM reduction needs the FULL matrix only for source n
+            # (its ridged inverse); of the other sources' covariances it
+            # reads single entries — compute those directly instead of
+            # forming the N-fold (I, S, M, M) stack (a ~N/2 FLOP cut on
+            # the step's dominant einsum)
+            eq_n = "t,ait,bit->iab" if varphi.ndim == 2 else "it,ait,bit->iab"
+            vp_n = varphi[n]
+            Un_r = (
+                jnp.einsum(eq_n, vp_n, Yr, Yr) + jnp.einsum(eq_n, vp_n, Yi, Yi)
+            ) / n_frames
+            Un_i = (
+                jnp.einsum(eq_n, vp_n, Yi, Yr) - jnp.einsum(eq_n, vp_n, Yr, Yi)
+            ) / n_frames
+            Un_r = (Un_r + jnp.swapaxes(Un_r, -1, -2)) / 2
+            Un_i = (Un_i - jnp.swapaxes(Un_i, -1, -2)) / 2
+
+            eq_s = "st,it->is" if varphi.ndim == 2 else "sit,it->is"
+            sumY2 = jnp.sum(Yr**2 + Yi**2, axis=0)  # (I, T)
+            lam = eps + rel * jnp.einsum(eq_s, varphi, sumY2) / (
+                n_frames * n_sources
+            )  # (I, S): ridge per source's mean diagonal
+
+            Y2n = Yr[n] ** 2 + Yi[n] ** 2  # (I, T)
+            a_all = jnp.einsum(eq_s, varphi, Y2n) / n_frames + lam  # U_tilde[s,n,n]
+            eq_c = "st,sit->is" if varphi.ndim == 2 else "sit,sit->is"
+            prod_r = Yr[n][None] * Yr + Yi[n][None] * Yi  # Re(Y_n conj(Y_s))
+            prod_i = Yi[n][None] * Yr - Yr[n][None] * Yi
+            b_all_r = jnp.einsum(eq_c, varphi, prod_r) / n_frames  # U_tilde[s,n,s]
+            b_all_i = jnp.einsum(eq_c, varphi, prod_i) / n_frames
+            a_n = jnp.stack([a_all[:, s] for s in oth], axis=-1)  # (I, N-1)
+            b_r = jnp.stack([b_all_r[:, s] for s in oth], axis=-1)
+            b_i = jnp.stack([b_all_i[:, s] for s in oth], axis=-1)
+
             eye = jnp.eye(n_sources, dtype=Yr.dtype)
-            Ur = Ur_h + lam[..., None, None] * eye
-            Ui = Ui_h
-            Un_r, Un_i = Ur[:, n], Ui[:, n]  # (I, N, N)
+            Un_r = Un_r + lam[:, n, None, None] * eye
             E = jnp.broadcast_to(eye, Un_r.shape)
             Vr, Vi = csolve_matrix(Un_r, Un_i, E, jnp.zeros_like(E))
         else:
+            # U[i, s, a, b] = mean_t varphi[s, i, t] Y[a, i, t] conj(Y[b, i, t])
+            eq = "st,ait,bit->isab" if varphi.ndim == 2 else "sit,ait,bit->isab"
+            Ur = (
+                jnp.einsum(eq, varphi, Yr, Yr) + jnp.einsum(eq, varphi, Yi, Yi)
+            ) / n_frames
+            Ui = (
+                jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)
+            ) / n_frames
+
+            Ur_h = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
+            Ui_h = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
+
             # ONE eigh per (bin, source) serves both the PSD projection and
             # the inverse: flooring changes only eigenvalues, so
             # psd_inv(to_psd(U)) shares to_psd's eigenvectors exactly.
@@ -1346,11 +1376,11 @@ def ipa_sweep_sc(
             inv_f = 1 / jnp.maximum(lamb_f[:, n], eps)
             Vr, Vi = _extract((P2[:, n] * inv_f[..., None, :]) @ P2T[:, n])
 
-        # static per-source gathers (tuple indexing lowers to gather, which
-        # is slow on TPU; N <= 8 so the stacks unroll at trace time)
-        a_n = jnp.stack([Ur[:, s, n, n] for s in oth], axis=-1)  # (I, N-1) real
-        b_r = jnp.stack([Ur[:, s, n, s] for s in oth], axis=-1)
-        b_i = jnp.stack([Ui[:, s, n, s] for s in oth], axis=-1)
+            # static per-source gathers (tuple indexing lowers to gather,
+            # which is slow on TPU; N <= 8 so the stacks unroll at trace time)
+            a_n = jnp.stack([Ur[:, s, n, n] for s in oth], axis=-1)  # (I, N-1)
+            b_r = jnp.stack([Ur[:, s, n, s] for s in oth], axis=-1)
+            b_i = jnp.stack([Ui[:, s, n, s] for s in oth], axis=-1)
 
         # C = rows/cols `oth` of conj(U_n^{-1}); d = its column n
         Cr = jnp.stack(
