@@ -8,13 +8,19 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
+import jax
+
+# force the virtual-CPU mesh before any backend initializes (an ambient
+# JAX_PLATFORMS pin — e.g. a single remote TPU chip — would otherwise win;
+# env vars alone are not a reliable override when a sitecustomize
+# re-registers the platform)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
 def main():
-    import jax
-
-    if jax.default_backend() == "cpu" and len(jax.devices()) < 2:
+    if len(jax.devices()) < 2:
         print("re-run with XLA_FLAGS=--xla_force_host_platform_device_count=8")
         return
 
