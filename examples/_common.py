@@ -66,3 +66,9 @@ def save_wavs(y, prefix, sample_rate=16000):
         path = os.path.join(out_dir, f"{prefix}_src{n}.wav")
         wavwrite(path, np.asarray(y[n] / (np.abs(y[n]).max() + 1e-9)), sample_rate)
     print(f"wrote {y.shape[0]} wavs to {out_dir}/{prefix}_src*.wav")
+
+
+def spectral_norm_scale(X):
+    """Max per-bin spectral norm — the PDS/ADMM operator-norm bound
+    (what the reference's normalize_by_spectral_norm divides by)."""
+    return np.linalg.norm(X.swapaxes(0, 1), ord=2, axis=(-2, -1)).max()

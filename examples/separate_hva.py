@@ -10,7 +10,7 @@ import sys
 
 import numpy as np
 
-from _common import make_mixture, report, save_wavs
+from _common import make_mixture, report, save_wavs, spectral_norm_scale
 
 
 def main():
@@ -19,7 +19,7 @@ def main():
     from ssspy_tpu.transform import istft, stft
 
     X = np.asarray(stft(mix, n_fft=512, hop_length=256))
-    norm = np.linalg.norm(X.swapaxes(0, 1), ord=2, axis=(-2, -1)).max()
+    norm = spectral_norm_scale(X)
     Xn = X / norm
 
     if "--fast" in sys.argv:
@@ -30,7 +30,7 @@ def main():
         from ssspy_tpu.bss.hva import HVA
 
         hva = HVA()
-        Y = np.asarray(hva(Xn.astype(np.complex64), n_iter=100))
+        Y = np.asarray(hva(Xn.astype(np.complex128), n_iter=100))
     Y = Y * norm  # undo the stability scaling (PB used the scaled reference)
 
     y = np.asarray(istft(Y, n_fft=512, hop_length=256, length=mix.shape[-1]))

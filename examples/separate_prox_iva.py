@@ -9,7 +9,7 @@ import sys
 
 import numpy as np
 
-from _common import make_mixture, report, save_wavs
+from _common import make_mixture, report, save_wavs, spectral_norm_scale
 
 
 def main():
@@ -17,7 +17,7 @@ def main():
     from ssspy_tpu.transform import istft, stft
 
     X = np.asarray(stft(mix, n_fft=512, hop_length=256))
-    norm = np.linalg.norm(X.swapaxes(0, 1), ord=2, axis=(-2, -1)).max()
+    norm = spectral_norm_scale(X)
     Xn = X / norm
 
     if "--admm" in sys.argv:

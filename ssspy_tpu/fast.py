@@ -1024,57 +1024,72 @@ def fast_gauss_ilrma_wave(
     T0 = jax.device_put(rng.random((n_channels, n_bins, n_basis)).astype(np.float32))
     V0 = jax.device_put(rng.random((n_channels, n_basis, n_frames)).astype(np.float32))
 
-    @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-    def program(xw, T, V, n_iter, algorithm, n_fft, hop):
-        Xs = stft_sc(xw, n_fft=n_fft, hop_length=hop)  # (2, M, I, T)
-        M = Xs.shape[1]
-        I = Xs.shape[2]
-
-        if algorithm == "IP1":
-            W0r = jnp.broadcast_to(jnp.eye(M, dtype=Xs.dtype), (I, M, M))
-            W0 = jnp.stack([W0r, jnp.zeros_like(W0r)], axis=0)
-
-            def body(c, _):
-                return gauss_ilrma_ip1_step_sc(Xs, *c), None
-
-            (Ws, T, V), _ = lax.scan(body, (W0, T, V), None, length=n_iter)
-            Wr, Wi = Ws[0], Ws[1]
-            Er = jnp.broadcast_to(jnp.eye(M, dtype=Xs.dtype), (I, M, M))
-            Winv_r, Winv_i = csolve_matrix(Wr, Wi, Er, jnp.zeros_like(Er))
-            sr, si = Winv_r[:, 0, :], Winv_i[:, 0, :]  # reference_id = 0
-            Wr2 = Wr * sr[:, :, None] - Wi * si[:, :, None]
-            Wi2 = Wr * si[:, :, None] + Wi * sr[:, :, None]
-            Yr, Yi = _csep(Wr2, Wi2, Xs[0], Xs[1])
-        else:
-            def body(c, _):
-                return gauss_ilrma_iss1_step_sc(*c), None
-
-            (Ys, T, V), _ = lax.scan(body, (Xs, T, V), None, length=n_iter)
-            # least-squares projection back per bin (same as the AuxIVA
-            # wave program's demix-free branch)
-            Yr, Yi = Ys[0], Ys[1]
-            Yrb, Yib = jnp.swapaxes(Yr, 0, 1), jnp.swapaxes(Yi, 0, 1)
-            Xrb, Xib = Xs[0, 0], Xs[1, 0]
-            Ar = jnp.einsum("int,imt->inm", Yrb, Yrb) + jnp.einsum(
-                "int,imt->inm", Yib, Yib
-            )
-            Ai = jnp.einsum("int,imt->inm", Yib, Yrb) - jnp.einsum(
-                "int,imt->inm", Yrb, Yib
-            )
-            br = jnp.einsum("int,it->in", Yrb, Xrb) + jnp.einsum("int,it->in", Yib, Xib)
-            bi = jnp.einsum("int,it->in", Yib, Xrb) - jnp.einsum("int,it->in", Yrb, Xib)
-            cr, ci = csolve_matrix(Ar, Ai, br[..., None], bi[..., None])
-            cr = jnp.swapaxes(cr[..., 0], 0, 1)[:, :, None]
-            ci = jnp.swapaxes(ci[..., 0], 0, 1)[:, :, None]
-            Yr2 = cr * Yr + ci * Yi
-            Yi2 = cr * Yi - ci * Yr
-            Yr, Yi = Yr2, Yi2
-
-        Ysep = jnp.stack([Yr, Yi], axis=0)
-        return istft_sc(Ysep, n_fft=n_fft, hop_length=hop, length=length)
-
-    y = program(jax.device_put(x), T0, V0, n_iter, algorithm, n_fft, hop)
+    y = _ilrma_wave_program(
+        jax.device_put(x), T0, V0, n_iter, algorithm, n_fft, hop, length
+    )
     return np.asarray(y)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _ilrma_wave_program(xw, T, V, n_iter, algorithm, n_fft, hop, length):
+    """Jitted once per (shape, knobs): stft_sc -> ILRMA scan -> projection
+    back -> istft_sc, module-level so repeated calls reuse the cache."""
+    import jax.numpy as jnp
+
+    from .ops.splitc import (
+        _csep,
+        csolve_matrix,
+        gauss_ilrma_ip1_step_sc,
+        gauss_ilrma_iss1_step_sc,
+    )
+    from .transform import istft_sc, stft_sc
+
+    Xs = stft_sc(xw, n_fft=n_fft, hop_length=hop)  # (2, M, I, T)
+    M = Xs.shape[1]
+    I = Xs.shape[2]
+
+    if algorithm == "IP1":
+        W0r = jnp.broadcast_to(jnp.eye(M, dtype=Xs.dtype), (I, M, M))
+        W0 = jnp.stack([W0r, jnp.zeros_like(W0r)], axis=0)
+
+        def body(c, _):
+            return gauss_ilrma_ip1_step_sc(Xs, *c), None
+
+        (Ws, T, V), _ = lax.scan(body, (W0, T, V), None, length=n_iter)
+        Wr, Wi = Ws[0], Ws[1]
+        Er = jnp.broadcast_to(jnp.eye(M, dtype=Xs.dtype), (I, M, M))
+        Winv_r, Winv_i = csolve_matrix(Wr, Wi, Er, jnp.zeros_like(Er))
+        sr, si = Winv_r[:, 0, :], Winv_i[:, 0, :]  # reference_id = 0
+        Wr2 = Wr * sr[:, :, None] - Wi * si[:, :, None]
+        Wi2 = Wr * si[:, :, None] + Wi * sr[:, :, None]
+        Yr, Yi = _csep(Wr2, Wi2, Xs[0], Xs[1])
+    else:
+        def body(c, _):
+            return gauss_ilrma_iss1_step_sc(*c), None
+
+        (Ys, T, V), _ = lax.scan(body, (Xs, T, V), None, length=n_iter)
+        # least-squares projection back per bin (same as the AuxIVA
+        # wave program's demix-free branch)
+        Yr, Yi = Ys[0], Ys[1]
+        Yrb, Yib = jnp.swapaxes(Yr, 0, 1), jnp.swapaxes(Yi, 0, 1)
+        Xrb, Xib = Xs[0, 0], Xs[1, 0]
+        Ar = jnp.einsum("int,imt->inm", Yrb, Yrb) + jnp.einsum(
+            "int,imt->inm", Yib, Yib
+        )
+        Ai = jnp.einsum("int,imt->inm", Yib, Yrb) - jnp.einsum(
+            "int,imt->inm", Yrb, Yib
+        )
+        br = jnp.einsum("int,it->in", Yrb, Xrb) + jnp.einsum("int,it->in", Yib, Xib)
+        bi = jnp.einsum("int,it->in", Yib, Xrb) - jnp.einsum("int,it->in", Yrb, Xib)
+        cr, ci = csolve_matrix(Ar, Ai, br[..., None], bi[..., None])
+        cr = jnp.swapaxes(cr[..., 0], 0, 1)[:, :, None]
+        ci = jnp.swapaxes(ci[..., 0], 0, 1)[:, :, None]
+        Yr2 = cr * Yr + ci * Yi
+        Yi2 = cr * Yi - ci * Yr
+        Yr, Yi = Yr2, Yi2
+
+    Ysep = jnp.stack([Yr, Yi], axis=0)
+    return istft_sc(Ysep, n_fft=n_fft, hop_length=hop, length=length)
 
 
 def fast_cacgmm(

@@ -13,6 +13,7 @@ precision in a handful of sweeps.
 """
 
 import functools
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -72,7 +73,7 @@ def _schedule(n: int):
     return Mcc, Mss, Ires, Epq, Epp, Eqq
 
 
-def jacobi_eigh(A, sweeps: int = None, tiny: float = 1e-30):
+def jacobi_eigh(A, sweeps: Optional[int] = None, tiny: float = 1e-30):
     """Eigendecomposition of real symmetric ``(..., n, n)`` matrices.
 
     Drop-in for ``jnp.linalg.eigh`` on small n: returns ``(lamb, V)``

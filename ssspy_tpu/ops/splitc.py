@@ -1795,11 +1795,14 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     from ..linalg.prox import neg_log
 
     if rel is None:
-        # the Gram squaring bounds the resolvable singular value at
-        # sqrt(machine eps) * sigma_max — classify anything below that
-        # as null (a numerically-zero sigma's K column is roundoff noise,
-        # so dividing by it would zero the direction instead of lifting it)
-        rel = 1e-7 if Gr.dtype == jnp.float64 else 1e-3
+        rel = 1e-12 if Gr.dtype == jnp.float64 else 1e-6
+    # the Gram squaring bounds the resolvable singular value at
+    # sqrt(machine eps) * sigma_max — the null CLASSIFICATION must sit
+    # above that (a numerically-zero sigma's K column is roundoff noise,
+    # so dividing by it would zero the direction instead of lifting it),
+    # while the plain divisor floor keeps the tighter ``rel`` so cleanly
+    # resolvable small singular values are not clamped
+    rel_null = max(rel, 1e-7 if Gr.dtype == jnp.float64 else 1e-3)
 
     n = Gr.shape[-1]
     on_tpu = _on_tpu_backend()
@@ -1823,8 +1826,16 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
         Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
         return Wr, Wi
 
-    big = sigma > rel * sigma[..., -1:]  # (batch, 2n); False everywhere if G=0
-    ratio = jnp.where(big, shrunk / jnp.where(big, sigma, 1.0), 0.0)
+    # per-PAIR classification: the two embedded copies of one complex
+    # sigma differ only by eigh roundoff and must classify together (a
+    # straddling pair would otherwise be neither shrunk nor lifted)
+    thresh = rel_null * sigma[..., -1:]
+    pair_big = jnp.logical_or(
+        sigma[..., 0::2] > thresh, sigma[..., 1::2] > thresh
+    )  # (batch, n); False everywhere if G=0
+    big = jnp.repeat(pair_big, 2, axis=-1)
+    divisor = jnp.maximum(sigma, rel * sigma[..., -1:])
+    ratio = jnp.where(big, shrunk / divisor, 0.0)
     W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
     Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
     Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
@@ -1858,8 +1869,7 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     T2r, T2i = Tr[..., 1::2, :, :], Ti[..., 1::2, :, :]
     align = jnp.sum(T1r * T2r + T1i * T2i, axis=(-1, -2))  # Re<T1, T2>_F
     s = jnp.where(align >= 0, 1.0, -1.0)[..., None, None]
-    null_pair = jnp.logical_and(~big[..., 0::2], ~big[..., 1::2])
-    wp = jnp.where(null_pair, jnp.sqrt(step_size), 0.0)[..., None, None]
+    wp = jnp.where(~pair_big, jnp.sqrt(step_size), 0.0)[..., None, None]
     Lr = jnp.sum(wp * (T1r + s * T2r) / 2, axis=-3)
     Li = jnp.sum(wp * (T1i + s * T2i) / 2, axis=-3)
     return Wr + Lr, Wi + Li

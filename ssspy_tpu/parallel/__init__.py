@@ -323,7 +323,6 @@ def make_batched_auxiva_wave_runner_sc(
     scan body is collective-free), projection back, and iSTFT compile
     into ONE XLA program. The whole serving pipeline, multi-chip.
     """
-    import jax.numpy as jnp
 
     from ..ops.splitc import _csep, csolve_matrix
     from ..transform import istft_sc, stft_sc

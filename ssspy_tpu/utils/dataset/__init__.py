@@ -90,7 +90,7 @@ def download_sample_speech_data(
     cache_root = cache_dir or root
     cache_path = os.path.join(
         cache_root,
-        f"synth_{sisec2010_tag}_{n_sources}src_{max_duration}s_{'conv' if conv else 'inst'}_{seed}.npz",
+        f"synth_v2_{sisec2010_tag}_{n_sources}src_{max_duration}s_{'conv' if conv else 'inst'}_{seed}.npz",
     )
     if os.path.exists(cache_path):
         npz = np.load(cache_path)
