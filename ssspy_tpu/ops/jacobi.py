@@ -108,7 +108,12 @@ def jacobi_eigh(A, sweeps: Optional[int] = None, tiny: float = 1e-30):
 
             safe_apq = jnp.where(jnp.abs(apq) < tiny, tiny, apq)
             tau = (aqq - app) / (2 * safe_apq)
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau**2))
+            # Golub-Van Loan sign convention: sgn(0) = +1, so a tied
+            # diagonal pair (tau=0) with |apq|>tiny still rotates by 45
+            # degrees instead of silently never converging (t would be 0
+            # with jnp.sign). t=0 is reserved for the |apq|<tiny case.
+            sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(tau.dtype)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1 + tau**2))
             t = jnp.where(jnp.abs(apq) < tiny, 0.0, t)
             c = 1.0 / jnp.sqrt(1 + t**2)
             s = t * c

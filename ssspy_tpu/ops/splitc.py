@@ -1522,7 +1522,7 @@ def aux_laplace_fdica_ip1_step_sc(Xs, Ws, eps=1e-6):
     Wr, Wi = Ws[0], Ws[1]
 
     Yr, Yi = _csep(Wr, Wi, Xr, Xi)
-    varphi = 1.0 / jnp.maximum(jnp.sqrt(Yr**2 + Yi**2, ), eps)  # (N, I, T)
+    varphi = 1.0 / jnp.maximum(jnp.sqrt(Yr**2 + Yi**2), eps)  # (N, I, T)
     Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
     # looped sweep: faster under per-bin-weighted covariances (cf. ILRMA)
     Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps, unroll=False)

@@ -8,8 +8,6 @@ opaque ``UNIMPLEMENTED`` failures into actionable errors naming the
 fast-path alternative.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -23,8 +21,18 @@ _FAST_PATHS = (
 )
 
 
-@functools.lru_cache(maxsize=None)
+# Manual cache instead of lru_cache: a transient tunnel failure during
+# the probe (timeout, first-contact flake) must NOT permanently mark the
+# backend complex-unsupported — only a definitive dtype rejection is
+# worth caching negatively.
+_COMPLEX_SUPPORT: dict = {}
+
+_COMPLEX_REJECTION_MARKERS = ("UNIMPLEMENTED", "complex", "Complex", "COMPLEX")
+
+
 def _supports_complex(platform: str) -> bool:
+    if platform in _COMPLEX_SUPPORT:
+        return _COMPLEX_SUPPORT[platform]
     import numpy as np
 
     try:
@@ -33,17 +41,25 @@ def _supports_complex(platform: str) -> bool:
         # block_until_ready() can resolve before the computation actually
         # runs, so the device-to-host copy is the only trustworthy probe
         value = np.asarray(jnp.sum(x))
-        return bool(np.isfinite(value.real))
-    except Exception:
+        ok = bool(np.isfinite(value.real))
+        _COMPLEX_SUPPORT[platform] = ok
+        return ok
+    except Exception as exc:  # noqa: BLE001 - probe must never raise
+        # Cache the negative only when the backend definitively rejected
+        # the dtype; transient failures stay uncached so a retry can
+        # succeed.
+        if any(m in str(exc) for m in _COMPLEX_REJECTION_MARKERS):
+            _COMPLEX_SUPPORT[platform] = False
         return False
 
 
 def backend_supports_complex() -> bool:
     """True if the default backend can place and compute complex arrays.
 
-    Probed once per platform and cached (the probe costs one tiny
-    transfer; on tunnel backends the first device contact dominates and
-    happens regardless).
+    Probed once per platform; positive results and definitive dtype
+    rejections are cached, transient probe failures are retried on the
+    next call (the probe costs one tiny transfer; on tunnel backends the
+    first device contact dominates and happens regardless).
     """
     return _supports_complex(jax.default_backend())
 

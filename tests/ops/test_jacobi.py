@@ -23,6 +23,20 @@ def test_jacobi_matches_lapack(n):
     np.testing.assert_allclose(VtV, np.broadcast_to(np.eye(n), VtV.shape), atol=1e-10)
 
 
+def test_jacobi_tied_diagonal_pairs_rotate():
+    # tau = 0 (equal diagonal entries) with a nonzero off-diagonal must
+    # still rotate (Golub-Van Loan sgn(0)=+1 convention); jnp.sign(0)=0
+    # would silently freeze such pairs at their diagonal values.
+    A = jnp.array([[1.0, 0.5], [0.5, 1.0]])
+    lamb, _ = jacobi_eigh(A)
+    np.testing.assert_allclose(np.asarray(lamb), [0.5, 1.5], atol=1e-6)
+
+    A4 = np.diag([2.0, 2.0, 1.0, 3.0])
+    A4[0, 1] = A4[1, 0] = 0.7
+    lamb4, _ = jacobi_eigh(jnp.asarray(A4))
+    np.testing.assert_allclose(np.asarray(lamb4), np.linalg.eigvalsh(A4), atol=1e-9)
+
+
 def test_jacobi_f32_precision():
     rng = np.random.default_rng(0)
     A = rng.standard_normal((64, 16, 16)).astype(np.float32)
