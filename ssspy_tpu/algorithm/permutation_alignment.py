@@ -38,7 +38,7 @@ def correlation_based_permutation_solver(
     ascending order of their total cross-bin correlation; at each bin the
     permutation maximizing correlation with the running criterion is chosen.
     """
-    assert sequence.ndim == 3, "Dimension of sequence is expected to be 3."
+    assert sequence.ndim == 3, "expected a 3-D (n_channels, n_bins, n_frames) array."
     for pos_idx, arg in enumerate(args):
         if arg.shape[:2] != sequence.shape[:2]:
             raise ValueError(f"The shape of {pos_idx + 1}th argument is invalid.")
@@ -131,8 +131,8 @@ def score_based_permutation_solver(
     ``sequence``: ``(n_bins, n_sources, n_frames)`` score sequence (e.g.
     posterior or amplitude); extra ``args`` are permuted in lockstep.
     """
-    assert sequence.ndim == 3, "Dimension of sequence is expected to be 3."
-    assert not multi_centroids, "multi_centroids version is not supported."
+    assert sequence.ndim == 3, "expected a 3-D (n_channels, n_bins, n_frames) array."
+    assert not multi_centroids, "the multi-centroid variant is not implemented."
     for pos_idx, arg in enumerate(args):
         if arg.shape[:2] != sequence.shape[:2]:
             raise ValueError(f"The shape of {pos_idx + 1}th argument is invalid.")

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..linalg import prox
 from ..linalg._solve import solve
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 from .iva import _separate
 from .proxbss import ProxBSSBase
 
@@ -25,10 +25,10 @@ __all__ = ["ADMMBSS", "MaskingADMMBSS"]
 
 def _pop_deprecated_aux(kwargs):
     if "aux1" in kwargs.keys():
-        warnings.warn("aux1 is deprecated. Use auxiliary1 instead.", DeprecationWarning)
+        warnings.warn("the aux1 keyword is deprecated; use auxiliary1.", DeprecationWarning)
         kwargs["auxiliary1"] = kwargs.pop("aux1")
     if "aux2" in kwargs.keys():
-        warnings.warn("aux2 is deprecated. Use auxiliary2 instead.", DeprecationWarning)
+        warnings.warn("the aux2 keyword is deprecated; use auxiliary2.", DeprecationWarning)
         kwargs["auxiliary2"] = kwargs.pop("aux2")
     return kwargs
 
@@ -37,14 +37,10 @@ class ADMMBSSBase(ProxBSSBase):
     """Base of ADMM-type methods (parity: ssspy/bss/admmbss.py:15-52)."""
 
     def __repr__(self) -> str:
-        s = "ADMMBSS("
-        s += "n_penalties={n_penalties}".format(n_penalties=self.n_penalties)
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_penalties", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "ADMMBSS", keys)
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
         self.input = jnp.asarray(input).copy()
@@ -104,21 +100,15 @@ class ADMMBSS(ADMMBSSBase):
         if alpha is None:
             self.relaxation = relaxation
         else:
-            assert relaxation == 1, "You cannot specify relaxation and alpha simultaneously."
-            warnings.warn("alpha is deprecated. Set relaxation instead.", DeprecationWarning)
+            assert relaxation == 1, "relaxation and the deprecated alpha are mutually exclusive; pass only one."
+            warnings.warn("the alpha keyword is deprecated; use relaxation.", DeprecationWarning)
             self.relaxation = alpha
 
     def __repr__(self) -> str:
-        s = "ADMMBSS("
-        s += "rho={rho}"
-        s += ", relaxation={relaxation}"
-        s += ", n_penalties={n_penalties}".format(n_penalties=self.n_penalties)
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["rho", "relaxation", "n_penalties", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "ADMMBSS", keys)
 
     def _reset(self, **kwargs) -> None:
         kwargs = _pop_deprecated_aux(kwargs)
@@ -216,17 +206,17 @@ class MaskingADMMBSS(ADMMBSSBase):
         if penalty_fn is None:
             if record_loss is None:
                 record_loss = False
-            assert not record_loss, "To record loss, set penalty_fn."
+            assert not record_loss, "record_loss=True needs a penalty_fn to evaluate."
         else:
-            assert callable(penalty_fn), "penalty_fn should be callable."
+            assert callable(penalty_fn), "penalty_fn must be callable."
             if record_loss is None:
                 record_loss = True
 
         IterativeMethodBase.__init__(self, callbacks=callbacks, record_loss=record_loss)
 
         if mask_fn is None:
-            raise ValueError("Specify masking function.")
-        assert callable(mask_fn), "mask_fn should be callable."
+            raise ValueError("MaskingPDSBSS/MaskingADMMBSS require a mask_fn.")
+        assert callable(mask_fn), "mask_fn must be callable."
 
         self.penalty_fn = penalty_fn
         self.mask_fn = mask_fn
@@ -235,7 +225,7 @@ class MaskingADMMBSS(ADMMBSSBase):
         self.scale_restoration = scale_restoration
 
         if reference_id is None and scale_restoration:
-            raise ValueError("Specify 'reference_id' if scale_restoration=True.")
+            raise ValueError("scale_restoration=True needs a reference_id channel.")
         self.reference_id = reference_id
 
         self.rho = rho
@@ -243,20 +233,15 @@ class MaskingADMMBSS(ADMMBSSBase):
         if alpha is None:
             self.relaxation = relaxation
         else:
-            assert relaxation == 1, "You cannot specify relaxation and alpha simultaneously."
-            warnings.warn("alpha is deprecated. Set relaxation instead.", DeprecationWarning)
+            assert relaxation == 1, "relaxation and the deprecated alpha are mutually exclusive; pass only one."
+            warnings.warn("the alpha keyword is deprecated; use relaxation.", DeprecationWarning)
             self.relaxation = alpha
 
     def __repr__(self) -> str:
-        s = "MaskingADMMBSS("
-        s += "rho={rho}"
-        s += ", relaxation={relaxation}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["rho", "relaxation", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "MaskingADMMBSS", keys)
 
     def _reset(self, **kwargs) -> None:
         kwargs = _pop_deprecated_aux(kwargs)

@@ -26,7 +26,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["IterativeMethodBase"]
+__all__ = ["IterativeMethodBase", "config_repr"]
+
+
+def config_repr(obj, name: str, keys) -> str:
+    """Render ``Name(key=value, ...)`` from instance attributes.
+
+    Shared ``__repr__`` backend for every separator class: the repr
+    doubles as a config printout, so it lists the hyperparameters that
+    select the algorithm variant. ``keys`` is an ordered attribute-name
+    list (properties welcome — values are read with ``getattr``).
+    """
+    inner = ", ".join(f"{k}={getattr(obj, k)}" for k in keys)
+    return f"{name}({inner})"
 
 
 class IterativeMethodBase:

@@ -27,7 +27,7 @@ from ..special.logsumexp import logsumexp
 from ..special.psd import to_psd
 from ..special.softmax import softmax
 from ..utils.flooring import choose_flooring_fn
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 
 __all__ = ["CACGMMBase", "CACGMM"]
 
@@ -51,15 +51,14 @@ class CACGMMBase(IterativeMethodBase):
         self.input = None
 
     def __repr__(self) -> str:
-        s = "CACGMM("
+        keys = []
         if self.n_sources is not None:
-            s += "n_sources={n_sources}, "
-        s += "record_loss={record_loss}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["n_sources"]
+        keys += ["record_loss"]
+        return config_repr(self, "CACGMM", keys)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -104,7 +103,7 @@ class CACGMMBase(IterativeMethodBase):
         self.posterior = None
 
     def normalize_covariance(self) -> None:
-        assert self.normalization, "Set normalization."
+        assert self.normalization, "a normalization mode is required."
         B = self.covariance
         trace = jnp.real(jnp.trace(B, axis1=-2, axis2=-1))
         self.covariance = B / trace[..., None, None].astype(B.dtype)
@@ -119,7 +118,7 @@ class CACGMMBase(IterativeMethodBase):
         permutation_alignment = self.permutation_alignment
         flooring_fn = choose_flooring_fn(flooring_fn, method=self)
 
-        assert permutation_alignment, "Set permutation_alignment=True."
+        assert permutation_alignment, "enable permutation_alignment to use this solver."
 
         if type(permutation_alignment) is bool:
             permutation_alignment = "posterior_score"
@@ -188,7 +187,7 @@ class CACGMMBase(IterativeMethodBase):
         self.output = self.separate(X, posterior=gamma)
 
     def solve_permutation_by_correlation(self, target: str = "amplitude", flooring_fn="self") -> None:
-        assert target == "amplitude", "Only amplitude is supported as target."
+        assert target == "amplitude", "only target='amplitude' is implemented."
 
         flooring_fn = choose_flooring_fn(flooring_fn, method=self)
 
@@ -284,15 +283,11 @@ class CACGMM(CACGMMBase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "CACGMM("
+        keys = []
         if self.n_sources is not None:
-            s += "n_sources={n_sources}, "
-        s += "record_loss={record_loss}"
-        s += ", normalization={normalization}"
-        s += ", permutation_alignment={permutation_alignment}"
-        s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["n_sources"]
+        keys += ["record_loss", "normalization", "permutation_alignment", "reference_id"]
+        return config_repr(self, "CACGMM", keys)
 
     # ---- state plumbing ----------------------------------------------------
 

@@ -28,7 +28,7 @@ from ..special.flooring import EPS, identity, max_flooring
 from ..utils.flooring import choose_flooring_fn
 from ..utils.select_pair import sequential_pair_selector
 from ._update_spatial_model import update_by_ip1, update_by_ip2_one_pair
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
 
 __all__ = [
@@ -73,17 +73,13 @@ class FDICABase(IterativeMethodBase):
         self.reference_id = reference_id
 
     def __repr__(self) -> str:
-        s = "FDICA("
-        s += "permutation_alignment={permutation_alignment}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["permutation_alignment", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "FDICA", keys)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -139,7 +135,7 @@ class FDICABase(IterativeMethodBase):
 
     def solve_permutation(self) -> None:
         permutation_alignment = self.permutation_alignment
-        assert permutation_alignment, "Set permutation_alignment=True."
+        assert permutation_alignment, "enable permutation_alignment to use this solver."
 
         if type(permutation_alignment) is bool:
             permutation_alignment = "spectrogram_correlation"
@@ -163,7 +159,7 @@ class FDICABase(IterativeMethodBase):
 
     def restore_scale(self) -> None:
         scale_restoration = self.scale_restoration
-        assert scale_restoration, "Set self.scale_restoration=True."
+        assert scale_restoration, "scale restoration is disabled on this instance."
 
         if type(scale_restoration) is bool:
             scale_restoration = PROJECTION_BACK_KEYWORDS[0]
@@ -176,13 +172,13 @@ class FDICABase(IterativeMethodBase):
             raise ValueError(f"{scale_restoration} is not supported for scale restoration.")
 
     def apply_projection_back(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         W_scaled = projection_back(W, reference_id=self.reference_id)
         self.output, self.demix_filter = _separate(X, W_scaled), W_scaled
 
     def apply_minimal_distortion_principle(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         Y = _separate(X, W)
         Y_scaled = minimal_distortion_principle(Y, reference=X, reference_id=self.reference_id)
@@ -227,11 +223,11 @@ class GradFDICABase(FDICABase):
         self.step_size = step_size
 
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         self.contrast_fn = contrast_fn
 
         if score_fn is None:
-            raise ValueError("Specify score function.")
+            raise ValueError("a score_fn must be provided.")
         self.score_fn = score_fn
 
         self.is_holonomic = is_holonomic
@@ -244,16 +240,10 @@ class GradFDICABase(FDICABase):
         return self._finalize()
 
     def __repr__(self) -> str:
-        s = "GradFDICA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", permutation_alignment={permutation_alignment}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["step_size", "is_holonomic", "permutation_alignment", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GradFDICA", keys)
 
     def _grad_step(self, natural: bool):
         score_fn = self.score_fn
@@ -324,11 +314,11 @@ class AuxFDICA(FDICABase):
         self.spatial_algorithm = spatial_algorithm
 
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         self.contrast_fn = contrast_fn
 
         if d_contrast_fn is None:
-            raise ValueError("Specify derivative of contrast function.")
+            raise ValueError("a d_contrast_fn must be provided.")
         self.d_contrast_fn = d_contrast_fn
 
         if pair_selector is None:
@@ -345,15 +335,10 @@ class AuxFDICA(FDICABase):
         return self._finalize()
 
     def __repr__(self) -> str:
-        s = "AuxFDICA("
-        s += "spatial_algorithm={spatial_algorithm}"
-        s += ", permutation_alignment={permutation_alignment}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["spatial_algorithm", "permutation_alignment", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "AuxFDICA", keys)
 
     def _varphi(self, Y):
         Y_abs = jnp.abs(Y)
@@ -427,16 +412,10 @@ class GradLaplaceFDICA(GradFDICA):
         )
 
     def __repr__(self) -> str:
-        s = "GradLaplaceFDICA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", permutation_alignment={permutation_alignment}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["step_size", "is_holonomic", "permutation_alignment", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GradLaplaceFDICA", keys)
 
 
 class NaturalGradLaplaceFDICA(NaturalGradFDICA):
@@ -473,16 +452,10 @@ class NaturalGradLaplaceFDICA(NaturalGradFDICA):
         )
 
     def __repr__(self) -> str:
-        s = "NaturalGradLaplaceFDICA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", permutation_alignment={permutation_alignment}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["step_size", "is_holonomic", "permutation_alignment", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "NaturalGradLaplaceFDICA", keys)
 
 
 class AuxLaplaceFDICA(AuxFDICA):
@@ -519,12 +492,7 @@ class AuxLaplaceFDICA(AuxFDICA):
         )
 
     def __repr__(self) -> str:
-        s = "AuxLaplaceFDICA("
-        s += "spatial_algorithm={spatial_algorithm}"
-        s += ", permutation_alignment={permutation_alignment}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["spatial_algorithm", "permutation_alignment", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "AuxLaplaceFDICA", keys)

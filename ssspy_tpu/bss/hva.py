@@ -17,6 +17,8 @@ from ..special.flooring import identity, max_flooring
 from .admmbss import MaskingADMMBSS
 from .pdsbss import MaskingPDSBSS
 
+from .base import config_repr
+
 __all__ = ["MaskingPDSHVA", "MaskingADMMHVA", "HVA"]
 
 EPS = 1e-10
@@ -85,18 +87,13 @@ class MaskingPDSHVA(MaskingPDSBSS):
         self.flooring_fn = identity if flooring_fn is None else flooring_fn
 
     def __repr__(self) -> str:
-        s = "MaskingPDSHVA("
-        s += "mu1={mu1}, mu2={mu2}"
-        s += ", relaxation={relaxation}"
+        keys = ["mu1", "mu2", "relaxation"]
         if self.attenuation is not None:
-            s += ", attenuation={attenuation}"
-        s += ", mask_iter={mask_iter}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+            keys += ["attenuation"]
+        keys += ["mask_iter", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "MaskingPDSHVA", keys)
 
 
 class MaskingADMMHVA(MaskingADMMBSS):
@@ -132,33 +129,23 @@ class MaskingADMMHVA(MaskingADMMBSS):
         self.flooring_fn = identity if flooring_fn is None else flooring_fn
 
     def __repr__(self) -> str:
-        s = "MaskingADMMHVA("
-        s += "rho={rho}"
-        s += ", relaxation={relaxation}"
+        keys = ["rho", "relaxation"]
         if self.attenuation is not None:
-            s += ", attenuation={attenuation}"
-        s += ", mask_iter={mask_iter}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+            keys += ["attenuation"]
+        keys += ["mask_iter", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "MaskingADMMHVA", keys)
 
 
 class HVA(MaskingPDSHVA):
     """Alias of :class:`MaskingPDSHVA` (parity: ssspy/bss/hva.py:278-298)."""
 
     def __repr__(self) -> str:
-        s = "HVA("
-        s += "mu1={mu1}, mu2={mu2}"
-        s += ", relaxation={relaxation}"
+        keys = ["mu1", "mu2", "relaxation"]
         if self.attenuation is not None:
-            s += ", attenuation={attenuation}"
-        s += ", mask_iter={mask_iter}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+            keys += ["attenuation"]
+        keys += ["mask_iter", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "HVA", keys)

@@ -17,7 +17,7 @@ from typing import Callable, List, Optional, Union
 import jax.numpy as jnp
 
 from ..transform import whiten
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 
 __all__ = [
     "GradICABase",
@@ -47,11 +47,11 @@ class GradICABase(IterativeMethodBase):
         self.step_size = step_size
 
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         self.contrast_fn = contrast_fn
 
         if score_fn is None:
-            raise ValueError("Specify score function.")
+            raise ValueError("a score_fn must be provided.")
         self.score_fn = score_fn
 
         self.input = None
@@ -66,15 +66,10 @@ class GradICABase(IterativeMethodBase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "GradICA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", record_loss={record_loss}"
-        s += ")"
-        return s.format(**self.__dict__)
+        return config_repr(self, "GradICA", ["step_size", "is_holonomic", "record_loss"])
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -172,11 +167,11 @@ class FastICABase(IterativeMethodBase):
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         if score_fn is None:
-            raise ValueError("Specify score function.")
+            raise ValueError("a score_fn must be provided.")
         if d_score_fn is None:
-            raise ValueError("Specify derivative of score function.")
+            raise ValueError("a d_score_fn must be provided.")
         self.contrast_fn = contrast_fn
         self.score_fn = score_fn
         self.d_score_fn = d_score_fn
@@ -194,13 +189,10 @@ class FastICABase(IterativeMethodBase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "FastICA("
-        s += "record_loss={record_loss}"
-        s += ")"
-        return s.format(**self.__dict__)
+        return config_repr(self, "FastICA", ["record_loss"])
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -304,12 +296,7 @@ class GradLaplaceICA(GradICA):
         )
 
     def __repr__(self) -> str:
-        s = "GradLaplaceICA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", record_loss={record_loss}"
-        s += ")"
-        return s.format(**self.__dict__)
+        return config_repr(self, "GradLaplaceICA", ["step_size", "is_holonomic", "record_loss"])
 
 
 class NaturalGradLaplaceICA(NaturalGradICA):
@@ -332,9 +319,4 @@ class NaturalGradLaplaceICA(NaturalGradICA):
         )
 
     def __repr__(self) -> str:
-        s = "NaturalGradLaplaceICA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", record_loss={record_loss}"
-        s += ")"
-        return s.format(**self.__dict__)
+        return config_repr(self, "NaturalGradLaplaceICA", ["step_size", "is_holonomic", "record_loss"])

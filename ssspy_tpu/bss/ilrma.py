@@ -36,7 +36,7 @@ from ._update_spatial_model import (
     update_by_iss1,
     update_by_iss2,
 )
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
 
 __all__ = ["ILRMABase", "GaussILRMA", "TILRMA", "GGDILRMA"]
@@ -82,7 +82,7 @@ class ILRMABase(IterativeMethodBase):
         self.scale_restoration = scale_restoration
 
         if reference_id is None and scale_restoration:
-            raise ValueError("Specify 'reference_id' if scale_restoration=True.")
+            raise ValueError("scale_restoration=True needs a reference_id channel.")
         self.reference_id = reference_id
 
         self.rng = np.random.default_rng() if rng is None else rng
@@ -100,18 +100,13 @@ class ILRMABase(IterativeMethodBase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "ILRMA("
-        s += "n_basis={n_basis}"
-        s += ", partitioning={partitioning}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "partitioning", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "ILRMA", keys)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -265,7 +260,7 @@ class ILRMABase(IterativeMethodBase):
 
         if self.partitioning:
             raise NotImplementedError(
-                "Projection-back-based normalization is not applicable with partitioning function."
+                "projection-back normalization is incompatible with partitioning."
             )
 
         if "W" in state:
@@ -288,7 +283,7 @@ class ILRMABase(IterativeMethodBase):
 
     def restore_scale(self) -> None:
         scale_restoration = self.scale_restoration
-        assert scale_restoration, "Set self.scale_restoration=True."
+        assert scale_restoration, "scale restoration is disabled on this instance."
 
         if type(scale_restoration) is bool:
             scale_restoration = PROJECTION_BACK_KEYWORDS[0]
@@ -301,7 +296,7 @@ class ILRMABase(IterativeMethodBase):
             raise ValueError(f"{scale_restoration} is not supported for scale restoration.")
 
     def apply_projection_back(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         if self.demix_filter is None:
             X, Y = self.input, self.output
             self.output = projection_back(Y, reference=X, reference_id=self.reference_id)
@@ -489,10 +484,10 @@ class GaussILRMA(ILRMABase):
 
         assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
         assert source_algorithm in source_algorithms, f"Not support {source_algorithm}."
-        assert 0 < domain <= 2, "domain parameter should be chosen from [0, 2]."
+        assert 0 < domain <= 2, "domain must lie in (0, 2]."
 
         if source_algorithm == "ME":
-            assert domain == 2, "domain parameter should be 2 when you specify ME algorithm."
+            assert domain == 2, "the ME source update requires domain=2."
 
         self.spatial_algorithm = spatial_algorithm
         self.source_algorithm = source_algorithm
@@ -520,19 +515,10 @@ class GaussILRMA(ILRMABase):
                 setattr(self, key, self.__class__._default_kwargs[key])
 
     def __repr__(self) -> str:
-        s = "GaussILRMA("
-        s += "n_basis={n_basis}"
-        s += ", spatial_algorithm={spatial_algorithm}"
-        s += ", source_algorithm={source_algorithm}"
-        s += ", domain={domain}"
-        s += ", partitioning={partitioning}"
-        s += ", normalization={normalization}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "spatial_algorithm", "source_algorithm", "domain", "partitioning", "normalization", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GaussILRMA", keys)
 
     def _mm_weights(self, Y, R_model):
         p = self.domain
@@ -603,12 +589,12 @@ class TILRMA(ILRMABase):
 
         assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
         assert source_algorithm in source_algorithms, f"Not support {source_algorithm}."
-        assert 0 < domain <= 2, "domain parameter should be chosen from [0, 2]."
+        assert 0 < domain <= 2, "domain must lie in (0, 2]."
 
         if spatial_algorithm == "IPA":
-            raise ValueError("IPA is not supported for t-ILRMA.")
+            raise ValueError("t-ILRMA has no IPA spatial update; choose IP/ISS variants.")
         if source_algorithm == "ME":
-            assert domain == 2, "domain parameter should be 2 when you specify ME algorithm."
+            assert domain == 2, "the ME source update requires domain=2."
 
         self.dof = dof
         self.spatial_algorithm = spatial_algorithm
@@ -623,20 +609,10 @@ class TILRMA(ILRMABase):
             self.pair_selector = pair_selector
 
     def __repr__(self) -> str:
-        s = "TILRMA("
-        s += "n_basis={n_basis}"
-        s += ", dof={dof}"
-        s += ", spatial_algorithm={spatial_algorithm}"
-        s += ", source_algorithm={source_algorithm}"
-        s += ", domain={domain}"
-        s += ", partitioning={partitioning}"
-        s += ", normalization={normalization}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "dof", "spatial_algorithm", "source_algorithm", "domain", "partitioning", "normalization", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "TILRMA", keys)
 
     def _mm_weights(self, Y, R_model):
         p = self.domain
@@ -720,10 +696,10 @@ class GGDILRMA(ILRMABase):
         assert 0 < beta < 2, f"Shape parameter {beta} shoule be chosen from (0, 2)."
         assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
         assert source_algorithm == "MM", f"Not support {source_algorithm}."
-        assert 0 < domain <= 2, "domain parameter should be chosen from [0, 2]."
+        assert 0 < domain <= 2, "domain must lie in (0, 2]."
 
         if spatial_algorithm == "IPA":
-            raise ValueError("IPA is not supported for GGD-ILRMA.")
+            raise ValueError("GGD-ILRMA has no IPA spatial update; choose IP/ISS variants.")
 
         self.beta = beta
         self.spatial_algorithm = spatial_algorithm
@@ -738,20 +714,10 @@ class GGDILRMA(ILRMABase):
             self.pair_selector = pair_selector
 
     def __repr__(self) -> str:
-        s = "GGDILRMA("
-        s += "n_basis={n_basis}"
-        s += ", beta={beta}"
-        s += ", spatial_algorithm={spatial_algorithm}"
-        s += ", source_algorithm={source_algorithm}"
-        s += ", domain={domain}"
-        s += ", partitioning={partitioning}"
-        s += ", normalization={normalization}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "beta", "spatial_algorithm", "source_algorithm", "domain", "partitioning", "normalization", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GGDILRMA", keys)
 
     def _mm_weights(self, Y, R_model):
         p = self.domain

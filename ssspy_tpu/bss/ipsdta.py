@@ -32,7 +32,7 @@ from ..linalg.quadratic import quadratic
 from ..special.flooring import EPS, identity, max_flooring
 from ..special.psd import to_psd
 from ._update_spatial_model import update_by_block_decomposition_vcd
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
 
 __all__ = [
@@ -73,7 +73,7 @@ class IPSDTABase(IterativeMethodBase):
         self.scale_restoration = scale_restoration
 
         if reference_id is None and scale_restoration:
-            raise ValueError("Specify 'reference_id' if scale_restoration=True.")
+            raise ValueError("scale_restoration=True needs a reference_id channel.")
         self.reference_id = reference_id
 
         self.rng = np.random.default_rng() if rng is None else rng
@@ -90,14 +90,10 @@ class IPSDTABase(IterativeMethodBase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "IPSDTA("
-        s += "n_basis={n_basis}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "IPSDTA", keys)
 
     def separate(self, input, demix_filter):
         return _separate(jnp.asarray(input), jnp.asarray(demix_filter))
@@ -108,7 +104,7 @@ class IPSDTABase(IterativeMethodBase):
 
     def restore_scale(self) -> None:
         scale_restoration = self.scale_restoration
-        assert scale_restoration, "Set self.scale_restoration=True."
+        assert scale_restoration, "scale restoration is disabled on this instance."
 
         if type(scale_restoration) is bool:
             scale_restoration = PROJECTION_BACK_KEYWORDS[0]
@@ -121,13 +117,13 @@ class IPSDTABase(IterativeMethodBase):
             raise ValueError(f"{scale_restoration} is not supported for scale restoration.")
 
     def apply_projection_back(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         W_scaled = projection_back(W, reference_id=self.reference_id)
         self.output, self.demix_filter = _separate(X, W_scaled), W_scaled
 
     def apply_minimal_distortion_principle(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         Y = _separate(X, W)
         Y_scaled = minimal_distortion_principle(Y, reference=X, reference_id=self.reference_id)
@@ -162,20 +158,15 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
         self.n_blocks = n_blocks
 
     def __repr__(self) -> str:
-        s = "IPSDTA("
-        s += "n_basis={n_basis}"
-        s += ", n_blocks={n_blocks}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "n_blocks", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "IPSDTA", keys)
 
     @property
     def n_remains(self) -> int:
         if not hasattr(self, "n_bins"):
-            raise AttributeError("Since n_bins is not defined, n_remains cannot be computed.")
+            raise AttributeError("n_remains is undefined until n_bins is known (bind input first).")
         return self.n_bins % self.n_blocks
 
     # ---- part geometry ------------------------------------------------------
@@ -210,7 +201,7 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
         return flat[0] if len(flat) == 1 else jnp.concatenate(flat, axis=axis)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -282,7 +273,7 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
         return self._basis_from_parts(parts)
 
     def normalize_block_decomposition_psdtf(self) -> None:
-        assert self.source_normalization, "Set source_normalization."
+        assert self.source_normalization, "a source_normalization mode is required."
         self.basis, self.activation = _normalize_psdtf(
             self._basis_parts(self.basis), self.activation, self.n_remains
         )
@@ -388,23 +379,15 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
         self.spatial_algorithm = spatial_algorithm
 
     def __repr__(self) -> str:
-        s = "GaussIPSDTA("
-        s += "n_basis={n_basis}"
-        s += ", n_blocks={n_blocks}"
-        s += ", source_algorithm={source_algorithm}"
-        s += ", spatial_algorithm={spatial_algorithm}"
-        s += ", source_normalization={source_normalization}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "n_blocks", "source_algorithm", "spatial_algorithm", "source_normalization", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GaussIPSDTA", keys)
 
     def _reset(self, **kwargs) -> None:
         super()._reset(**kwargs)
         if self.spatial_algorithm == "FPI":
-            raise NotImplementedError("IPSDTA with fixed-point iteration is not supported.")
+            raise NotImplementedError("the FPI spatial update of IPSDTA is not implemented; use VCD.")
 
     def make_step(self):
         outer = self
@@ -548,19 +531,10 @@ class TIPSDTA(BlockDecompositionIPSDTABase):
         self.spatial_algorithm = spatial_algorithm
 
     def __repr__(self) -> str:
-        s = "TIPSDTA("
-        s += "n_basis={n_basis}"
-        s += ", n_blocks={n_blocks}"
-        s += ", dof={dof}"
-        s += ", source_algorithm={source_algorithm}"
-        s += ", spatial_algorithm={spatial_algorithm}"
-        s += ", source_normalization={source_normalization}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_basis", "n_blocks", "dof", "source_algorithm", "spatial_algorithm", "source_normalization", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "TIPSDTA", keys)
 
     def _frame_weight(self, state):
         """``pi`` (N, T) from the current state."""

@@ -35,7 +35,7 @@ from ._update_spatial_model import (
     update_by_iss1,
     update_by_iss2,
 )
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 
 __all__ = [
     "IVABase",
@@ -108,19 +108,16 @@ class IVABase(IterativeMethodBase):
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
-        raise NotImplementedError("Implement '__call__' method.")
+        raise NotImplementedError("subclasses must implement __call__.")
 
     def __repr__(self) -> str:
-        s = "IVA("
-        s += "scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "IVA", keys)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, jnp.asarray(kwargs[key]) if hasattr(kwargs[key], "shape") else kwargs[key])
@@ -187,7 +184,7 @@ class IVABase(IterativeMethodBase):
 
     def restore_scale(self) -> None:
         scale_restoration = self.scale_restoration
-        assert scale_restoration, "Set self.scale_restoration=True."
+        assert scale_restoration, "scale restoration is disabled on this instance."
 
         if type(scale_restoration) is bool:
             scale_restoration = PROJECTION_BACK_KEYWORDS[0]
@@ -200,13 +197,13 @@ class IVABase(IterativeMethodBase):
             raise ValueError(f"{scale_restoration} is not supported for scale restoration.")
 
     def apply_projection_back(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         W_scaled = projection_back(W, reference_id=self.reference_id)
         self.output, self.demix_filter = _separate(X, W_scaled), W_scaled
 
     def apply_minimal_distortion_principle(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         Y = _separate(X, W)
         Y_scaled = minimal_distortion_principle(Y, reference=X, reference_id=self.reference_id)
@@ -239,11 +236,11 @@ class GradIVABase(IVABase):
         self.step_size = step_size
 
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         self.contrast_fn = contrast_fn
 
         if score_fn is None:
-            raise ValueError("Specify score function.")
+            raise ValueError("a score_fn must be provided.")
         self.score_fn = score_fn
 
         self.is_holonomic = is_holonomic
@@ -260,15 +257,10 @@ class GradIVABase(IVABase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "GradIVA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["step_size", "is_holonomic", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GradIVA", keys)
 
     def _grad_step(self, natural: bool):
         score_fn = self.score_fn
@@ -344,13 +336,10 @@ class FastIVABase(IVABase):
         )
 
     def __repr__(self) -> str:
-        s = "FastIVA("
-        s += "scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "FastIVA", keys)
 
     def _reset(self, **kwargs) -> None:
         super()._reset(**kwargs)
@@ -383,7 +372,7 @@ class FastIVABase(IVABase):
         return loss
 
     def apply_projection_back(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, Z, W = self.input, self.whitened_input, self.demix_filter
         Y = _separate(Z, W)
         Y_scaled = projection_back(Y, reference=X, reference_id=self.reference_id)
@@ -429,9 +418,9 @@ class FastIVA(FastIVABase):
             reference_id=reference_id,
         )
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         if d_contrast_fn is None:
-            raise ValueError("Specify derivative of contrast function.")
+            raise ValueError("a d_contrast_fn must be provided.")
         if dd_contrast_fn is None:
             raise ValueError("Specify second-order derivative of contrast function.")
         self.contrast_fn = contrast_fn
@@ -487,9 +476,9 @@ class FasterIVA(FastIVABase):
             reference_id=reference_id,
         )
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         if d_contrast_fn is None:
-            raise ValueError("Specify derivative of contrast function.")
+            raise ValueError("a d_contrast_fn must be provided.")
         self.contrast_fn = contrast_fn
         self.d_contrast_fn = d_contrast_fn
 
@@ -532,9 +521,9 @@ class AuxIVABase(IVABase):
             reference_id=reference_id,
         )
         if contrast_fn is None:
-            raise ValueError("Specify contrast function.")
+            raise ValueError("a contrast_fn must be provided.")
         if d_contrast_fn is None:
-            raise ValueError("Specify derivative of contrast function.")
+            raise ValueError("a d_contrast_fn must be provided.")
         self.contrast_fn = contrast_fn
         self.d_contrast_fn = d_contrast_fn
 
@@ -551,13 +540,10 @@ class AuxIVABase(IVABase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "AuxIVA("
-        s += "scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "AuxIVA", keys)
 
 
 class AuxIVA(AuxIVABase):
@@ -620,14 +606,10 @@ class AuxIVA(AuxIVABase):
                 setattr(self, key, self.__class__._default_kwargs[key])
 
     def __repr__(self) -> str:
-        s = "AuxIVA("
-        s += "spatial_algorithm={spatial_algorithm}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["spatial_algorithm", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "AuxIVA", keys)
 
     def _reset(self, **kwargs) -> None:
         super()._reset(**kwargs)
@@ -747,7 +729,7 @@ class AuxIVA(AuxIVABase):
 
     def apply_projection_back(self) -> None:
         if self.demix_filter is None:
-            assert self.scale_restoration, "Set self.scale_restoration=True."
+            assert self.scale_restoration, "scale restoration is disabled on this instance."
             X, Y = self.input, self.output
             self.output = projection_back(Y, reference=X, reference_id=self.reference_id)
         else:
@@ -847,9 +829,9 @@ class ADMMIVA:
 def _iva_prox_defaults(contrast_fn, prox_penalty, _prox):
     """Default L21 contrast + group-shrinkage prox for PDS/ADMM IVA."""
     if contrast_fn is not None and prox_penalty is None:
-        raise ValueError("Set prox_penalty.")
+        raise ValueError("a prox_penalty is required.")
     elif contrast_fn is None and prox_penalty is not None:
-        raise ValueError("Set contrast_fn.")
+        raise ValueError("a contrast_fn is required.")
     elif contrast_fn is None and prox_penalty is None:
 
         def contrast_fn(y):
@@ -897,15 +879,10 @@ class GradLaplaceIVA(GradIVA):
         )
 
     def __repr__(self) -> str:
-        s = "GradLaplaceIVA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["step_size", "is_holonomic", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "GradLaplaceIVA", keys)
 
 
 def _gauss_contrast(Y, variance):
@@ -1033,15 +1010,10 @@ class NaturalGradLaplaceIVA(NaturalGradIVA):
         )
 
     def __repr__(self) -> str:
-        s = "NaturalGradLaplaceIVA("
-        s += "step_size={step_size}"
-        s += ", is_holonomic={is_holonomic}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["step_size", "is_holonomic", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "NaturalGradLaplaceIVA", keys)
 
 
 class NaturalGradGaussIVA(GradGaussIVA):
@@ -1122,14 +1094,10 @@ class AuxGaussIVA(AuxIVA):
         )
 
     def __repr__(self) -> str:
-        s = "AuxGaussIVA("
-        s += "spatial_algorithm={spatial_algorithm}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["spatial_algorithm", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "AuxGaussIVA", keys)
 
     def _reset(self, **kwargs) -> None:
         super()._reset(**kwargs)

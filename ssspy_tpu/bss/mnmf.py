@@ -24,7 +24,7 @@ from ..special.flooring import EPS, identity, max_flooring
 from ..special.psd import to_psd
 from ..utils.select_pair import sequential_pair_selector
 from ._update_spatial_model import update_by_ip1, update_by_ip2
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 
 __all__ = ["MNMFBase", "MNMF", "FastMNMFBase", "GaussMNMF", "FastGaussMNMF"]
 
@@ -79,21 +79,16 @@ class MNMFBase(IterativeMethodBase):
         return self.output
 
     def __repr__(self) -> str:
-        s = "MNMF("
-        s += "n_basis={n_basis}"
+        keys = ["n_basis"]
         if self.n_sources is not None:
-            s += ", n_sources={n_sources}"
+            keys += ["n_sources"]
         if hasattr(self, "n_channels"):
-            s += ", n_channels={n_channels}"
-        s += ", partitioning={partitioning}"
-        s += ", normalization={normalization}"
-        s += ", record_loss={record_loss}"
-        s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["n_channels"]
+        keys += ["partitioning", "normalization", "record_loss", "reference_id"]
+        return config_repr(self, "MNMF", keys)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -157,7 +152,7 @@ class MNMFBase(IterativeMethodBase):
             self.basis, self.activation = T, V
 
     def separate(self, input):
-        raise NotImplementedError("Implement 'separate' method.")
+        raise NotImplementedError("subclasses must implement separate.")
 
     def reconstruct_nmf(self, basis, activation, latent=None):
         return _reconstruct_nmf(basis, activation, latent)
@@ -196,18 +191,13 @@ class GaussMNMF(MNMF):
     """
 
     def __repr__(self) -> str:
-        s = "GaussMNMF("
-        s += "n_basis={n_basis}"
+        keys = ["n_basis"]
         if self.n_sources is not None:
-            s += ", n_sources={n_sources}"
+            keys += ["n_sources"]
         if hasattr(self, "n_channels"):
-            s += ", n_channels={n_channels}"
-        s += ", partitioning={partitioning}"
-        s += ", normalization={normalization}"
-        s += ", record_loss={record_loss}"
-        s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["n_channels"]
+        keys += ["partitioning", "normalization", "record_loss", "reference_id"]
+        return config_repr(self, "GaussMNMF", keys)
 
     # ---- state plumbing ----------------------------------------------------
 
@@ -383,18 +373,13 @@ class FastMNMFBase(MNMFBase):
         self.spatial = D
 
     def __repr__(self) -> str:
-        s = "FastMNMF("
-        s += "n_basis={n_basis}"
+        keys = ["n_basis"]
         if self.n_sources is not None:
-            s += ", n_sources={n_sources}"
+            keys += ["n_sources"]
         if hasattr(self, "n_channels"):
-            s += ", n_channels={n_channels}"
-        s += ", partitioning={partitioning}"
-        s += ", normalization={normalization}"
-        s += ", record_loss={record_loss}"
-        s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["n_channels"]
+        keys += ["partitioning", "normalization", "record_loss", "reference_id"]
+        return config_repr(self, "FastMNMF", keys)
 
 
 class FastGaussMNMF(FastMNMFBase):
@@ -444,18 +429,13 @@ class FastGaussMNMF(FastMNMFBase):
             self.pair_selector = pair_selector
 
     def __repr__(self) -> str:
-        s = "FastGaussMNMF("
-        s += "n_basis={n_basis}"
+        keys = ["n_basis"]
         if self.n_sources is not None:
-            s += ", n_sources={n_sources}"
+            keys += ["n_sources"]
         if hasattr(self, "n_channels"):
-            s += ", n_channels={n_channels}"
-        s += ", diagonalizer_algorithm={diagonalizer_algorithm}"
-        s += ", partitioning={partitioning}"
-        s += ", record_loss={record_loss}"
-        s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["n_channels"]
+        keys += ["diagonalizer_algorithm", "partitioning", "record_loss", "reference_id"]
+        return config_repr(self, "FastGaussMNMF", keys)
 
     # ---- state plumbing ----------------------------------------------------
 

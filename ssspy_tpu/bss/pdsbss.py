@@ -13,7 +13,7 @@ from typing import Callable, List, Optional, Union
 import jax.numpy as jnp
 
 from ..linalg import prox
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 from .iva import _separate
 from .proxbss import ProxBSSBase
 
@@ -32,14 +32,10 @@ class PDSBSSBase(ProxBSSBase):
     """Base of PDS-type methods (parity: ssspy/bss/pdsbss.py:14-55)."""
 
     def __repr__(self) -> str:
-        s = "PDSBSS("
-        s += "n_penalties={n_penalties}".format(n_penalties=self.n_penalties)
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_penalties", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "PDSBSS", keys)
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
         self.input = jnp.asarray(input).copy()
@@ -83,21 +79,15 @@ class PDSBSS(PDSBSSBase):
         if alpha is None:
             self.relaxation = relaxation
         else:
-            assert relaxation == 1, "You cannot specify relaxation and alpha simultaneously."
-            warnings.warn("alpha is deprecated. Set relaxation instead.", DeprecationWarning)
+            assert relaxation == 1, "relaxation and the deprecated alpha are mutually exclusive; pass only one."
+            warnings.warn("the alpha keyword is deprecated; use relaxation.", DeprecationWarning)
             self.relaxation = alpha
 
     def __repr__(self) -> str:
-        s = "PDSBSS("
-        s += "mu1={mu1}, mu2={mu2}"
-        s += ", relaxation={relaxation}"
-        s += ", n_penalties={n_penalties}".format(n_penalties=self.n_penalties)
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["mu1", "mu2", "relaxation", "n_penalties", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "PDSBSS", keys)
 
     def _reset(self, **kwargs) -> None:
         super()._reset(**kwargs)
@@ -174,17 +164,17 @@ class MaskingPDSBSS(PDSBSSBase):
         if penalty_fn is None:
             if record_loss is None:
                 record_loss = False
-            assert not record_loss, "To record loss, set penalty_fn."
+            assert not record_loss, "record_loss=True needs a penalty_fn to evaluate."
         else:
-            assert callable(penalty_fn), "penalty_fn should be callable."
+            assert callable(penalty_fn), "penalty_fn must be callable."
             if record_loss is None:
                 record_loss = True
 
         IterativeMethodBase.__init__(self, callbacks=callbacks, record_loss=record_loss)
 
         if mask_fn is None:
-            raise ValueError("Specify masking function.")
-        assert callable(mask_fn), "mask_fn should be callable."
+            raise ValueError("MaskingPDSBSS/MaskingADMMBSS require a mask_fn.")
+        assert callable(mask_fn), "mask_fn must be callable."
 
         self.penalty_fn = penalty_fn
         self.mask_fn = mask_fn
@@ -193,7 +183,7 @@ class MaskingPDSBSS(PDSBSSBase):
         self.scale_restoration = scale_restoration
 
         if reference_id is None and scale_restoration:
-            raise ValueError("Specify 'reference_id' if scale_restoration=True.")
+            raise ValueError("scale_restoration=True needs a reference_id channel.")
         self.reference_id = reference_id
 
         self.mu1, self.mu2 = mu1, mu2
@@ -201,20 +191,15 @@ class MaskingPDSBSS(PDSBSSBase):
         if alpha is None:
             self.relaxation = relaxation
         else:
-            assert relaxation == 1, "You cannot specify relaxation and alpha simultaneously."
-            warnings.warn("alpha is deprecated. Set relaxation instead.", DeprecationWarning)
+            assert relaxation == 1, "relaxation and the deprecated alpha are mutually exclusive; pass only one."
+            warnings.warn("the alpha keyword is deprecated; use relaxation.", DeprecationWarning)
             self.relaxation = alpha
 
     def __repr__(self) -> str:
-        s = "MaskingPDSBSS("
-        s += "mu1={mu1}, mu2={mu2}"
-        s += ", relaxation={relaxation}"
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["mu1", "mu2", "relaxation", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "MaskingPDSBSS", keys)
 
     def _reset(self, **kwargs) -> None:
         super()._reset(**kwargs)

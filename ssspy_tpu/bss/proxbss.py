@@ -14,7 +14,7 @@ from ..algorithm import (
     minimal_distortion_principle,
     projection_back,
 )
-from .base import IterativeMethodBase
+from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
 
 EPS = 1e-10
@@ -38,7 +38,7 @@ class ProxBSSBase(IterativeMethodBase):
             # penalty_fn is not necessarily available in closed form
             if record_loss is None:
                 record_loss = False
-            assert not record_loss, "To record loss, set penalty_fn."
+            assert not record_loss, "record_loss=True needs a penalty_fn to evaluate."
         else:
             if callable(penalty_fn):
                 penalty_fn = [penalty_fn]
@@ -48,7 +48,7 @@ class ProxBSSBase(IterativeMethodBase):
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
         if prox_penalty is None:
-            raise ValueError("Specify proximal operator of penalty function.")
+            raise ValueError("a prox_penalty must be provided.")
         if callable(prox_penalty):
             prox_penalty = [prox_penalty]
 
@@ -58,27 +58,23 @@ class ProxBSSBase(IterativeMethodBase):
         if self.penalty_fn is not None:
             assert len(self.penalty_fn) == len(
                 self.prox_penalty
-            ), "Length of penalty_fn and prox_penalty are different."
+            ), "penalty_fn and prox_penalty lists must have equal length."
 
         self.input = None
         self.scale_restoration = scale_restoration
 
         if reference_id is None and scale_restoration:
-            raise ValueError("Specify 'reference_id' if scale_restoration=True.")
+            raise ValueError("scale_restoration=True needs a reference_id channel.")
         self.reference_id = reference_id
 
     def __repr__(self) -> str:
-        s = "ProxBSSBase("
-        s += "n_penalties={n_penalties}".format(n_penalties=self.n_penalties)
-        s += ", scale_restoration={scale_restoration}"
-        s += ", record_loss={record_loss}"
+        keys = ["n_penalties", "scale_restoration", "record_loss"]
         if self.scale_restoration:
-            s += ", reference_id={reference_id}"
-        s += ")"
-        return s.format(**self.__dict__)
+            keys += ["reference_id"]
+        return config_repr(self, "ProxBSSBase", keys)
 
     def _reset(self, **kwargs) -> None:
-        assert self.input is not None, "Specify data!"
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
 
         for key in kwargs.keys():
             setattr(self, key, kwargs[key])
@@ -138,7 +134,7 @@ class ProxBSSBase(IterativeMethodBase):
 
     def restore_scale(self) -> None:
         scale_restoration = self.scale_restoration
-        assert scale_restoration, "Set self.scale_restoration=True."
+        assert scale_restoration, "scale restoration is disabled on this instance."
 
         if type(scale_restoration) is bool:
             scale_restoration = "projection_back"
@@ -151,13 +147,13 @@ class ProxBSSBase(IterativeMethodBase):
             raise ValueError(f"{scale_restoration} is not supported for scale restoration.")
 
     def apply_projection_back(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         W_scaled = projection_back(W, reference_id=self.reference_id)
         self.output, self.demix_filter = _separate(X, W_scaled), W_scaled
 
     def apply_minimal_distortion_principle(self) -> None:
-        assert self.scale_restoration, "Set self.scale_restoration=True."
+        assert self.scale_restoration, "scale restoration is disabled on this instance."
         X, W = self.input, self.demix_filter
         Y = _separate(X, W)
         Y_scaled = minimal_distortion_principle(Y, reference=X, reference_id=self.reference_id)

@@ -44,7 +44,7 @@ def wavread(
 
         _expect(f.read(4) == b"fmt ", "Expected 'fmt ' chunk.")
         fmt_size = struct.unpack("<I", f.read(4))[0]
-        _expect(fmt_size == 16, "Invalid header is detected.")
+        _expect(fmt_size == 16, "malformed RIFF/WAVE header.")
         fmt_tag = struct.unpack("<H", f.read(2))[0]
         _expect(fmt_tag == _PCM_FORMAT, f"Invalid header {fmt_tag} is detected.")
         n_channels, sample_rate, byte_rate, block_align, bits = struct.unpack(
@@ -52,7 +52,7 @@ def wavread(
         )
         _expect(
             bits * sample_rate * n_channels == 8 * byte_rate,
-            "Invalid header is detected.",
+            "malformed RIFF/WAVE header.",
             ValueError,
         )
 
@@ -66,9 +66,9 @@ def wavread(
         elif num_frames >= 0:
             end_frame = frame_offset + num_frames
             if end_frame > max_frame:
-                raise ValueError(f"num_frames={num_frames} exceeds maximum frame {max_frame}.")
+                raise ValueError(f"num_frames={num_frames} is beyond the file length ({max_frame} frames).")
         else:
-            raise ValueError(f"Invalid num_frames={num_frames} is given. Set nonnegative integer.")
+            raise ValueError(f"num_frames must be a nonnegative integer, got {num_frames}.")
 
         f.seek(block_align * frame_offset, 1)
         n_read = (end_frame - frame_offset) * n_channels
@@ -91,7 +91,7 @@ def wavwrite(
     channels_first: Optional[bool] = None,
 ) -> None:
     """Write a waveform as a PCM RIFF/WAVE file (float -> int16 scaling)."""
-    assert path[-4:] == ".wav", "Only wav file is supported."
+    assert path[-4:] == ".wav", "only RIFF/WAVE files are supported."
 
     waveform = np.asarray(waveform)
 
@@ -102,10 +102,10 @@ def wavwrite(
         frames = waveform.T if channels_first else waveform
         n_channels = frames.shape[1]
         if n_channels < 1 or n_channels > 2:
-            raise ValueError(f"{n_channels}channel-input is not supported.")
+            raise ValueError(f"unsupported channel count: {n_channels}.")
     else:
         raise ValueError(
-            f"waveform.ndim should be less or equal to 2, but given {waveform.ndim}."
+            f"waveform must be 1-D or 2-D, got ndim={waveform.ndim}."
         )
 
     if frames.dtype.kind == "f":

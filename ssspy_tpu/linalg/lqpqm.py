@@ -56,7 +56,7 @@ def lqpqm2(
         def singular_fn(x):  # noqa: F811
             return x < flooring_fn(jnp.zeros((), dtype=x.dtype))
     else:
-        assert callable(singular_fn), "singular_fn should be callable."
+        assert callable(singular_fn), "singular_fn must be callable."
 
     phi, sigma = jnp.linalg.eigh(H)
     norm = jnp.linalg.norm(v, axis=-1)

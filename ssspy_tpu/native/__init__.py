@@ -264,7 +264,7 @@ def resample(waveform: np.ndarray, orig_rate: int, target_rate: int, half_width:
 def _error(rc: int, path: str) -> Exception:
     messages = {
         -1: f"Cannot open {path}.",
-        -2: "Invalid header is detected.",
+        -2: "malformed RIFF/WAVE header.",
         -3: "Unsupported WAV format.",
         -4: "Frame range out of bounds.",
         -5: "I/O error.",

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["weighted_covariance_sc"]
+__all__ = ["weighted_covariance_sc", "planar_inverse_sc"]
 
 # beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
 # f32 plus weights/outputs) approach the ~16 MB/core VMEM budget; the
@@ -143,4 +143,122 @@ def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
         return _wcov_pallas(Xr, Xi, varphi, interpret=True)
     if impl == "interpret_bf16":
         return _wcov_pallas(Xr, Xi, varphi, interpret=True, cast=jnp.bfloat16)
+    raise ValueError(f"unknown impl {impl}")
+
+
+# ---- batched planar Hermitian inverse (dense-MNMF / IPSDTA hot op) ----------
+#
+# GaussMNMF inverts the (n_bins x n_frames) batch of 8x8 model covariances
+# three times per iteration (reference ssspy/bss/mnmf.py:836-1016). The XLA
+# lowering of the unrolled Gauss-Jordan materializes a (batch, 2M, 3M) f32
+# intermediate in HBM after EVERY elimination step — ~16 round trips of
+# ~300 MB at the dense-MNMF batch size, which makes the step HBM-bound.
+# This kernel keeps the whole augmented system [E(A) | I] VMEM-resident per
+# batch tile (batch-in-lanes layout), so HBM sees each matrix exactly twice:
+# one read of the operand pair, one write of the inverse pair.
+
+
+def _pinv_kernel(rr_ref, ri_ref, or_ref, oi_ref, aug_ref, *, m, tiny):
+    # rr/ri: (m, m, Bt) planar Hermitian tiles, batch last (lanes);
+    # aug: (2m, 3m, Bt) scratch holding the embedded augmented system.
+    # E(A) = [[Ar, -Ai], [Ai, Ar]] is real-SPD for Hermitian PD A, and
+    # E(A)^{-1} [I; 0] = [Br; Bi] with B = A^{-1} — only m RHS columns.
+    two_m = 2 * m
+    aug_ref[:m, :m, :] = rr_ref[:]
+    aug_ref[:m, m:two_m, :] = -ri_ref[:]
+    aug_ref[m:two_m, :m, :] = ri_ref[:]
+    aug_ref[m:two_m, m:two_m, :] = rr_ref[:]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (two_m, m), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (two_m, m), 1)
+    eye_cols = (row_ids == col_ids).astype(rr_ref.dtype)
+    aug_ref[:, two_m:, :] = jnp.broadcast_to(
+        eye_cols[:, :, None], (two_m, m, rr_ref.shape[-1])
+    )
+
+    # pivot-free Gauss-Jordan, statically unrolled: every op is an
+    # elementwise VPU op over (rows, cols, lanes=batch) — no gathers,
+    # no scatters, no data-dependent control flow. The sign-preserving
+    # pivot floor matches gauss_jordan_solve_nopivot.
+    for k in range(two_m):
+        row = aug_ref[k]  # (3m, Bt)
+        pivot = row[k : k + 1, :]  # (1, Bt)
+        pivot = jnp.where(
+            jnp.abs(pivot) < tiny, jnp.where(pivot < 0, -tiny, tiny), pivot
+        )
+        row = row / pivot
+        factor = aug_ref[:, k : k + 1, :]  # (2m, 1, Bt)
+        aug_ref[:] = aug_ref[:] - factor * row[None, :, :]
+        aug_ref[k] = row
+
+    or_ref[:] = aug_ref[:m, two_m:, :]
+    oi_ref[:] = aug_ref[m:two_m, two_m:, :]
+
+
+def _pinv_pallas(Rr, Ri, block_b: int = 1024, interpret: bool = False, tiny=1e-20):
+    """``(..., m, m)`` planar pair -> planar inverse, Pallas path."""
+    batch_shape = Rr.shape[:-2]
+    m = Rr.shape[-1]
+    Rr2 = Rr.reshape(-1, m, m)
+    Ri2 = Ri.reshape(-1, m, m)
+    n_batch = Rr2.shape[0]
+
+    pad = (-n_batch) % block_b
+    if pad:
+        # pad with identities so the padded systems stay well-posed
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=Rr.dtype), (pad, m, m))
+        Rr2 = jnp.concatenate([Rr2, eye], axis=0)
+        Ri2 = jnp.concatenate([Ri2, jnp.zeros_like(eye)], axis=0)
+    total = Rr2.shape[0]
+
+    # batch-in-lanes: (m, m, B) so every kernel op vectorizes over the
+    # 128-lane axis at full utilization
+    Rr_l = jnp.transpose(Rr2, (1, 2, 0))
+    Ri_l = jnp.transpose(Ri2, (1, 2, 0))
+
+    kernel = functools.partial(_pinv_kernel, m=m, tiny=tiny)
+    spec = pl.BlockSpec((m, m, block_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, m, total), Rr.dtype)
+
+    Or_l, Oi_l = pl.pallas_call(
+        kernel,
+        grid=(total // block_b,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[pltpu.VMEM((2 * m, 3 * m, block_b), Rr.dtype)],
+        interpret=interpret,
+    )(Rr_l, Ri_l)
+
+    Or = jnp.transpose(Or_l, (2, 0, 1))[:n_batch].reshape(*batch_shape, m, m)
+    Oi = jnp.transpose(Oi_l, (2, 0, 1))[:n_batch].reshape(*batch_shape, m, m)
+    return Or, Oi
+
+
+def planar_inverse_sc(Rr, Ri, impl: str = "auto", block_b: int = 1024):
+    """Batched planar complex inverse of Hermitian ``(..., m, m)`` pairs.
+
+    ``impl``: ``"pallas"`` (VMEM-resident fused Gauss-Jordan; the TPU
+    fast path for large batches), ``"gj"`` (XLA unrolled Gauss-Jordan via
+    :func:`ssspy_tpu.ops.splitc.csolve_matrix`), ``"interpret"`` (Pallas
+    interpreter, for CPU parity tests), or ``"auto"`` (pallas on TPU
+    backends when the batch is large enough to be HBM-bound, gj
+    elsewhere). Numerics match the ``gj`` path: identical pivot-free
+    elimination order and the same sign-preserving pivot floor.
+    """
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        n_batch = 1
+        for d in Rr.shape[:-2]:
+            n_batch *= d
+        impl = "pallas" if (on_tpu and n_batch >= 4 * block_b) else "gj"
+
+    if impl == "pallas":
+        return _pinv_pallas(Rr, Ri, block_b=block_b)
+    if impl == "interpret":
+        return _pinv_pallas(Rr, Ri, block_b=min(block_b, 128), interpret=True)
+    if impl == "gj":
+        from .splitc import _cinv
+
+        return _cinv(Rr, Ri)
     raise ValueError(f"unknown impl {impl}")

@@ -13,13 +13,13 @@ def _channel_axis(input):
     """Reference layout rules: which axis holds channels (ssspy/transform/pca.py docstring)."""
     if input.ndim == 2:
         if jnp.iscomplexobj(input):
-            raise ValueError("Real tensor is expected, but given complex tensor.")
+            raise ValueError("expected a real-valued array, got a complex one.")
         return 0
     if input.ndim == 3:
         return 0 if jnp.iscomplexobj(input) else 1
     if input.ndim == 4:
         if not jnp.iscomplexobj(input):
-            raise ValueError("Complex tensor is expected, but given real tensor.")
+            raise ValueError("expected a complex-valued array, got a real one.")
         return 1
     raise ValueError(f"The dimension of input is expected 2, 3, or 4, but given {input.ndim}.")
 

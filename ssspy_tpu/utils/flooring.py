@@ -15,7 +15,7 @@ def choose_flooring_fn(
     a callable is returned as-is.
     """
     if flooring_fn is None:
-        assert method is None, "method is given, but flooring function is not specified."
+        assert method is None, "a flooring method name was given without a flooring function."
         flooring_fn = identity
     elif isinstance(flooring_fn, str) and flooring_fn == "self":
         if method is None or not hasattr(method, "flooring_fn"):
@@ -23,5 +23,5 @@ def choose_flooring_fn(
         else:
             flooring_fn = method.flooring_fn
 
-    assert callable(flooring_fn), "flooring_fn should be callable."
+    assert callable(flooring_fn), "flooring_fn must be callable."
     return flooring_fn
