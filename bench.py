@@ -153,6 +153,168 @@ def bench_jax_ilrma(spectrogram):
     return N_ITER / dt
 
 
+def _chain_scan(step_with_carry, carry, read_leaf, n_iter=N_ITER, reps=3):
+    """Compile + time chained n_iter scans with a host-readback barrier."""
+    import functools
+
+    import jax
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def runner(carry, n):
+        def body(c, _):
+            return step_with_carry(c), None
+
+        return lax.scan(body, carry, None, length=n)[0]
+
+    np.asarray(read_leaf(runner(carry, n_iter)))  # compile + one execution
+    c = carry
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        c = runner(c, n_iter)
+    np.asarray(read_leaf(c))
+    dt = (time.perf_counter() - t0) / reps
+    return n_iter / dt
+
+
+def bench_jax_fast_mnmf(spectrogram4):
+    """FastGaussMNMF (4-ch, BASELINE config #4) on the fast path."""
+    import jax
+
+    from ssspy_tpu.ops.splitc import fast_gauss_mnmf_step_sc
+
+    M, n_bins, n_frames = spectrogram4.shape
+    K = 4
+    rng = np.random.default_rng(0)
+    Xs = jax.device_put(
+        np.stack([spectrogram4.real, spectrogram4.imag]).astype(np.float32)
+    )
+    W0 = np.zeros((2, n_bins, M, M), dtype=np.float32)
+    W0[0] = np.eye(M, dtype=np.float32)
+    carry = (
+        jax.device_put(W0),
+        jax.device_put((rng.random((M, n_bins, K)) + 0.1).astype(np.float32)),
+        jax.device_put((rng.random((M, K, n_frames)) + 0.1).astype(np.float32)),
+        jax.device_put((rng.random((n_bins, M, M)) + 0.1).astype(np.float32)),
+    )
+    return _chain_scan(
+        lambda c: fast_gauss_mnmf_step_sc(Xs, *c), carry, lambda c: c[0]
+    )
+
+
+def bench_jax_cacgmm(spectrogram):
+    """cACGMM EM (BASELINE config #5) on the fast path."""
+    import jax
+
+    from ssspy_tpu.ops.splitc import cacgmm_step_sc
+
+    M, n_bins, _ = spectrogram.shape
+    rng = np.random.default_rng(0)
+    Z = spectrogram / np.maximum(np.abs(np.linalg.norm(spectrogram, axis=0)), 1e-10)
+    Zs = jax.device_put(np.stack([Z.real, Z.imag]).astype(np.float32))
+    alpha0 = rng.random((M, n_bins))
+    alpha0 = (alpha0 / alpha0.sum(axis=0)).astype(np.float32)
+    Bd = rng.random((M, n_bins, M))
+    Bd = Bd / Bd.sum(axis=-1, keepdims=True)
+    B0 = (Bd[:, :, :, None] * np.eye(M)).astype(np.float32)
+    carry = (
+        jax.device_put(alpha0),
+        jax.device_put(np.stack([B0, np.zeros_like(B0)])),
+    )
+    return _chain_scan(lambda c: cacgmm_step_sc(Zs, *c), carry, lambda c: c[0])
+
+
+def bench_jax_hva(spectrogram):
+    """HVA (masking PDS, BASELINE config #5) on the fast path."""
+    import jax
+
+    from ssspy_tpu.ops.splitc import hva_pds_step_sc
+
+    M, n_bins, n_frames = spectrogram.shape
+    W0 = np.zeros((2, n_bins, M, M), dtype=np.float32)
+    W0[0] = np.eye(M, dtype=np.float32)
+    carry = (
+        jax.device_put(W0),
+        jax.device_put(np.zeros((2, M, n_bins, n_frames), dtype=np.float32)),
+    )
+    return _chain_scan(lambda c: hva_pds_step_sc(spectrogramXs(spectrogram), *c), carry, lambda c: c[0])
+
+
+def spectrogramXs(spectrogram):
+    import jax
+
+    return jax.device_put(
+        np.stack([spectrogram.real, spectrogram.imag]).astype(np.float32)
+    )
+
+
+def _diff_rate(call, n_lo, n_hi):
+    """Per-iteration rate by run-length differencing (excludes the
+    reference's per-call init; MNMF re-runs a minutes-long covariance
+    init inside every __call__)."""
+    t0 = time.perf_counter()
+    call(n_lo)
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    call(n_hi)
+    t_hi = time.perf_counter() - t0
+    dt = t_hi - t_lo
+    if dt <= 0:
+        return None
+    return (n_hi - n_lo) / dt
+
+
+def bench_numpy_fast_mnmf(spectrogram4):
+    sys.path.insert(0, "/root/reference")
+    try:
+        from ssspy.bss.mnmf import FastGaussMNMF
+    except Exception:
+        return None
+    spec = spectrogram4.astype(np.complex128)
+
+    def call(n):
+        m = FastGaussMNMF(
+            n_basis=4, rng=np.random.default_rng(0), record_loss=False
+        )
+        m(spec, n_iter=n)
+
+    return _diff_rate(call, 1, 11)
+
+
+def bench_numpy_cacgmm(spectrogram):
+    sys.path.insert(0, "/root/reference")
+    try:
+        from ssspy.bss.cacgmm import CACGMM
+    except Exception:
+        return None
+    spec = spectrogram.astype(np.complex128)
+
+    def call(n):
+        m = CACGMM(
+            rng=np.random.default_rng(0),
+            record_loss=False,
+            permutation_alignment=False,
+        )
+        m(spec, n_iter=n)
+
+    return _diff_rate(call, 1, 6)
+
+
+def bench_numpy_hva(spectrogram):
+    sys.path.insert(0, "/root/reference")
+    try:
+        from ssspy.bss.hva import HVA
+    except Exception:
+        return None
+    spec = spectrogram.astype(np.complex128)
+
+    def call(n):
+        m = HVA(scale_restoration=False)
+        m(spec, n_iter=n)
+
+    return _diff_rate(call, 2, 12)
+
+
 def bench_numpy(spectrogram, n_iter=10):
     """Reference denominator, measured live. Returns its/sec or None."""
     sys.path.insert(0, "/root/reference")
@@ -222,6 +384,29 @@ def main():
         }
     except Exception as exc:
         extra = {"gauss_ilrma_ip1_error": repr(exc)[:200]}
+
+    # BASELINE configs #4 and #5: FastGaussMNMF (4-ch), cACGMM, HVA.
+    # Denominators are measured live by run-length differencing (per-call
+    # init excluded); the pinned values are same-host measurements kept
+    # only for the no-reference case.
+    for key, jax_fn, np_fn, fallback in (
+        ("fast_gauss_mnmf_4ch", lambda: bench_jax_fast_mnmf(spec[:4]),
+         lambda: bench_numpy_fast_mnmf(spec[:4]), 16.6),
+        ("cacgmm_8ch", lambda: bench_jax_cacgmm(spec),
+         lambda: bench_numpy_cacgmm(spec), 0.33),
+        ("hva_8ch", lambda: bench_jax_hva(spec),
+         lambda: bench_numpy_hva(spec), 4.48),
+    ):
+        try:
+            ips = jax_fn()
+            denom = np_fn()
+            source = "live" if denom else "pinned"
+            denom = denom or fallback
+            extra[f"{key}_iters_per_sec"] = round(ips, 3)
+            extra[f"{key}_vs_baseline"] = round(ips / denom, 2)
+            extra[f"{key}_denominator"] = source
+        except Exception as exc:
+            extra[f"{key}_error"] = repr(exc)[:200]
 
     print(
         json.dumps(

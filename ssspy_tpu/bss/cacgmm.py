@@ -22,7 +22,7 @@ from ..algorithm.permutation_alignment import (
     score_based_permutation_solver,
 )
 from ..linalg.quadratic import quadratic
-from ..special.flooring import EPS, identity, max_flooring
+from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..special.logsumexp import logsumexp
 from ..special.psd import to_psd
 from ..special.softmax import softmax
@@ -46,7 +46,7 @@ class CACGMMBase(IterativeMethodBase):
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
         self.n_sources = n_sources
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
         self.rng = np.random.default_rng() if rng is None else rng
         self.input = None
 

@@ -24,7 +24,7 @@ from ..algorithm import (
     minimal_distortion_principle,
     projection_back,
 )
-from ..special.flooring import EPS, identity, max_flooring
+from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..utils.flooring import choose_flooring_fn
 from ..utils.select_pair import sequential_pair_selector
 from ._update_spatial_model import update_by_ip1, update_by_ip2_one_pair
@@ -66,7 +66,7 @@ class FDICABase(IterativeMethodBase):
     ) -> None:
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
         self.input = None
         self.permutation_alignment = permutation_alignment
         self.scale_restoration = scale_restoration

@@ -13,7 +13,7 @@ from typing import Callable, List, Optional, Union
 
 import jax.numpy as jnp
 
-from ..special.flooring import identity, max_flooring
+from ..special.flooring import identity, max_flooring, resolve_flooring_spec
 from .admmbss import MaskingADMMBSS
 from .pdsbss import MaskingPDSBSS
 
@@ -84,7 +84,7 @@ class MaskingPDSHVA(MaskingPDSBSS):
 
         self.attenuation = attenuation
         self.mask_iter = mask_iter
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
 
     def __repr__(self) -> str:
         keys = ["mu1", "mu2", "relaxation"]
@@ -126,7 +126,7 @@ class MaskingADMMHVA(MaskingADMMBSS):
 
         self.attenuation = attenuation
         self.mask_iter = mask_iter
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
 
     def __repr__(self) -> str:
         keys = ["rho", "relaxation"]

@@ -27,7 +27,7 @@ from ..algorithm import (
     minimal_distortion_principle,
     projection_back,
 )
-from ..special.flooring import EPS, identity, max_flooring
+from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..utils.select_pair import sequential_pair_selector
 from ._update_spatial_model import (
     update_by_ip1,
@@ -77,7 +77,7 @@ class ILRMABase(IterativeMethodBase):
 
         self.n_basis = n_basis
         self.partitioning = partitioning
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
         self.input = None
         self.scale_restoration = scale_restoration
 

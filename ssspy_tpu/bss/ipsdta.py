@@ -29,7 +29,7 @@ from ..algorithm import (
 )
 from ..linalg import gmeanmh, invsqrtmh, sqrtmh
 from ..linalg.quadratic import quadratic
-from ..special.flooring import EPS, identity, max_flooring
+from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..special.psd import to_psd
 from ._update_spatial_model import update_by_block_decomposition_vcd
 from .base import IterativeMethodBase, config_repr
@@ -68,7 +68,7 @@ class IPSDTABase(IterativeMethodBase):
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
         self.n_basis = n_basis
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
         self.input = None
         self.scale_restoration = scale_restoration
 

@@ -24,7 +24,7 @@ from ..algorithm import (
     minimal_distortion_principle,
     projection_back,
 )
-from ..special.flooring import EPS, identity, max_flooring
+from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..transform import whiten
 from ..utils.flooring import choose_flooring_fn
 from ..utils.select_pair import sequential_pair_selector
@@ -100,7 +100,7 @@ class IVABase(IterativeMethodBase):
     ) -> None:
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
         self.input = None
         self.scale_restoration = scale_restoration
         self.reference_id = reference_id

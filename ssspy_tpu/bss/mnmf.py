@@ -20,7 +20,7 @@ import numpy as np
 
 from ..linalg import gmeanmh
 from ..linalg._solve import solve
-from ..special.flooring import EPS, identity, max_flooring
+from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..special.psd import to_psd
 from ..utils.select_pair import sequential_pair_selector
 from ._update_spatial_model import update_by_ip1, update_by_ip2
@@ -63,7 +63,7 @@ class MNMFBase(IterativeMethodBase):
         self.n_basis = n_basis
         self.n_sources = n_sources
         self.partitioning = partitioning
-        self.flooring_fn = identity if flooring_fn is None else flooring_fn
+        self.flooring_fn = resolve_flooring_spec(flooring_fn)
         self.normalization = normalization
 
         self.input = None

@@ -1132,6 +1132,20 @@ def _herm_eigh_embed(Ar, Ai, impl: str = "auto"):
     return jnp.linalg.eigh(S)
 
 
+def _real_symm_eigh(S, impl: str = "auto"):
+    """Eigh of batched real symmetric matrices, routed like
+    :func:`_herm_eigh_embed`: batched parallel-Jacobi on f32 TPU
+    backends, LAPACK elsewhere."""
+    if impl == "auto":
+        on_tpu = _on_tpu_backend()
+        impl = "jacobi" if (on_tpu and S.dtype != jnp.float64) else "lapack"
+    if impl == "jacobi":
+        from .jacobi import jacobi_eigh
+
+        return jacobi_eigh(S)
+    return jnp.linalg.eigh(S)
+
+
 def _spectral_sc(Ar, Ai, f, hermitize=False):
     """Apply the spectral function ``f`` to Hermitian planar matrices."""
     if hermitize:
@@ -1982,7 +1996,16 @@ def instant_covariance_sc(Xs, eps=1e-10, psd_impl: str = "auto"):
 
 
 def gauss_mnmf_step_sc(
-    XXs, T, V, Hs, Z=None, eps=1e-10, psd_impl: str = "auto", normalization=True
+    XXs,
+    T,
+    V,
+    Hs,
+    Z=None,
+    eps=1e-10,
+    psd_impl: str = "auto",
+    normalization=True,
+    inv_impl: str = "auto",
+    gmean_impl: str = "auto",
 ):
     """One GaussMNMF iteration in split-complex form.
 
@@ -1993,14 +2016,21 @@ def gauss_mnmf_step_sc(
     normalization, optional latent partitioning. ``XXs``: instant
     covariances ``(2, I, Tf, M, M)``; ``T``/``V``: NMF factors; ``Hs``:
     spatial covariances ``(2, N, I, M, M)``; ``Z``: latent ``(N, K)``
-    or None. ``psd_impl`` as in :func:`ipsdta_vcd_step_sc`. Returns
+    or None. ``psd_impl`` as in :func:`ipsdta_vcd_step_sc`; ``inv_impl``
+    selects the backend for the (bins x frames)-batched model inverse —
+    the dominant cost of the dense iteration (see
+    :func:`ssspy_tpu.ops.pallas_kernels.planar_inverse_sc`). Returns
     ``(T, V, Hs[, Z])``.
     """
+    from .pallas_kernels import planar_inverse_sc
+
     XXr, XXi = XXs[0], XXs[1]
     Hr, Hi = Hs[0], Hs[1]
+    on_tpu = _on_tpu_backend()
     if psd_impl == "auto":
-        on_tpu = _on_tpu_backend()
         psd_impl = "ridge" if (on_tpu and XXr.dtype != jnp.float64) else "eigh"
+    if gmean_impl == "auto":
+        gmean_impl = "chol" if (on_tpu and XXr.dtype != jnp.float64) else "eigh2"
 
     def lamb_of(T, V, Z):
         if Z is None:
@@ -2023,7 +2053,7 @@ def gauss_mnmf_step_sc(
         updates at (bins x frames) batch sizes).
         """
         Rr, Ri = model(T, V, Z)
-        Rinv_r, Rinv_i = _cinv(Rr, Ri)
+        Rinv_r, Rinv_i = planar_inverse_sc(Rr, Ri, impl=inv_impl)
         RXXr, RXXi = _cmatmul(Rinv_r, Rinv_i, XXr, XXi)  # R^-1 XX (I,Tf,M,M)
         # tr(R^-1 XX R^-1 H) = sum_ab (R^-1 XX R^-1)[a,b] H[b,a]
         Mr, Mi = _cmatmul(RXXr, RXXi, Rinv_r, Rinv_i)  # R^-1 XX R^-1
@@ -2057,7 +2087,7 @@ def gauss_mnmf_step_sc(
     # ---- spatial update H <- P^{-1} # HQH (mnmf.py:970-1016) ------------------
     Lamb = lamb_of(T, V, Z)
     Rr, Ri = model(T, V, Z)
-    Rinv_r, Rinv_i = _cinv(Rr, Ri)
+    Rinv_r, Rinv_i = planar_inverse_sc(Rr, Ri, impl=inv_impl)
     RXr, RXi = _cmatmul(Rinv_r, Rinv_i, XXr, XXi)
     RXXRr, RXXRi = _cmatmul(RXr, RXi, Rinv_r, Rinv_i)
     Pr = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_r)
@@ -2067,7 +2097,7 @@ def gauss_mnmf_step_sc(
     HQHr, HQHi = _cmatmul(*_cmatmul(Hr, Hi, Qr, Qi), Hr, Hi)
     Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
     HQHr, HQHi = _psd_project_sc(HQHr, HQHi, eps, psd_impl)
-    Hr, Hi = gmean2_sc(Pr, Pi, HQHr, HQHi)
+    Hr, Hi = gmean2_sc(Pr, Pi, HQHr, HQHi, impl=gmean_impl)
     Hr, Hi = _psd_project_sc(Hr, Hi, eps, psd_impl)
 
     # ---- unit-trace normalization (mnmf.py:391-414) ---------------------------
@@ -2120,14 +2150,64 @@ def _psd_project_sc(Ar, Ai, eps, impl):
     return Ar + eps * jnp.eye(Ar.shape[-1], dtype=Ar.dtype), Ai
 
 
-def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0):
+def _tri_lower_inv(L):
+    """Inverse of batched real lower-triangular ``(..., n, n)`` matrices.
+
+    Statically unrolled forward substitution on the identity — n small
+    (the 2Jx2J embeddings), so this is a short chain of elementwise VPU
+    ops with no data-dependent control flow.
+    """
+    n = L.shape[-1]
+    rows = []
+    for k in range(n):
+        acc = jnp.zeros_like(L[..., 0, :]).at[..., k].set(1.0)
+        for j in range(k):
+            acc = acc - L[..., k, j : j + 1] * rows[j]
+        rows.append(acc / L[..., k, k : k + 1])
+    return jnp.stack(rows, axis=-2)
+
+
+def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0, impl: str = "eigh2"):
     """Planar geometric mean ``A^{-1} # B`` of Hermitian PSD pairs.
 
-    Parity: ssspy/linalg/mean.py:7-83 ``gmeanmh(A, B, type=2)``. Computed
-    as ``A^{-1/2} (A^{1/2} B A^{1/2})^{1/2} A^{-1/2}`` — one embedded
-    eigh of ``A`` serves both square roots, one more takes the inner
-    square root (vs. the reference's GEVD + non-Hermitian inverse).
+    Parity: ssspy/linalg/mean.py:7-83 ``gmeanmh(A, B, type=2)``; the
+    result is the unique Hermitian PD ``G`` with ``G A G = B``.
+
+    ``impl="eigh2"``: ``A^{-1/2} (A^{1/2} B A^{1/2})^{1/2} A^{-1/2}`` —
+    one embedded eigh of ``A`` serves both outer square roots, one more
+    takes the inner square root (vs. the reference's GEVD +
+    non-Hermitian inverse).
+
+    ``impl="chol"``: Cholesky reduction of the embedded Riccati
+    equation. With ``E(A) = F F^T`` (real Cholesky of the 2Nx2N
+    embedding), ``E(G) = F^{-T} (F^T E(B) F)^{1/2} F^{-1}`` — ONE
+    embedded eigh (the matrix square root) instead of two, plus a
+    cheap unrolled triangular inverse. Requires ``A`` positive
+    definite (the IPSDTA/MNMF callers PSD-project + floor first);
+    agrees with ``eigh2`` to O(machine eps) on PD inputs.
     """
+    if impl == "chol":
+        n = Ar.shape[-1]
+        EA = block_embed(Ar, Ai)
+        EA = (EA + jnp.swapaxes(EA, -1, -2)) / 2
+        if eps:
+            EA = EA + eps * jnp.eye(2 * n, dtype=EA.dtype)
+        F = jnp.linalg.cholesky(EA)
+        Finv = _tri_lower_inv(F)
+        EB = block_embed(Br, Bi)
+        EB = (EB + jnp.swapaxes(EB, -1, -2)) / 2
+        FT = jnp.swapaxes(F, -1, -2)
+        C = FT @ EB @ F
+        C = (C + jnp.swapaxes(C, -1, -2)) / 2
+        lamb, P = _real_symm_eigh(C)
+        S = (P * jnp.sqrt(jnp.maximum(lamb, 0.0))[..., None, :]) @ jnp.swapaxes(
+            P, -1, -2
+        )
+        G2 = jnp.swapaxes(Finv, -1, -2) @ S @ Finv
+        Gr = (G2[..., :n, :n] + G2[..., n:, n:]) / 2
+        Gi = (G2[..., n:, :n] - G2[..., :n, n:]) / 2
+        return Gr, Gi
+
     lamb2, P2 = _herm_eigh_embed(Ar, Ai)
     lamb2 = jnp.maximum(lamb2, eps)
     n = Ar.shape[-1]
@@ -2153,16 +2233,18 @@ def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0):
     return Gr, Gi
 
 
-def _ipsdta_model_sc(Tr, Ti, V, eps, psd_impl):
+def _ipsdta_model_sc(Tr, Ti, V, eps, psd_impl, inv_impl: str = "auto"):
     """Reconstruct ``R = sum_k v_kt T_kb`` and its inverse, planar.
 
     Parity: ssspy/bss/ipsdta.py:584-663 (PSD-projected reconstruction).
     Returns ``(Rinv_r, Rinv_i)`` of shape ``(N, T, B, J, J)``.
     """
+    from .pallas_kernels import planar_inverse_sc
+
     Rr = jnp.einsum("nkt,nkbij->ntbij", V, Tr)
     Ri = jnp.einsum("nkt,nkbij->ntbij", V, Ti)
     Rr, Ri = _psd_project_sc(Rr, Ri, eps, psd_impl)
-    return _cinv(Rr, Ri)
+    return planar_inverse_sc(Rr, Ri, impl=inv_impl)
 
 
 def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
@@ -2244,7 +2326,15 @@ def gauss_ipsdta_vcd_step_sc(Xs, Ws, T_parts, V, eps=1e-10, psd_impl: str = "aut
 
 
 def ipsdta_vcd_step_sc(
-    Xs, Ws, T_parts, V, dof=None, eps=1e-10, psd_impl: str = "auto"
+    Xs,
+    Ws,
+    T_parts,
+    V,
+    dof=None,
+    eps=1e-10,
+    psd_impl: str = "auto",
+    gmean_impl: str = "auto",
+    inv_impl: str = "auto",
 ):
     """One IPSDTA (MM source, VCD spatial) iteration, split-complex.
 
@@ -2259,16 +2349,23 @@ def ipsdta_vcd_step_sc(
     != 0``); ``V``: ``(N, K, T)`` real. ``psd_impl``: "eigh" =
     reference-exact eigenvalue-floored PSD projections; "ridge" =
     hermitize + ``eps I`` (identical when no eigenvalue is under the
-    floor, eigh-free); "auto" = ridge on f32 TPU backends. Returns
+    floor, eigh-free); "auto" = ridge on f32 TPU backends.
+    ``gmean_impl`` selects the basis-update geometric mean ("chol" =
+    one embedded eigh via Cholesky reduction, the f32 TPU default; see
+    :func:`gmean2_sc`); ``inv_impl`` the backend of the
+    (sources x frames x blocks)-batched model inverse (see
+    :func:`ssspy_tpu.ops.pallas_kernels.planar_inverse_sc`). Returns
     ``(Ws, T_parts, V)``.
     """
     Xr, Xi = Xs[0], Xs[1]
     Wr, Wi = Ws[0], Ws[1]
     n_frames = Xr.shape[-1]
     n_bins = Xr.shape[1]
+    on_tpu = _on_tpu_backend()
     if psd_impl == "auto":
-        on_tpu = _on_tpu_backend()
         psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
+    if gmean_impl == "auto":
+        gmean_impl = "chol" if (on_tpu and Xr.dtype != jnp.float64) else "eigh2"
 
     part_shapes = [(Tp.shape[3], Tp.shape[4]) for Tp in T_parts]  # (B_p, J_p)
 
@@ -2291,7 +2388,7 @@ def ipsdta_vcd_step_sc(
 
     def part_stats(Tp, Yp):
         """R^{-1}, the rank-1 RYYR, and ``sum_b y^H R^-1 y``, planar."""
-        Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl)
+        Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl, inv_impl)
         Ypr = jnp.transpose(Yp[0], (0, 3, 1, 2))  # (N, T, B, J)
         Ypi = jnp.transpose(Yp[1], (0, 3, 1, 2))
         ur = (Rinv_r @ Ypr[..., None])[..., 0] - (Rinv_i @ Ypi[..., None])[..., 0]
@@ -2329,7 +2426,7 @@ def ipsdta_vcd_step_sc(
             TQTr, TQTi = _cmatmul(*_cmatmul(Tp[0], Tp[1], Qr, Qi), Tp[0], Tp[1])
             Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
             TQTr, TQTi = _psd_project_sc(TQTr, TQTi, eps, psd_impl)
-            Tr_new, Ti_new = gmean2_sc(Pr, Pi, TQTr, TQTi)
+            Tr_new, Ti_new = gmean2_sc(Pr, Pi, TQTr, TQTi, impl=gmean_impl)
         else:
             # T <- T Q^{1/2} (Q^{1/2} T P T Q^{1/2})^{-1/2} Q^{1/2} T
             Qr, Qi = _psd_project_sc(Qr, Qi, eps, psd_impl)

@@ -113,3 +113,42 @@ def test_gauss_mnmf_step_partitioning_matches_class():
     np.testing.assert_allclose(np.asarray(Z), np.asarray(mnmf.latent), atol=1e-8)
     H_sc = np.asarray(Hs[0]) + 1j * np.asarray(Hs[1])
     np.testing.assert_allclose(H_sc, np.asarray(mnmf.spatial), atol=1e-8)
+
+
+def test_dense_mnmf_pallas_inverse_matches_gj():
+    """The VMEM-resident Pallas inverse is numerically identical to the
+    XLA Gauss-Jordan path (same elimination order, same pivot floor)."""
+    import numpy as np
+    from ssspy_tpu.ops.pallas_kernels import planar_inverse_sc
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((13, 17, 8, 8)) + 1j * rng.standard_normal((13, 17, 8, 8))
+    R = A @ A.conj().swapaxes(-1, -2) + 8 * np.eye(8)
+    Rr = jnp.asarray(R.real, jnp.float32)
+    Ri = jnp.asarray(R.imag, jnp.float32)
+    Or, Oi = planar_inverse_sc(Rr, Ri, impl="interpret")
+    Gr, Gi = planar_inverse_sc(Rr, Ri, impl="gj")
+    np.testing.assert_allclose(np.asarray(Or), np.asarray(Gr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Oi), np.asarray(Gi), atol=1e-6)
+
+
+def test_dense_mnmf_step_inv_impl_interpret_matches_default():
+    """One dense-MNMF step with the Pallas (interpret) inverse matches
+    the default path bit-for-bit on CPU shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    M, I, Tf, N, K = 3, 9, 12, 3, 2
+    X = rng.standard_normal((M, I, Tf)) + 1j * rng.standard_normal((M, I, Tf))
+    Xs = jnp.asarray(np.stack([X.real, X.imag]), jnp.float32)
+    XXs = instant_covariance_sc(Xs)
+    T = jnp.asarray(rng.random((N, I, K)), jnp.float32)
+    V = jnp.asarray(rng.random((N, K, Tf)), jnp.float32)
+    H = np.zeros((2, N, I, M, M), np.float32)
+    H[0] = np.eye(M, dtype=np.float32) / M
+    Hs = jnp.asarray(H)
+
+    outs_a = gauss_mnmf_step_sc(XXs, T, V, Hs, psd_impl="eigh", inv_impl="gj")
+    outs_b = gauss_mnmf_step_sc(XXs, T, V, Hs, psd_impl="eigh", inv_impl="interpret")
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,0 +1,165 @@
+"""complex64 class-API stability with the f32-calibrated flooring.
+
+The reference's default eps=1e-10 flooring is f64-calibrated
+(/root/reference/ssspy/special/flooring.py:11-13) and under-/overflows
+in float32 after ~150 iterations on high-dynamic-range mixtures. The
+class API exposes the fast paths' calibration as ``flooring_fn="f32"``
+(and a precision-dispatching ``"dtype"``); this tier runs every
+flooring-bearing family 200 iterations in complex64 on a mixture with
+near-silent bins and asserts the whole trajectory stays finite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+N_ITER = 200
+
+
+def _hdr_spectrogram(n_channels=3, seed=0, n_fft=256, hop=128, n_samples=8000):
+    """Convolutive mixture whose upper bins are driven near silence —
+    the high-dynamic-range case that overflows 1/eps in f32."""
+    rng = np.random.default_rng(seed)
+    s = rng.laplace(size=(n_channels, n_samples))
+    taps = rng.standard_normal((n_channels, n_channels, 24)) * np.exp(
+        -0.3 * np.arange(24)
+    )
+    mix = np.zeros_like(s)
+    for m in range(n_channels):
+        for n in range(n_channels):
+            mix[m] += np.convolve(s[n], taps[m, n], mode="same")
+    win = np.hanning(n_fft + 1)[:-1]
+    pad = n_fft // 2
+    x = np.pad(mix, [(0, 0), (pad, pad)])
+    n_frames = (x.shape[-1] - n_fft) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    spec = np.fft.rfft(x[..., idx] * win, axis=-1).swapaxes(-2, -1) / win.sum()
+    # strong spectral rolloff: ~60 dB across the band
+    n_bins = spec.shape[1]
+    rolloff = 10.0 ** (-3.0 * np.arange(n_bins) / n_bins)
+    return (spec * rolloff[None, :, None]).astype(np.complex64)
+
+
+SPEC = _hdr_spectrogram()
+
+
+def _assert_finite_c64(out, method):
+    out = np.asarray(out)
+    assert np.iscomplexobj(out)
+    assert np.isfinite(out).all(), f"{type(method).__name__} produced non-finite output"
+    losses = [loss for loss in getattr(method, "loss", []) or []]
+    if losses:
+        assert np.isfinite(losses[-1]), "loss diverged"
+
+
+def _contrast_fns():
+    return dict(
+        contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+        d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+    )
+
+
+@pytest.mark.parametrize("flooring", ["f32", "dtype"])
+def test_auxiva_ip1_f32_mode_finite(flooring):
+    from ssspy_tpu.bss.iva import AuxIVA
+
+    iva = AuxIVA(spatial_algorithm="IP1", flooring_fn=flooring, **_contrast_fns())
+    out = iva(SPEC, n_iter=N_ITER)
+    _assert_finite_c64(out, iva)
+
+
+def test_gauss_ilrma_f32_mode_finite():
+    from ssspy_tpu.bss.ilrma import GaussILRMA
+
+    ilrma = GaussILRMA(
+        n_basis=2,
+        spatial_algorithm="IP1",
+        source_algorithm="MM",
+        flooring_fn="f32",
+        rng=np.random.default_rng(0),
+    )
+    out = ilrma(SPEC, n_iter=N_ITER)
+    _assert_finite_c64(out, ilrma)
+
+
+def test_aux_laplace_fdica_f32_mode_finite():
+    from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+
+    fdica = AuxLaplaceFDICA(spatial_algorithm="IP1", flooring_fn="f32")
+    out = fdica(SPEC, n_iter=N_ITER)
+    _assert_finite_c64(out, fdica)
+
+
+def test_cacgmm_f32_mode_finite():
+    from ssspy_tpu.bss.cacgmm import CACGMM
+
+    cacgmm = CACGMM(flooring_fn="f32", rng=np.random.default_rng(0))
+    out = cacgmm(SPEC, n_iter=N_ITER)
+    _assert_finite_c64(out, cacgmm)
+
+
+def test_fast_gauss_mnmf_f32_mode_finite():
+    from ssspy_tpu.bss.mnmf import FastGaussMNMF
+
+    mnmf = FastGaussMNMF(
+        n_basis=2, flooring_fn="f32", rng=np.random.default_rng(0)
+    )
+    out = mnmf(SPEC, n_iter=N_ITER)
+    _assert_finite_c64(out, mnmf)
+
+
+def test_gauss_mnmf_f32_mode_finite():
+    from ssspy_tpu.bss.mnmf import GaussMNMF
+
+    mnmf = GaussMNMF(n_basis=2, flooring_fn="f32", rng=np.random.default_rng(0))
+    out = mnmf(SPEC, n_iter=50)  # dense model: 50 iterations (CPU cost)
+    _assert_finite_c64(out, mnmf)
+
+
+def test_gauss_ipsdta_f32_mode_finite():
+    from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+
+    ipsdta = GaussIPSDTA(
+        n_basis=2,
+        n_blocks=16,
+        spatial_algorithm="VCD",
+        flooring_fn="f32",
+        rng=np.random.default_rng(0),
+    )
+    out = ipsdta(SPEC, n_iter=50)  # VCD: 50 iterations (CPU cost)
+    _assert_finite_c64(out, ipsdta)
+
+
+def test_hva_f32_mode_finite():
+    from ssspy_tpu.bss.hva import HVA
+
+    hva = HVA(flooring_fn="f32")
+    # the PDS step size assumes a spectrally-normalized mixture — the
+    # reference's own tests apply the same normalization before calling
+    # (/root/reference/tests/package/bss/test_hva.py:52-53); without it
+    # the iteration diverges in magnitude in either precision.
+    normalized = np.asarray(hva.normalize_by_spectral_norm(SPEC)).astype(
+        np.complex64
+    )
+    out = hva(normalized, n_iter=N_ITER)
+    _assert_finite_c64(out, hva)
+
+
+def test_flooring_spec_strings_resolve():
+    from ssspy_tpu.special.flooring import (
+        F32_EPS,
+        dtype_flooring,
+        resolve_flooring_spec,
+    )
+
+    f = resolve_flooring_spec("f32")
+    assert float(f(jnp.asarray(0.0))) == pytest.approx(F32_EPS)
+    g = resolve_flooring_spec("f64")
+    assert float(g(jnp.asarray(0.0))) == pytest.approx(1e-10)
+    d = resolve_flooring_spec("dtype")
+    assert d is dtype_flooring
+    assert float(d(jnp.asarray(0.0, jnp.float32))) == pytest.approx(F32_EPS)
+    assert float(d(jnp.asarray(0.0, jnp.float64))) == pytest.approx(1e-10)
+    with pytest.raises(ValueError):
+        resolve_flooring_spec("bogus")
