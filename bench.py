@@ -297,7 +297,9 @@ def bench_numpy_cacgmm(spectrogram):
         )
         m(spec, n_iter=n)
 
-    return _diff_rate(call, 1, 6)
+    # wide span: the reference's per-call init (~15 s at 8 ch) is noisy
+    # enough to swamp a short differencing window
+    return _diff_rate(call, 1, 21)
 
 
 def bench_numpy_hva(spectrogram):

@@ -11,6 +11,7 @@ Variants: auxiva_ip1 auxiva_ip1_bf16 auxiva_ip2 auxiva_iss1 auxiva_iss2
           fdica_ip1 fdica_ip2 mnmf cacgmm hva wave_e2e bf16_loss
           grad_iva natural_grad_iva grad_fdica natural_grad_fdica
           fast_iva faster_iva pds_iva admm_iva t_ilrma_ip1 ggd_ilrma_ip1 ipsdta mnmf_dense
+          ica_grad ica_natural_grad ica_fast
 Existing entries in the output JSON are preserved (merge-on-write).
 """
 
@@ -283,6 +284,41 @@ def main():
         )
 
     record("hva", hva)
+
+    def ica_family(variant):
+        # BASELINE config #1: time-domain 2-source instantaneous mixture,
+        # real f32 — the one family whose class API runs directly on the
+        # axon chip (no complex dtypes anywhere)
+        import jax.numpy as jnp
+
+        rng2 = np.random.default_rng(3)
+        s = rng2.laplace(size=(2, 160_000)).astype(np.float32)
+        A = rng2.standard_normal((2, 2)).astype(np.float32)
+        x = jax.device_put(A @ s)
+
+        if variant == "fast":
+            from ssspy_tpu.bss.ica import FastICA
+
+            m = FastICA(
+                contrast_fn=lambda y: jnp.abs(y),
+                score_fn=jnp.tanh,
+                d_score_fn=lambda y: 1 - jnp.tanh(y) ** 2,
+                record_loss=False,
+            )
+        else:
+            from ssspy_tpu.bss.ica import GradLaplaceICA, NaturalGradLaplaceICA
+
+            cls = NaturalGradLaplaceICA if variant == "natural" else GradLaplaceICA
+            m = cls(step_size=0.1, record_loss=False)
+        m.input = x
+        m._reset()
+        state = m.init_state()
+        step = m.make_step()
+        return _time_scan(step, state, lambda c: c["W"])
+
+    record("ica_grad", lambda: ica_family("grad"))
+    record("ica_natural_grad", lambda: ica_family("natural"))
+    record("ica_fast", lambda: ica_family("fast"))
 
     def wave_e2e():
         from ssspy_tpu.fast import fast_auxiva_wave

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["weighted_covariance_sc", "planar_inverse_sc"]
+__all__ = ["weighted_covariance_sc", "planar_inverse_sc", "planar_inv_sandwich_sc"]
 
 # beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
 # f32 plus weights/outputs) approach the ~16 MB/core VMEM budget; the
@@ -262,3 +262,103 @@ def planar_inverse_sc(Rr, Ri, impl: str = "auto", block_b: int = 1024):
 
         return _cinv(Rr, Ri)
     raise ValueError(f"unknown impl {impl}")
+
+
+def _lane_cmatmul(Ar, Ai, Br, Bi, m):
+    # planar complex matmul in batch-in-lanes layout: C[i,j,b] =
+    # sum_k A[i,k,b] B[k,j,b] as m broadcasted elementwise FMAs — the
+    # (batch, m, m) @ (batch, m, m) form this replaces lowers
+    # pathologically on the TPU backend at small m (measured ~11 ms per
+    # pair of products at the dense-MNMF batch size vs ~1 ms here).
+    Cr = 0.0
+    Ci = 0.0
+    for k in range(m):
+        # static slices only (Mosaic cannot lower >2-D gathers)
+        ar = Ar[:, k : k + 1, :]  # (m, 1, B)
+        ai = Ai[:, k : k + 1, :]
+        br = Br[k : k + 1, :, :]  # (1, m, B)
+        bi = Bi[k : k + 1, :, :]
+        Cr = Cr + ar * br - ai * bi
+        Ci = Ci + ar * bi + ai * br
+    return Cr, Ci
+
+
+def _pinv_sandwich_kernel(
+    rr_ref, ri_ref, cr_ref, ci_ref, or_ref, oi_ref, sr_ref, si_ref, aug_ref, *, m, tiny
+):
+    # inverse exactly as _pinv_kernel, then S = R^{-1} C R^{-1} fused in
+    # VMEM (C stays Hermitian -> S Hermitian up to roundoff).
+    _pinv_kernel(rr_ref, ri_ref, or_ref, oi_ref, aug_ref, m=m, tiny=tiny)
+    two_m = 2 * m
+    Br = aug_ref[:m, two_m:, :]
+    Bi = aug_ref[m:two_m, two_m:, :]
+    M1r, M1i = _lane_cmatmul(Br, Bi, cr_ref[:], ci_ref[:], m)
+    Sr, Si = _lane_cmatmul(M1r, M1i, Br, Bi, m)
+    sr_ref[:] = Sr
+    si_ref[:] = Si
+
+
+def planar_inv_sandwich_sc(
+    Rr, Ri, Cr, Ci, impl: str = "auto", block_b: int = 1024, tiny=1e-20
+):
+    """Fused ``(R^{-1}, R^{-1} C R^{-1})`` for batched planar Hermitian pairs.
+
+    The dense-MNMF trace/spatial updates need both quantities per
+    (bin, frame); computing the two congruence products as XLA batched
+    (batch, m, m) matmuls dominates the step at small m, so the TPU path
+    evaluates them inside the inverse kernel while the operands are
+    VMEM-resident. ``impl`` as in :func:`planar_inverse_sc` ("gj"
+    computes the same values via XLA)."""
+    if impl == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        n_batch = 1
+        for d in Rr.shape[:-2]:
+            n_batch *= d
+        impl = "pallas" if (on_tpu and n_batch >= 4 * block_b) else "gj"
+
+    if impl == "gj":
+        from .splitc import _cinv, _cmatmul
+
+        Br, Bi = _cinv(Rr, Ri)
+        M1 = _cmatmul(Br, Bi, Cr, Ci)
+        Sr, Si = _cmatmul(M1[0], M1[1], Br, Bi)
+        return Br, Bi, Sr, Si
+
+    interpret = impl == "interpret"
+    if interpret:
+        block_b = min(block_b, 128)
+
+    batch_shape = Rr.shape[:-2]
+    m = Rr.shape[-1]
+    arrs = [a.reshape(-1, m, m) for a in (Rr, Ri, Cr, Ci)]
+    n_batch = arrs[0].shape[0]
+    pad = (-n_batch) % block_b
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=Rr.dtype), (pad, m, m))
+        zeros = jnp.zeros_like(eye)
+        arrs = [
+            jnp.concatenate([a, p], axis=0)
+            for a, p in zip(arrs, (eye, zeros, zeros, zeros))
+        ]
+    total = arrs[0].shape[0]
+    lanes = [jnp.transpose(a, (1, 2, 0)) for a in arrs]
+
+    kernel = functools.partial(_pinv_sandwich_kernel, m=m, tiny=tiny)
+    spec = pl.BlockSpec((m, m, block_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, m, total), Rr.dtype)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(total // block_b,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 4,
+        out_shape=[out_shape] * 4,
+        scratch_shapes=[pltpu.VMEM((2 * m, 3 * m, block_b), Rr.dtype)],
+        interpret=interpret,
+    )(*lanes)
+
+    def back(a):
+        return jnp.transpose(a, (2, 0, 1))[:n_batch].reshape(*batch_shape, m, m)
+
+    Or_l, Oi_l, Sr_l, Si_l = outs
+    return back(Or_l), back(Oi_l), back(Sr_l), back(Si_l)

@@ -241,7 +241,7 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto", unroll: bo
     """
     n_bins, n_sources, n_channels = Wr.shape
 
-    def one_source(src, Wr, Wi, Urn, Uin):
+    def one_source(src, Wr, Wi, Urn, Uin, wr_cur, wi_cur):
         # WU = W @ U_n per bin (complex product of planar parts)
         Ar = Wr @ Urn - Wi @ Uin  # (I, N, M)
         Ai = Wr @ Uin + Wi @ Urn
@@ -259,13 +259,24 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto", unroll: bo
         zi = (Urn @ wi[..., None])[..., 0] + (Uin @ wr[..., None])[..., 0]
         wUw = jnp.sum(wr * zr + wi * zi, axis=-1)
         denom = jnp.maximum(jnp.sqrt(jnp.maximum(wUw, 0.0)), eps)[:, None]
-        return wr / denom, -wi / denom  # w_n <- conj(w) / sqrt(w^H U w)
+        # degenerate-bin guard: an exactly singular U_n (a silent or
+        # zero-padded bin) makes the solve ill-posed — NaN through the
+        # LAPACK path, unbounded through the pivot-free one — and IVA's
+        # cross-bin norm would propagate that into every bin. Freeze the
+        # row instead (wUw > 0 holds strictly for any bin with signal,
+        # so real updates are untouched; NaN compares false and freezes).
+        valid = (wUw > 0.0)[:, None]
+        wr_new = jnp.where(valid, wr / denom, wr_cur)
+        wi_new = jnp.where(valid, -wi / denom, wi_cur)
+        return wr_new, wi_new  # w_n <- conj(w) / sqrt(w^H U w)
 
     if unroll:
         # static unroll over sources (N <= 8): static slices + .at updates
         # fuse better in the AuxIVA step program (1.55x measured)
         for src in range(n_sources):
-            wr, wi = one_source(src, Wr, Wi, Ur[:, src], Ui[:, src])
+            wr, wi = one_source(
+                src, Wr, Wi, Ur[:, src], Ui[:, src], Wr[:, src], Wi[:, src]
+            )
             Wr = Wr.at[:, src].set(wr)
             Wi = Wi.at[:, src].set(wi)
         return Wr, Wi
@@ -276,7 +287,9 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto", unroll: bo
         Wr, Wi = carry
         Urn = lax.dynamic_index_in_dim(Ur, src, axis=1, keepdims=False)
         Uin = lax.dynamic_index_in_dim(Ui, src, axis=1, keepdims=False)
-        wr, wi = one_source(src, Wr, Wi, Urn, Uin)
+        wr_cur = lax.dynamic_index_in_dim(Wr, src, axis=1, keepdims=False)
+        wi_cur = lax.dynamic_index_in_dim(Wi, src, axis=1, keepdims=False)
+        wr, wi = one_source(src, Wr, Wi, Urn, Uin, wr_cur, wi_cur)
         Wr = lax.dynamic_update_slice(Wr, wr[:, None, :], (0, src, 0))
         Wi = lax.dynamic_update_slice(Wi, wi[:, None, :], (0, src, 0))
         return Wr, Wi
@@ -2022,7 +2035,7 @@ def gauss_mnmf_step_sc(
     :func:`ssspy_tpu.ops.pallas_kernels.planar_inverse_sc`). Returns
     ``(T, V, Hs[, Z])``.
     """
-    from .pallas_kernels import planar_inverse_sc
+    from .pallas_kernels import planar_inv_sandwich_sc
 
     XXr, XXi = XXs[0], XXs[1]
     Hr, Hi = Hs[0], Hs[1]
@@ -2053,10 +2066,14 @@ def gauss_mnmf_step_sc(
         updates at (bins x frames) batch sizes).
         """
         Rr, Ri = model(T, V, Z)
-        Rinv_r, Rinv_i = planar_inverse_sc(Rr, Ri, impl=inv_impl)
-        RXXr, RXXi = _cmatmul(Rinv_r, Rinv_i, XXr, XXi)  # R^-1 XX (I,Tf,M,M)
+        # fused (R^-1, R^-1 XX R^-1): the two congruence matmuls are
+        # evaluated inside the inverse kernel on TPU (see
+        # planar_inv_sandwich_sc — the XLA batched small-matmul form is
+        # the dominant cost of the dense step)
+        Rinv_r, Rinv_i, Mr, Mi = planar_inv_sandwich_sc(
+            Rr, Ri, XXr, XXi, impl=inv_impl
+        )
         # tr(R^-1 XX R^-1 H) = sum_ab (R^-1 XX R^-1)[a,b] H[b,a]
-        Mr, Mi = _cmatmul(RXXr, RXXi, Rinv_r, Rinv_i)  # R^-1 XX R^-1
         tr_RXXRH = jnp.einsum("itab,niba->nit", Mr, Hr) - jnp.einsum(
             "itab,niba->nit", Mi, Hi
         )
@@ -2087,9 +2104,9 @@ def gauss_mnmf_step_sc(
     # ---- spatial update H <- P^{-1} # HQH (mnmf.py:970-1016) ------------------
     Lamb = lamb_of(T, V, Z)
     Rr, Ri = model(T, V, Z)
-    Rinv_r, Rinv_i = planar_inverse_sc(Rr, Ri, impl=inv_impl)
-    RXr, RXi = _cmatmul(Rinv_r, Rinv_i, XXr, XXi)
-    RXXRr, RXXRi = _cmatmul(RXr, RXi, Rinv_r, Rinv_i)
+    Rinv_r, Rinv_i, RXXRr, RXXRi = planar_inv_sandwich_sc(
+        Rr, Ri, XXr, XXi, impl=inv_impl
+    )
     Pr = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_r)
     Pi = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_i)
     Qr = jnp.einsum("nit,itpq->nipq", Lamb, RXXRr)
@@ -2391,8 +2408,14 @@ def ipsdta_vcd_step_sc(
         Rinv_r, Rinv_i = _ipsdta_model_sc(Tp[0], Tp[1], V, eps, psd_impl, inv_impl)
         Ypr = jnp.transpose(Yp[0], (0, 3, 1, 2))  # (N, T, B, J)
         Ypi = jnp.transpose(Yp[1], (0, 3, 1, 2))
-        ur = (Rinv_r @ Ypr[..., None])[..., 0] - (Rinv_i @ Ypi[..., None])[..., 0]
-        ui = (Rinv_r @ Ypi[..., None])[..., 0] + (Rinv_i @ Ypr[..., None])[..., 0]
+        # einsum matvecs: the (..., J, J) @ (..., J, 1) batched-matmul
+        # form lowers pathologically on this TPU backend (trailing dim 1)
+        ur = jnp.einsum("ntbij,ntbj->ntbi", Rinv_r, Ypr) - jnp.einsum(
+            "ntbij,ntbj->ntbi", Rinv_i, Ypi
+        )
+        ui = jnp.einsum("ntbij,ntbj->ntbi", Rinv_r, Ypi) + jnp.einsum(
+            "ntbij,ntbj->ntbi", Rinv_i, Ypr
+        )
         # RYYR = u u^H (R^{-1} is Hermitian)
         RYYRr = ur[..., :, None] * ur[..., None, :] + ui[..., :, None] * ui[..., None, :]
         RYYRi = ui[..., :, None] * ur[..., None, :] - ur[..., :, None] * ui[..., None, :]

@@ -41,6 +41,12 @@ __all__ = [
     "batched_gauss_ilrma_ip1_step_sc",
     "make_batched_ilrma_runner_sc",
     "make_batched_auxiva_wave_runner_sc",
+    "batched_cacgmm_step_sc",
+    "make_batched_cacgmm_runner_sc",
+    "batched_fast_gauss_mnmf_step_sc",
+    "make_batched_fast_mnmf_runner_sc",
+    "batched_ipsdta_vcd_step_sc",
+    "make_batched_ipsdta_runner_sc",
 ]
 
 
@@ -115,6 +121,23 @@ def auxiva_ip1_step(X, W, eps=1e-10):
 batched_auxiva_ip1_step = jax.vmap(auxiva_ip1_step, in_axes=(0, 0))
 
 
+def _pad_to_multiple(a, axis: int, mult: int):
+    """Zero-pad ``a`` along ``axis`` up to a multiple of ``mult``."""
+    size = a.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _slice_axis(a, axis: int, size: int):
+    if a.shape[axis] == size:
+        return a
+    return lax.slice_in_dim(a, 0, size, axis=axis)
+
+
 def shard_batched_run(
     mesh: Mesh,
     step_fn: Callable,
@@ -123,16 +146,21 @@ def shard_batched_run(
     w_bin_axis: int = 1,
     ndim: int = 4,
 ) -> Callable:
-    """Jit ``run(X, W, n_iter)`` with ``(dp, bin)`` shardings over ``mesh``.
+    """Build ``run(X, W, n_iter)`` with ``(dp, bin)`` shardings over ``mesh``.
 
     ``step_fn(X, W) -> W`` must be batched over a leading utterance axis.
-    Returns a compiled runner executing ``n_iter`` steps as one
-    ``lax.scan`` XLA program; per-bin independence means the scan body
-    issues no collectives. ``ndim`` is the rank of both batched arrays
-    (4 for complex layouts, 5 for split-complex).
+    Returns a runner executing ``n_iter`` steps as one ``lax.scan`` XLA
+    program; per-bin independence means the scan body issues no
+    collectives. ``ndim`` is the rank of both batched arrays (4 for
+    complex layouts, 5 for split-complex). Bin counts that do not divide
+    the ``bin`` mesh axis (e.g. the canonical 257 = n_fft/2 + 1) are
+    zero-padded up to the next multiple and sliced back after the run —
+    valid because the padded bins never couple into real bins in the
+    per-bin-independent updates this wrapper serves.
     """
     x_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=x_bin_axis, ndim=ndim))
     w_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=w_bin_axis, ndim=ndim))
+    n_bin_shards = mesh.devices.shape[1]
 
     def run(X, W, n_iter):
         def body(W, _):
@@ -141,12 +169,35 @@ def shard_batched_run(
         W, _ = lax.scan(body, W, None, length=n_iter)
         return W
 
-    return jax.jit(
+    jitted = jax.jit(
         run,
         in_shardings=(x_sharding, w_sharding),
         out_shardings=w_sharding,
         static_argnums=(2,),
     )
+
+    def run_padded(X, W, n_iter):
+        n_bins = X.shape[x_bin_axis]
+        Xp = _pad_to_multiple(jnp.asarray(X), x_bin_axis, n_bin_shards)
+        # pad the demixing filter with identities so the padded bins stay
+        # well-posed (their updates are garbage but never read back)
+        Wp = jnp.asarray(W)
+        pad = Xp.shape[x_bin_axis] - n_bins
+        if pad:
+            n_rows = Wp.shape[-2]
+            eye = jnp.zeros(
+                Wp.shape[:w_bin_axis] + (pad,) + Wp.shape[w_bin_axis + 1 :],
+                Wp.dtype,
+            )
+            if ndim == 5:  # split-complex: real plane gets the identity
+                eye = eye.at[:, 0].add(jnp.eye(n_rows, eye.shape[-1], dtype=Wp.dtype))
+            else:
+                eye = eye + jnp.eye(n_rows, eye.shape[-1], dtype=Wp.dtype)
+            Wp = jnp.concatenate([Wp, eye], axis=w_bin_axis)
+        W_out = jitted(Xp, Wp, n_iter)
+        return _slice_axis(W_out, w_bin_axis, n_bins)
+
+    return run_padded
 
 
 def make_batched_auxiva_runner(mesh: Optional[Mesh] = None) -> Callable:
@@ -229,6 +280,7 @@ def shard_state_run(mesh: Mesh, step_fn: Callable, *, y_bin_axis: int = 3, ndim:
     collectives.
     """
     y_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=y_bin_axis, ndim=ndim))
+    n_bin_shards = mesh.devices.shape[1]
 
     def run(Y, n_iter):
         def body(Y, _):
@@ -237,9 +289,17 @@ def shard_state_run(mesh: Mesh, step_fn: Callable, *, y_bin_axis: int = 3, ndim:
         Y, _ = lax.scan(body, Y, None, length=n_iter)
         return Y
 
-    return jax.jit(
+    jitted = jax.jit(
         run, in_shardings=(y_sharding,), out_shardings=y_sharding, static_argnums=(1,)
     )
+
+    def run_padded(Y, n_iter):
+        n_bins = Y.shape[y_bin_axis]
+        Yp = _pad_to_multiple(jnp.asarray(Y), y_bin_axis, n_bin_shards)
+        out = jitted(Yp, n_iter)
+        return _slice_axis(out, y_bin_axis, n_bins)
+
+    return run_padded
 
 
 def make_batched_auxiva_iss1_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
@@ -252,14 +312,65 @@ def make_batched_auxiva_iss1_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
     return shard_state_run(mesh, batched_auxiva_iss1_step_sc, y_bin_axis=3, ndim=5)
 
 
-def shard_pytree_run(mesh: Mesh, step_fn: Callable, *, x_spec: P, carry_specs) -> Callable:
-    """Jit ``run(X, carry, n_iter)`` with explicit per-leaf PartitionSpecs.
+def _bin_axis_of(spec: P, bin_name: str):
+    """Index of the ``bin``-sharded axis in a PartitionSpec, or None."""
+    for axis, name in enumerate(spec):
+        if name == bin_name:
+            return axis
+    return None
+
+
+def _pad_carry_leaves(leaves, axes_list, mult, identity_leaves=()):
+    """Zero-pad the bin axis of every bin-sharded carry leaf up to ``mult``.
+
+    ``identity_leaves``: flattened leaf indices whose padded bins get an
+    identity matrix on the real plane (demixing filters — keeps the
+    padded systems well-posed; their updates are garbage but are sliced
+    away and, being per-bin, never couple into real bins).
+    """
+    out = []
+    for idx, (leaf, axis) in enumerate(zip(leaves, axes_list)):
+        leaf = jnp.asarray(leaf)
+        if axis is not None:
+            before = leaf.shape[axis]
+            leaf = _pad_to_multiple(leaf, axis, mult)
+            if idx in identity_leaves and leaf.shape[axis] != before:
+                pad = leaf.shape[axis] - before
+                n_rows = leaf.shape[-2]
+                eye = jnp.zeros(
+                    leaf.shape[:axis] + (pad,) + leaf.shape[axis + 1 :], leaf.dtype
+                )
+                eye = eye.at[:, 0].add(
+                    jnp.eye(n_rows, eye.shape[-1], dtype=leaf.dtype)
+                )
+                leaf = lax.dynamic_update_slice_in_dim(leaf, eye, before, axis)
+        out.append(leaf)
+    return out
+
+
+def shard_pytree_run(
+    mesh: Mesh,
+    step_fn: Callable,
+    *,
+    x_spec: P,
+    carry_specs,
+    identity_leaves=(0,),
+) -> Callable:
+    """Build ``run(X, carry, n_iter)`` with explicit per-leaf PartitionSpecs.
 
     General form of :func:`shard_batched_run` for algorithms whose scan
     carry is a pytree with mixed layouts (e.g. ILRMA's ``(W, T, V)``:
     the NMF activation ``V`` has no bin axis and stays replicated along
     ``bin`` while ``W`` and the basis ``T`` shard over it).
     ``carry_specs`` must mirror the carry pytree structure.
+
+    Bin counts that do not divide the ``bin`` mesh axis are zero-padded
+    (identity-padded for the ``identity_leaves``, the demixing-filter
+    leaves) and sliced back. Padding is exact for per-bin-independent
+    updates; for models whose normalization averages over bins (ILRMA's
+    power normalization) it shifts the per-source scale gauge by
+    ``sqrt(padded/real)`` — a gauge the downstream scale restoration
+    removes. Compare padded-vs-padded when checking numerics.
     """
     x_sharding = NamedSharding(mesh, x_spec)
     carry_shardings = jax.tree.map(
@@ -267,6 +378,13 @@ def shard_pytree_run(mesh: Mesh, step_fn: Callable, *, x_spec: P, carry_specs) -
         carry_specs,
         is_leaf=lambda s: isinstance(s, P),
     )
+    bin_name = mesh.axis_names[1]
+    n_bin_shards = mesh.devices.shape[1]
+    x_bin_axis = _bin_axis_of(x_spec, bin_name)
+    spec_leaves, spec_treedef = jax.tree.flatten(
+        carry_specs, is_leaf=lambda s: isinstance(s, P)
+    )
+    axes_list = [_bin_axis_of(s, bin_name) for s in spec_leaves]
 
     def run(X, carry, n_iter):
         def body(carry, _):
@@ -275,12 +393,29 @@ def shard_pytree_run(mesh: Mesh, step_fn: Callable, *, x_spec: P, carry_specs) -
         carry, _ = lax.scan(body, carry, None, length=n_iter)
         return carry
 
-    return jax.jit(
+    jitted = jax.jit(
         run,
         in_shardings=(x_sharding, carry_shardings),
         out_shardings=carry_shardings,
         static_argnums=(2,),
     )
+
+    def run_padded(X, carry, n_iter):
+        n_bins = X.shape[x_bin_axis] if x_bin_axis is not None else None
+        Xp = _pad_to_multiple(jnp.asarray(X), x_bin_axis, n_bin_shards)
+        leaves = spec_treedef.flatten_up_to(carry)
+        leaves = _pad_carry_leaves(leaves, axes_list, n_bin_shards, identity_leaves)
+        out = jitted(Xp, jax.tree.unflatten(spec_treedef, leaves), n_iter)
+        if n_bins is None or Xp.shape[x_bin_axis] == n_bins:
+            return out
+        out_leaves = spec_treedef.flatten_up_to(out)
+        out_leaves = [
+            leaf if axis is None else _slice_axis(leaf, axis, n_bins)
+            for leaf, axis in zip(out_leaves, axes_list)
+        ]
+        return jax.tree.unflatten(spec_treedef, out_leaves)
+
+    return run_padded
 
 
 def make_batched_ilrma_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
@@ -304,6 +439,115 @@ def make_batched_ilrma_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
         carry_specs=(
             P(dp, None, b, None, None),
             P(dp, None, b, None),
+            P(dp, None, None, None),
+        ),
+    )
+
+
+def _sc_cacgmm_step(Zs, carry):
+    from ..ops.splitc import cacgmm_step_sc
+
+    alpha, Bs = carry
+    return cacgmm_step_sc(Zs, alpha, Bs)
+
+
+def _sc_fast_mnmf_step(Xs, carry):
+    from ..ops.splitc import fast_gauss_mnmf_step_sc
+
+    return fast_gauss_mnmf_step_sc(Xs, *carry)
+
+
+def _sc_ipsdta_step(Xs, carry):
+    from ..ops.splitc import ipsdta_vcd_step_sc
+
+    Ws, T_parts, V = carry
+    Ws, T_parts, V = ipsdta_vcd_step_sc(Xs, Ws, T_parts, V)
+    return Ws, tuple(T_parts), V
+
+
+batched_cacgmm_step_sc = jax.vmap(_sc_cacgmm_step, in_axes=(0, 0))
+batched_fast_gauss_mnmf_step_sc = jax.vmap(_sc_fast_mnmf_step, in_axes=(0, 0))
+batched_ipsdta_vcd_step_sc = jax.vmap(_sc_ipsdta_step, in_axes=(0, 0))
+
+
+def make_batched_cacgmm_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex cACGMM EM runner.
+
+    ``run(Z, (alpha, B), n_iter)`` with ``Z``: unit-norm observations
+    ``(batch, 2, M, I, T)`` sharded (dp, -, -, bin, -); ``alpha``:
+    ``(batch, N, I)`` sharded (dp, -, bin); ``B``: ``(batch, 2, N, I,
+    M, M)`` sharded (dp, -, -, bin, -, -). Both EM stages are per-bin
+    independent (the E-step softmax normalizes over sources, the M-step
+    statistics reduce over frames), so the scan body issues zero
+    collectives — the embarrassingly-bin-parallel case of SURVEY §2.7.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+    return shard_pytree_run(
+        mesh,
+        batched_cacgmm_step_sc,
+        x_spec=P(dp, None, None, b, None),
+        carry_specs=(
+            P(dp, None, b),
+            P(dp, None, None, b, None, None),
+        ),
+    )
+
+
+def make_batched_fast_mnmf_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex FastGaussMNMF runner.
+
+    ``run(X, (Q, T, V, D), n_iter)`` with ``X``: ``(batch, 2, M, I, T)``
+    sharded (dp, -, -, bin, -); diagonalizer ``Q``: ``(batch, 2, I, M,
+    M)`` sharded (dp, -, bin, -, -); basis ``T``: ``(batch, N, I, K)``
+    sharded (dp, -, bin, -); activation ``V``: ``(batch, N, K, T)``
+    replicated over ``bin`` (it couples all bins — XLA inserts one
+    ``psum`` over ICI per activation contraction, the ILRMA pattern);
+    loadings ``D``: ``(batch, I, N, M)`` sharded (dp, bin, -, -).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+    return shard_pytree_run(
+        mesh,
+        batched_fast_gauss_mnmf_step_sc,
+        x_spec=P(dp, None, None, b, None),
+        carry_specs=(
+            P(dp, None, b, None, None),
+            P(dp, None, b, None),
+            P(dp, None, None, None),
+            P(dp, b, None, None),
+        ),
+    )
+
+
+def make_batched_ipsdta_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex GaussIPSDTA (VCD) runner over the block axis.
+
+    ``run(X, (W, T_parts, V), n_iter)``: ``X`` ``(batch, 2, M, I, T)``
+    sharded (dp, -, -, bin, -); ``W`` ``(batch, 2, I, N, M)`` sharded
+    (dp, -, bin, -, -); each basis part ``(batch, 2, N, K, B_p, J, J)``
+    sharded over its **block axis** (dp, -, -, -, bin, -, -) — the PSDTF
+    blocks are SURVEY §2.7's long-axis decomposition, and each shard
+    holds whole blocks so the VCD/basis updates never split a J x J
+    covariance; ``V`` ``(batch, N, K, T)`` replicated over ``bin`` (the
+    activation couples blocks — one ``psum`` per contraction).
+
+    Requires ``n_bins % n_blocks == 0`` (single-part basis) and block
+    and bin counts divisible by the ``bin`` mesh size, so the bin->block
+    reshape stays shard-local.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+    return shard_pytree_run(
+        mesh,
+        batched_ipsdta_vcd_step_sc,
+        x_spec=P(dp, None, None, b, None),
+        carry_specs=(
+            P(dp, None, b, None, None),
+            (P(dp, None, None, None, b, None, None),),
             P(dp, None, None, None),
         ),
     )

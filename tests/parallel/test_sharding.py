@@ -198,3 +198,87 @@ def test_batched_auxiva_wave_runner_matches_single_device():
     for k in range(n_batch):
         y_ref = fast_auxiva_wave(xw[k], n_iter=3, n_fft=256)
         np.testing.assert_allclose(y[k], y_ref, atol=1e-4)
+
+
+def test_sharded_cacgmm_matches_unsharded():
+    from ssspy_tpu.parallel import batched_cacgmm_step_sc, make_batched_cacgmm_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_cacgmm_runner_sc(mesh)
+
+    rng = np.random.default_rng(0)
+    B, M, I, T = 2, 3, 32, 12
+    Z = rng.standard_normal((B, M, I, T)) + 1j * rng.standard_normal((B, M, I, T))
+    Z = Z / np.abs(np.linalg.norm(Z, axis=1, keepdims=True))
+    Zs = np.stack([Z.real, Z.imag], axis=1).astype(np.float32)
+    alpha = rng.random((B, M, I))
+    alpha = (alpha / alpha.sum(axis=1, keepdims=True)).astype(np.float32)
+    Bd = rng.random((B, M, I, M))
+    Bd = Bd / Bd.sum(axis=-1, keepdims=True)
+    B0 = (Bd[..., None] * np.eye(M)).astype(np.float32)
+    Bs = np.stack([B0, np.zeros_like(B0)], axis=1)
+
+    out = runner(Zs, (jnp.asarray(alpha), jnp.asarray(Bs)), 3)
+    ref = (jnp.asarray(alpha), jnp.asarray(Bs))
+    for _ in range(3):
+        ref = batched_cacgmm_step_sc(jnp.asarray(Zs), ref)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]), atol=1e-5)
+
+
+def test_sharded_fast_mnmf_matches_unsharded():
+    from ssspy_tpu.parallel import (
+        batched_fast_gauss_mnmf_step_sc,
+        make_batched_fast_mnmf_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_fast_mnmf_runner_sc(mesh)
+
+    rng = np.random.default_rng(1)
+    B, M, I, T, K = 2, 3, 32, 12, 2
+    X = rng.standard_normal((B, M, I, T)) + 1j * rng.standard_normal((B, M, I, T))
+    Xs = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    Q0 = np.zeros((B, 2, I, M, M), np.float32)
+    Q0[:, 0] = np.eye(M, dtype=np.float32)
+    Tb = (rng.random((B, M, I, K)) + 0.1).astype(np.float32)
+    Vb = (rng.random((B, M, K, T)) + 0.1).astype(np.float32)
+    Db = (rng.random((B, I, M, M)) + 0.1).astype(np.float32)
+
+    carry = tuple(jnp.asarray(a) for a in (Q0, Tb, Vb, Db))
+    out = runner(jnp.asarray(Xs), carry, 3)
+    ref = carry
+    for _ in range(3):
+        ref = batched_fast_gauss_mnmf_step_sc(jnp.asarray(Xs), ref)
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-4)
+
+
+def test_sharded_ipsdta_matches_unsharded():
+    from ssspy_tpu.parallel import (
+        batched_ipsdta_vcd_step_sc,
+        make_batched_ipsdta_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])  # (2, 4): bin axis = 4
+    runner = make_batched_ipsdta_runner_sc(mesh)
+
+    rng = np.random.default_rng(2)
+    B, M, I, T, K, n_blocks = 2, 3, 32, 10, 2, 8  # J = 4; 8 blocks over 4 shards
+    X = rng.standard_normal((B, M, I, T)) + 1j * rng.standard_normal((B, M, I, T))
+    Xs = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    W0 = np.zeros((B, 2, I, M, M), np.float32)
+    W0[:, 0] = np.eye(M, dtype=np.float32)
+    J = I // n_blocks
+    Tp = np.zeros((B, 2, M, K, n_blocks, J, J), np.float32)
+    Tp[:, 0] = np.eye(J, dtype=np.float32)
+    Vb = (rng.random((B, M, K, T)) + 0.1).astype(np.float32)
+
+    carry = (jnp.asarray(W0), (jnp.asarray(Tp),), jnp.asarray(Vb))
+    out = runner(jnp.asarray(Xs), carry, 2)
+    ref = carry
+    for _ in range(2):
+        ref = batched_ipsdta_vcd_step_sc(jnp.asarray(Xs), ref)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1][0]), np.asarray(ref[1][0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref[2]), atol=1e-4)

@@ -5,7 +5,21 @@ reach separation quality within 0.1 dB SI-SDR of the NumPy reference
 This is the driver-provided acceptance criterion (BASELINE.md: "SI-SDR
 within 0.1 dB of NumPy reference"), asserted directly per variant rather
 than implied by elementwise tolerances.
+
+Reference-free fallback: when the reference is not importable, each test
+compares against the pinned reference SI-SDR scalar in
+``fidelity_pins.json`` (generated with the reference installed via
+``SSSPY_TPU_WRITE_FIDELITY_PINS=1 pytest tests/test_fast_fidelity.py``)
+— the contract degrades to a pinned comparison instead of skipping.
+The workload is fully deterministic (seeded synthetic mixture, seeded
+inits), so the pins are stable.
 """
+
+import importlib.util
+import itertools
+import json
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -13,9 +27,36 @@ import pytest
 from ssspy_tpu.fast import fast_auxiva, fast_gauss_ilrma
 from ssspy_tpu.transform import istft, stft
 
-ssspy_ref = pytest.importorskip("ssspy", reason="NumPy reference not importable")
+HAVE_REF = importlib.util.find_spec("ssspy") is not None
+PINS_PATH = Path(__file__).parent / "fidelity_pins.json"
+WRITE_PINS = os.environ.get("SSSPY_TPU_WRITE_FIDELITY_PINS") == "1"
 
 N_FFT, HOP = 256, 128
+
+
+def _load_pins():
+    if PINS_PATH.exists():
+        return json.loads(PINS_PATH.read_text())
+    return {}
+
+
+def reference_db(key, live_fn):
+    """Reference SI-SDR for a fidelity case.
+
+    Live when the reference is importable (writing the pin when
+    ``SSSPY_TPU_WRITE_FIDELITY_PINS=1``); the pinned scalar otherwise.
+    """
+    if HAVE_REF:
+        want = float(live_fn())
+        if WRITE_PINS:
+            pins = _load_pins()
+            pins[key] = round(want, 6)
+            PINS_PATH.write_text(json.dumps(dict(sorted(pins.items())), indent=1) + "\n")
+        return want
+    pins = _load_pins()
+    if key not in pins:
+        pytest.skip(f"reference not importable and no pinned SI-SDR for {key}")
+    return pins[key]
 
 
 @pytest.fixture(scope="module")
@@ -43,8 +84,6 @@ def _si_sdr(est, ref):
 def _best_perm_si_sdr(y, refs):
     """Mean best-permutation SI-SDR of separated signals vs references."""
     n = refs.shape[0]
-    import itertools
-
     best = -np.inf
     for perm in itertools.permutations(range(n)):
         score = np.mean([_si_sdr(y[perm[s]], refs[s]) for s in range(n)])
@@ -57,35 +96,38 @@ def _quality(Y, images, mix):
     return _best_perm_si_sdr(y, images[:, 0])
 
 
+def _quality_wave(y, images):
+    return _best_perm_si_sdr(np.asarray(y), images[:, 0])
+
+
 @pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2", "IPA"])
 def test_fast_auxiva_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
-    from ssspy.bss.iva import AuxIVA
-
     images, mix, X = mixture
     # IPA converges more slowly (and its 1-trip Newton default makes early
     # iterates noisy); compare both paths at convergence
     n_iter = 100 if algorithm == "IPA" else 30
 
     Y_fast, _ = fast_auxiva(X, n_iter=n_iter, algorithm=algorithm)
-
-    ref = AuxIVA(
-        spatial_algorithm=algorithm,
-        contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
-        d_contrast_fn=lambda y: 2 * np.ones_like(y),
-        scale_restoration="projection_back",
-        record_loss=False,
-    )
-    Y_ref = ref(X.astype(np.complex128).copy(), n_iter=n_iter)
-
     got = _quality(Y_fast, images, mix)
-    want = _quality(Y_ref, images, mix)
+
+    def live():
+        from ssspy.bss.iva import AuxIVA
+
+        ref = AuxIVA(
+            spatial_algorithm=algorithm,
+            contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
+            d_contrast_fn=lambda y: 2 * np.ones_like(y),
+            scale_restoration="projection_back",
+            record_loss=False,
+        )
+        return _quality(ref(X.astype(np.complex128).copy(), n_iter=n_iter), images, mix)
+
+    want = reference_db(f"auxiva_{algorithm}", live)
     assert abs(got - want) <= 0.1, f"{algorithm}: fast {got:.3f} dB vs ref {want:.3f} dB"
 
 
 @pytest.mark.parametrize("algorithm", ["IP1", "IP2", "ISS1", "ISS2", "IPA"])
 def test_fast_gauss_ilrma_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
-    from ssspy.bss.ilrma import GaussILRMA
-
     images, mix, X = mixture
     n_iter, n_basis = 30, 2
     rng_init = np.random.default_rng(11)
@@ -104,65 +146,111 @@ def test_fast_gauss_ilrma_si_sdr_within_tenth_db_of_reference(algorithm, mixture
     Y_fast, _, _ = fast_gauss_ilrma(
         X, n_basis=n_basis, n_iter=n_iter, algorithm=algorithm, rng=_FixedRng()
     )
-
-    ref = GaussILRMA(
-        n_basis=n_basis,
-        spatial_algorithm=algorithm,
-        source_algorithm="MM",
-        partitioning=False,
-        normalization=True,
-        record_loss=False,
-    )
-    Y_ref = ref(
-        X.astype(np.complex128).copy(),
-        n_iter=n_iter,
-        basis=T0.copy(),
-        activation=V0.copy(),
-    )
-
     got = _quality(Y_fast, images, mix)
-    want = _quality(Y_ref, images, mix)
+
+    def live():
+        from ssspy.bss.ilrma import GaussILRMA
+
+        ref = GaussILRMA(
+            n_basis=n_basis,
+            spatial_algorithm=algorithm,
+            source_algorithm="MM",
+            partitioning=False,
+            normalization=True,
+            record_loss=False,
+        )
+        Y_ref = ref(
+            X.astype(np.complex128).copy(),
+            n_iter=n_iter,
+            basis=T0.copy(),
+            activation=V0.copy(),
+        )
+        return _quality(Y_ref, images, mix)
+
+    want = reference_db(f"gauss_ilrma_{algorithm}", live)
     assert abs(got - want) <= 0.1, f"{algorithm}: fast {got:.3f} dB vs ref {want:.3f} dB"
+
+
+def test_fast_gauss_ilrma_partitioning_si_sdr_within_tenth_db_of_reference(mixture):
+    images, mix, X = mixture
+    n_iter, n_basis, seed = 30, 2, 31
+
+    Y_fast, _, _ = fast_gauss_ilrma(
+        X,
+        n_basis=n_basis,
+        n_iter=n_iter,
+        algorithm="IP1",
+        partitioning=True,
+        rng=np.random.default_rng(seed),
+    )
+    got = _quality(Y_fast, images, mix)
+
+    def live():
+        from ssspy.bss.ilrma import GaussILRMA
+
+        ref = GaussILRMA(
+            n_basis=n_basis,
+            spatial_algorithm="IP1",
+            source_algorithm="MM",
+            partitioning=True,
+            normalization=True,
+            record_loss=False,
+            rng=np.random.default_rng(seed),
+        )
+        return _quality(
+            ref(X.astype(np.complex128).copy(), n_iter=n_iter), images, mix
+        )
+
+    want = reference_db("gauss_ilrma_IP1_partitioning", live)
+    assert abs(got - want) <= 0.1, f"fast {got:.3f} dB vs ref {want:.3f} dB"
 
 
 @pytest.mark.parametrize("natural", [False, True])
 def test_fast_grad_iva_si_sdr_within_tenth_db_of_reference(natural, mixture):
-    from ssspy.bss.iva import GradLaplaceIVA, NaturalGradLaplaceIVA
-
     from ssspy_tpu.fast import fast_grad_iva
 
     images, mix, X = mixture
     n_iter = 100
 
     Y_fast, _ = fast_grad_iva(X, n_iter=n_iter, natural=natural)
-    ref_cls = NaturalGradLaplaceIVA if natural else GradLaplaceIVA
-    Y_ref = ref_cls(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.iva import GradLaplaceIVA, NaturalGradLaplaceIVA
+
+        ref_cls = NaturalGradLaplaceIVA if natural else GradLaplaceIVA
+        return _quality(
+            ref_cls(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter),
+            images,
+            mix,
+        )
+
+    want = reference_db(f"grad_iva_natural={natural}", live)
     assert abs(got - want) <= 0.1, f"natural={natural}: {got:.3f} vs {want:.3f} dB"
 
 
 @pytest.mark.parametrize("algorithm", ["IP1", "IP2"])
 def test_fast_aux_fdica_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
-    from ssspy.bss.fdica import AuxLaplaceFDICA
-
     from ssspy_tpu.fast import fast_aux_fdica
 
     images, mix, X = mixture
     n_iter = 30
 
     Y_fast, _ = fast_aux_fdica(X, n_iter=n_iter, algorithm=algorithm)
-    ref = AuxLaplaceFDICA(spatial_algorithm=algorithm, record_loss=False)
-    Y_ref = ref(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.fdica import AuxLaplaceFDICA
+
+        ref = AuxLaplaceFDICA(spatial_algorithm=algorithm, record_loss=False)
+        return _quality(ref(X.astype(np.complex128).copy(), n_iter=n_iter), images, mix)
+
+    want = reference_db(f"aux_fdica_{algorithm}", live)
     assert abs(got - want) <= 0.1, f"{algorithm}: {got:.3f} vs {want:.3f} dB"
 
 
 @pytest.mark.parametrize("variant", ["fast", "faster"])
 def test_fast_fixed_point_iva_si_sdr_within_tenth_db_of_reference(variant, mixture):
-    from ssspy.bss.iva import FasterIVA, FastIVA
-
     from ssspy_tpu.fast import fast_fast_iva, fast_faster_iva
 
     images, mix, X = mixture
@@ -170,47 +258,58 @@ def test_fast_fixed_point_iva_si_sdr_within_tenth_db_of_reference(variant, mixtu
 
     if variant == "fast":
         Y_fast = fast_fast_iva(X, n_iter=n_iter)
-        ref = FastIVA(
-            contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
-            d_contrast_fn=lambda y: 2 * np.ones_like(y),
-            dd_contrast_fn=lambda y: np.zeros_like(y),
-            record_loss=False,
-        )
     else:
         Y_fast = fast_faster_iva(X, n_iter=n_iter)
-        ref = FasterIVA(
-            contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
-            d_contrast_fn=lambda y: 2 * np.ones_like(y),
-            record_loss=False,
-        )
-    Y_ref = ref(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.iva import FasterIVA, FastIVA
+
+        if variant == "fast":
+            ref = FastIVA(
+                contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
+                d_contrast_fn=lambda y: 2 * np.ones_like(y),
+                dd_contrast_fn=lambda y: np.zeros_like(y),
+                record_loss=False,
+            )
+        else:
+            ref = FasterIVA(
+                contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
+                d_contrast_fn=lambda y: 2 * np.ones_like(y),
+                record_loss=False,
+            )
+        return _quality(ref(X.astype(np.complex128).copy(), n_iter=n_iter), images, mix)
+
+    want = reference_db(f"fixed_point_iva_{variant}", live)
     assert abs(got - want) <= 0.1, f"{variant}: {got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_pds_iva_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.iva import PDSIVA
-
     from ssspy_tpu.fast import fast_pds_iva
 
     images, mix, X = mixture
     n_iter = 50
 
     Y_fast, _ = fast_pds_iva(X, n_iter=n_iter)
-    Y_ref = PDSIVA(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.iva import PDSIVA
+
+        return _quality(
+            PDSIVA(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter),
+            images,
+            mix,
+        )
+
+    want = reference_db("pds_iva", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_admm_iva_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.iva import ADMMIVA
-
     from ssspy_tpu.fast import fast_admm_iva
 
     images, mix, X = mixture
-    n_iter = 50
 
     # ADMM (reference-faithfully) diverges on unnormalized input; the
     # reference ships normalize_by_spectral_norm for callers — apply the
@@ -220,7 +319,18 @@ def test_fast_admm_iva_si_sdr_within_tenth_db_of_reference(mixture):
     n_iter = 100
 
     Y_fast, _ = fast_admm_iva(X, n_iter=n_iter)
-    Y_ref = ADMMIVA(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
+
+    def live():
+        from ssspy.bss.iva import ADMMIVA
+
+        return _quality(
+            ADMMIVA(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter),
+            images,
+            mix,
+        )
+
+    want = reference_db("admm_iva", live)
 
     # ADMM's zero-initialized first prox acts on an exactly singular
     # matrix whose minimizer is unique only up to a unitary null basis
@@ -230,7 +340,6 @@ def test_fast_admm_iva_si_sdr_within_tenth_db_of_reference(mixture):
     # tracking is therefore not defined for this pair of valid proximal
     # sequences; assert an envelope instead. Kernel-level parity for
     # nonsingular iterates is pinned at 1e-8 in tests/ops/test_splitc_prox.py.
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
     assert np.isfinite(got), got
     assert abs(got - want) <= 8.0, f"{got:.3f} vs {want:.3f} dB"
 
@@ -253,8 +362,6 @@ def _fixed_rng_pair(seed, shape_T, shape_V):
 
 
 def test_fast_t_ilrma_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.ilrma import TILRMA
-
     from ssspy_tpu.fast import fast_t_ilrma
 
     images, mix, X = mixture
@@ -262,18 +369,25 @@ def test_fast_t_ilrma_si_sdr_within_tenth_db_of_reference(mixture):
     T0, V0, rng = _fixed_rng_pair(21, (2, X.shape[1], n_basis), (2, n_basis, X.shape[2]))
 
     Y_fast, _, _ = fast_t_ilrma(X, n_basis=n_basis, dof=5, n_iter=n_iter, rng=rng)
-    ref = TILRMA(n_basis=n_basis, dof=5, spatial_algorithm="IP1", record_loss=False)
-    Y_ref = ref(
-        X.astype(np.complex128).copy(), n_iter=n_iter, basis=T0.copy(), activation=V0.copy()
-    )
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.ilrma import TILRMA
+
+        ref = TILRMA(n_basis=n_basis, dof=5, spatial_algorithm="IP1", record_loss=False)
+        Y_ref = ref(
+            X.astype(np.complex128).copy(),
+            n_iter=n_iter,
+            basis=T0.copy(),
+            activation=V0.copy(),
+        )
+        return _quality(Y_ref, images, mix)
+
+    want = reference_db("t_ilrma", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_ggd_ilrma_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.ilrma import GGDILRMA
-
     from ssspy_tpu.fast import fast_ggd_ilrma
 
     images, mix, X = mixture
@@ -281,35 +395,49 @@ def test_fast_ggd_ilrma_si_sdr_within_tenth_db_of_reference(mixture):
     T0, V0, rng = _fixed_rng_pair(22, (2, X.shape[1], n_basis), (2, n_basis, X.shape[2]))
 
     Y_fast, _, _ = fast_ggd_ilrma(X, n_basis=n_basis, beta=1.5, n_iter=n_iter, rng=rng)
-    ref = GGDILRMA(n_basis=n_basis, beta=1.5, spatial_algorithm="IP1", record_loss=False)
-    Y_ref = ref(
-        X.astype(np.complex128).copy(), n_iter=n_iter, basis=T0.copy(), activation=V0.copy()
-    )
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.ilrma import GGDILRMA
+
+        ref = GGDILRMA(n_basis=n_basis, beta=1.5, spatial_algorithm="IP1", record_loss=False)
+        Y_ref = ref(
+            X.astype(np.complex128).copy(),
+            n_iter=n_iter,
+            basis=T0.copy(),
+            activation=V0.copy(),
+        )
+        return _quality(Y_ref, images, mix)
+
+    want = reference_db("ggd_ilrma", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
 
 
 @pytest.mark.parametrize("natural", [False, True])
 def test_fast_grad_fdica_si_sdr_within_tenth_db_of_reference(natural, mixture):
-    from ssspy.bss.fdica import GradLaplaceFDICA, NaturalGradLaplaceFDICA
-
     from ssspy_tpu.fast import fast_grad_fdica
 
     images, mix, X = mixture
     n_iter = 100
 
     Y_fast, _ = fast_grad_fdica(X, n_iter=n_iter, natural=natural)
-    ref_cls = NaturalGradLaplaceFDICA if natural else GradLaplaceFDICA
-    Y_ref = ref_cls(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.fdica import GradLaplaceFDICA, NaturalGradLaplaceFDICA
+
+        ref_cls = NaturalGradLaplaceFDICA if natural else GradLaplaceFDICA
+        return _quality(
+            ref_cls(record_loss=False)(X.astype(np.complex128).copy(), n_iter=n_iter),
+            images,
+            mix,
+        )
+
+    want = reference_db(f"grad_fdica_natural={natural}", live)
     assert abs(got - want) <= 0.1, f"natural={natural}: {got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_hva_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.hva import HVA
-
     from ssspy_tpu.fast import fast_hva
 
     images, mix, X = mixture
@@ -318,15 +446,20 @@ def test_fast_hva_si_sdr_within_tenth_db_of_reference(mixture):
     n_iter = 50
 
     Y_fast, _ = fast_hva(X, n_iter=n_iter)
-    Y_ref = HVA()(X.astype(np.complex128).copy(), n_iter=n_iter)
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.hva import HVA
+
+        return _quality(
+            HVA()(X.astype(np.complex128).copy(), n_iter=n_iter), images, mix
+        )
+
+    want = reference_db("hva", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_cacgmm_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.cacgmm import CACGMM
-
     from ssspy_tpu.fast import fast_cacgmm
 
     images, mix, X = mixture
@@ -335,18 +468,23 @@ def test_fast_cacgmm_si_sdr_within_tenth_db_of_reference(mixture):
     # match the fast path's host aligner (the class default is the
     # score-based solver — a different algorithm, not a fidelity issue)
     Y_fast = fast_cacgmm(X, n_iter=n_iter, rng=np.random.default_rng(3))
-    ref = CACGMM(
-        rng=np.random.default_rng(3), permutation_alignment="amplitude_correlation"
-    )
-    Y_ref = np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter))
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.cacgmm import CACGMM
+
+        ref = CACGMM(
+            rng=np.random.default_rng(3), permutation_alignment="amplitude_correlation"
+        )
+        return _quality(
+            np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter)), images, mix
+        )
+
+    want = reference_db("cacgmm", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_gauss_ipsdta_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.ipsdta import GaussIPSDTA
-
     from ssspy_tpu.fast import fast_gauss_ipsdta
 
     images, mix, X = mixture
@@ -356,19 +494,51 @@ def test_fast_gauss_ipsdta_si_sdr_within_tenth_db_of_reference(mixture):
         X, n_basis=n_basis, n_blocks=n_blocks, n_iter=n_iter,
         rng=np.random.default_rng(4),
     )
-    ref = GaussIPSDTA(
-        n_basis=n_basis, n_blocks=n_blocks, rng=np.random.default_rng(4),
-        record_loss=False,
-    )
-    Y_ref = np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter))
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.ipsdta import GaussIPSDTA
+
+        ref = GaussIPSDTA(
+            n_basis=n_basis, n_blocks=n_blocks, rng=np.random.default_rng(4),
+            record_loss=False,
+        )
+        return _quality(
+            np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter)), images, mix
+        )
+
+    want = reference_db("gauss_ipsdta", live)
+    assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
+
+
+def test_fast_t_ipsdta_si_sdr_within_tenth_db_of_reference(mixture):
+    from ssspy_tpu.fast import fast_t_ipsdta
+
+    images, mix, X = mixture
+    n_iter, n_basis, n_blocks, dof = 10, 2, 16, 10.0
+
+    Y_fast, _, _ = fast_t_ipsdta(
+        X, n_basis=n_basis, n_blocks=n_blocks, dof=dof, n_iter=n_iter,
+        rng=np.random.default_rng(6),
+    )
+    got = _quality(Y_fast, images, mix)
+
+    def live():
+        from ssspy.bss.ipsdta import TIPSDTA
+
+        ref = TIPSDTA(
+            n_basis=n_basis, n_blocks=n_blocks, dof=dof,
+            rng=np.random.default_rng(6), record_loss=False,
+        )
+        return _quality(
+            np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter)), images, mix
+        )
+
+    want = reference_db("t_ipsdta", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
 
 
 def test_fast_gauss_mnmf_dense_si_sdr_within_tenth_db_of_reference(mixture):
-    from ssspy.bss.mnmf import GaussMNMF
-
     from ssspy_tpu.fast import fast_gauss_mnmf_dense
 
     images, mix, X = mixture
@@ -377,8 +547,109 @@ def test_fast_gauss_mnmf_dense_si_sdr_within_tenth_db_of_reference(mixture):
     Y_fast, _ = fast_gauss_mnmf_dense(
         X, n_basis=n_basis, n_iter=n_iter, rng=np.random.default_rng(5)
     )
-    ref = GaussMNMF(n_basis=n_basis, rng=np.random.default_rng(5), record_loss=False)
-    Y_ref = np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter))
+    got = _quality(Y_fast, images, mix)
 
-    got, want = _quality(Y_fast, images, mix), _quality(Y_ref, images, mix)
+    def live():
+        from ssspy.bss.mnmf import GaussMNMF
+
+        ref = GaussMNMF(n_basis=n_basis, rng=np.random.default_rng(5), record_loss=False)
+        return _quality(
+            np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter)), images, mix
+        )
+
+    want = reference_db("gauss_mnmf_dense", live)
+    assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
+
+
+@pytest.mark.parametrize("diagonalizer", ["IP1", "IP2"])
+def test_fast_gauss_mnmf_si_sdr_within_tenth_db_of_reference(diagonalizer, mixture):
+    from ssspy_tpu.fast import fast_gauss_mnmf
+
+    images, mix, X = mixture
+    n_iter, n_basis, seed = 20, 2, 7
+
+    Y_fast, _ = fast_gauss_mnmf(
+        X,
+        n_basis=n_basis,
+        n_iter=n_iter,
+        diagonalizer_algorithm=diagonalizer,
+        rng=np.random.default_rng(seed),
+    )
+    got = _quality(Y_fast, images, mix)
+
+    def live():
+        from ssspy.bss.mnmf import FastGaussMNMF
+
+        ref = FastGaussMNMF(
+            n_basis=n_basis,
+            diagonalizer_algorithm=diagonalizer,
+            rng=np.random.default_rng(seed),
+            record_loss=False,
+        )
+        return _quality(
+            np.asarray(ref(X.astype(np.complex128).copy(), n_iter=n_iter)), images, mix
+        )
+
+    want = reference_db(f"fast_gauss_mnmf_{diagonalizer}", live)
+    assert abs(got - want) <= 0.1, f"{diagonalizer}: {got:.3f} vs {want:.3f} dB"
+
+
+@pytest.mark.parametrize("algorithm", ["IP1", "ISS1"])
+def test_fast_auxiva_wave_si_sdr_within_tenth_db_of_reference(algorithm, mixture):
+    from ssspy_tpu.fast import fast_auxiva_wave
+
+    images, mix, X = mixture
+    n_iter = 30
+
+    y_fast = fast_auxiva_wave(
+        mix.astype(np.float32), n_iter=n_iter, algorithm=algorithm,
+        n_fft=N_FFT, hop_length=HOP,
+    )
+    got = _quality_wave(y_fast[..., : mix.shape[-1]], images)
+
+    def live():
+        from ssspy.bss.iva import AuxIVA
+
+        ref = AuxIVA(
+            spatial_algorithm=algorithm,
+            contrast_fn=lambda y: 2 * np.linalg.norm(y, axis=1),
+            d_contrast_fn=lambda y: 2 * np.ones_like(y),
+            scale_restoration="projection_back",
+            record_loss=False,
+        )
+        Y_ref = ref(X.astype(np.complex128).copy(), n_iter=n_iter)
+        return _quality(Y_ref, images, mix)
+
+    want = reference_db(f"auxiva_wave_{algorithm}", live)
+    assert abs(got - want) <= 0.1, f"{algorithm}: {got:.3f} vs {want:.3f} dB"
+
+
+def test_fast_gauss_ilrma_wave_si_sdr_within_tenth_db_of_reference(mixture):
+    from ssspy_tpu.fast import fast_gauss_ilrma_wave
+
+    images, mix, X = mixture
+    n_iter, n_basis, seed = 30, 2, 8
+
+    y_fast = fast_gauss_ilrma_wave(
+        mix.astype(np.float32), n_basis=n_basis, n_iter=n_iter, algorithm="IP1",
+        n_fft=N_FFT, hop_length=HOP, rng=np.random.default_rng(seed),
+    )
+    got = _quality_wave(y_fast[..., : mix.shape[-1]], images)
+
+    def live():
+        from ssspy.bss.ilrma import GaussILRMA
+
+        ref = GaussILRMA(
+            n_basis=n_basis,
+            spatial_algorithm="IP1",
+            source_algorithm="MM",
+            partitioning=False,
+            normalization=True,
+            record_loss=False,
+            rng=np.random.default_rng(seed),
+        )
+        Y_ref = ref(X.astype(np.complex128).copy(), n_iter=n_iter)
+        return _quality(Y_ref, images, mix)
+
+    want = reference_db("gauss_ilrma_wave_IP1", live)
     assert abs(got - want) <= 0.1, f"{got:.3f} vs {want:.3f} dB"
