@@ -310,7 +310,7 @@ class AuxFDICA(FDICABase):
             reference_id=reference_id,
         )
 
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
         self.spatial_algorithm = spatial_algorithm
 
         if contrast_fn is None:
@@ -373,7 +373,7 @@ class AuxFDICA(FDICABase):
                 return {**state, "W": W}
 
         else:
-            raise NotImplementedError(f"Not support {algo}.")
+            raise NotImplementedError(f"unsupported option: {algo}.")
 
         return step
 

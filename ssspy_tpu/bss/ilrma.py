@@ -428,7 +428,7 @@ class ILRMABase(IterativeMethodBase):
                     max_iter=self.newton_iter,
                 ),
             }
-        raise NotImplementedError(f"Not support {algo}.")
+        raise NotImplementedError(f"unsupported option: {algo}.")
 
     def make_step(self):
         outer = self
@@ -482,8 +482,8 @@ class GaussILRMA(ILRMABase):
             rng=rng,
         )
 
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
-        assert source_algorithm in source_algorithms, f"Not support {source_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
+        assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithm}."
         assert 0 < domain <= 2, "domain must lie in (0, 2]."
 
         if source_algorithm == "ME":
@@ -587,8 +587,8 @@ class TILRMA(ILRMABase):
             rng=rng,
         )
 
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
-        assert source_algorithm in source_algorithms, f"Not support {source_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
+        assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithm}."
         assert 0 < domain <= 2, "domain must lie in (0, 2]."
 
         if spatial_algorithm == "IPA":
@@ -694,8 +694,8 @@ class GGDILRMA(ILRMABase):
         )
 
         assert 0 < beta < 2, f"Shape parameter {beta} shoule be chosen from (0, 2)."
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
-        assert source_algorithm == "MM", f"Not support {source_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
+        assert source_algorithm == "MM", f"unsupported option: {source_algorithm}."
         assert 0 < domain <= 2, "domain must lie in (0, 2]."
 
         if spatial_algorithm == "IPA":

@@ -372,8 +372,8 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
             rng,
         )
 
-        assert source_algorithm in source_algorithms, f"Not support {source_algorithms}."
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithms}."
+        assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithms}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithms}."
 
         self.source_algorithm = source_algorithm
         self.spatial_algorithm = spatial_algorithm
@@ -523,8 +523,8 @@ class TIPSDTA(BlockDecompositionIPSDTABase):
             rng,
         )
 
-        assert source_algorithm in source_algorithms, f"Not support {source_algorithm}."
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
+        assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
 
         self.dof = dof
         self.source_algorithm = source_algorithm

@@ -582,7 +582,7 @@ class AuxIVA(AuxIVABase):
             reference_id=reference_id,
         )
 
-        assert spatial_algorithm in spatial_algorithms, f"Not support {spatial_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
         self.spatial_algorithm = spatial_algorithm
 
         if pair_selector is None:
@@ -706,7 +706,7 @@ class AuxIVA(AuxIVABase):
                 }
 
         else:
-            raise NotImplementedError(f"Not support {algo}.")
+            raise NotImplementedError(f"unsupported option: {algo}.")
 
         return step
 

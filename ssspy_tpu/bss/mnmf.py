@@ -417,7 +417,7 @@ class FastGaussMNMF(FastMNMFBase):
 
         assert (
             diagonalizer_algorithm in diagonalizer_algorithms
-        ), f"Not support {diagonalizer_algorithm}."
+        ), f"unsupported option: {diagonalizer_algorithm}."
         assert not partitioning, "partitioning function is not supported."
 
         self.diagonalizer_algorithm = diagonalizer_algorithm

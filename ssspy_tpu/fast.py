@@ -108,7 +108,7 @@ def fast_auxiva(
     ``(separated, demix_filter_or_None)`` as host arrays; projection
     back runs on the host.
     """
-    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2", "IPA"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2", "IPA"), f"unsupported option: {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, _ = X.shape
     Xs = jax.device_put(to_split(X))
@@ -212,16 +212,16 @@ def fast_gauss_ilrma(
     selects the shared-basis latent model (IP1/IP2/ISS1/ISS2 only).
     Returns ``(separated, (basis, activation), demix_filter_or_None)``.
     """
-    assert algorithm in _ILRMA_STEPS, f"Not support {algorithm}."
-    assert source_algorithm in ("MM", "ME"), f"Not support {source_algorithm}."
+    assert algorithm in _ILRMA_STEPS, f"unsupported option: {algorithm}."
+    assert source_algorithm in ("MM", "ME"), f"unsupported option: {source_algorithm}."
     if partitioning:
-        assert algorithm != "IPA", "Not support IPA with partitioning."
+        assert algorithm != "IPA", "partitioning has no IPA spatial update."
         return _fast_gauss_ilrma_partitioning(
             spectrogram, n_basis, n_iter, algorithm, scale_restoration,
             reference_id, rng,
         )
     if source_algorithm == "ME":
-        assert algorithm != "IPA", "Not support IPA with ME."
+        assert algorithm != "IPA", "the ME source update has no IPA spatial path."
         return _fast_ilrma_generic(
             spectrogram, n_basis, n_iter, algorithm, "gauss",
             scale_restoration, reference_id, rng, me=True,
@@ -270,7 +270,7 @@ def _fast_ilrma_generic(
     """Shared driver for the t/GGD ILRMA fast paths (generic SC engine)."""
     from .ops.splitc import ilrma_ip_step_sc, ilrma_iss_step_sc
 
-    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2"), f"unsupported option: {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
     rng = np.random.default_rng() if rng is None else rng
@@ -339,7 +339,7 @@ def fast_t_ilrma(
     ssspy/bss/ilrma.py:1992-3334). ``algorithm``: IP1/IP2/ISS1/ISS2.
     Returns ``(separated, (basis, activation), demix_filter_or_None)``.
     """
-    assert source_algorithm in ("MM", "ME"), f"Not support {source_algorithm}."
+    assert source_algorithm in ("MM", "ME"), f"unsupported option: {source_algorithm}."
     return _fast_ilrma_generic(
         spectrogram,
         n_basis,
@@ -485,7 +485,7 @@ def fast_aux_fdica(
     """
     from .ops.splitc import aux_laplace_fdica_ip1_step_sc, aux_laplace_fdica_ip2_step_sc
 
-    assert algorithm in ("IP1", "IP2"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2"), f"unsupported option: {algorithm}."
     X = np.asarray(spectrogram)
     n_channels, n_bins, _ = X.shape
     Xs = jax.device_put(to_split(X))
@@ -814,7 +814,7 @@ def fast_auxiva_wave(
     :func:`ssspy_tpu.transform.stft_sc`) — nothing crosses the host
     boundary between input and output. Returns ``(n_sources, n_samples)``.
     """
-    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2", "IPA"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "IP2", "ISS1", "ISS2", "IPA"), f"unsupported option: {algorithm}."
     x = np.asarray(waveform, dtype=np.float32)
     hop = n_fft // 2 if hop_length is None else hop_length
     y = _auxiva_wave_program(
@@ -1011,7 +1011,7 @@ def fast_gauss_ilrma_wave(
     )
     from .transform import istft_sc, stft_sc
 
-    assert algorithm in ("IP1", "ISS1"), f"Not support {algorithm}."
+    assert algorithm in ("IP1", "ISS1"), f"unsupported option: {algorithm}."
     x = np.asarray(waveform, dtype=np.float32)
     n_channels = x.shape[0]
     hop = n_fft // 2 if hop_length is None else hop_length

@@ -542,7 +542,7 @@ def _ilrma_model_weights(model, Y2, R, p, nu, beta, me):
     if model == "ggd":
         Yb = Y2 ** (beta / 2)
         return Yb / (R ** ((beta + p) / p)), p / (beta + p), beta / 2
-    raise ValueError(f"Not support {model}.")
+    raise ValueError(f"unsupported option: {model}.")
 
 
 def _ilrma_model_varphi(model, Y2, R, p, nu, beta, eps):
@@ -559,7 +559,7 @@ def _ilrma_model_varphi(model, Y2, R, p, nu, beta, eps):
     if model == "ggd":
         Y2b = jnp.maximum(Y2 ** ((2 - beta) / 2), eps)
         return 1 / ((2 / beta) * Y2b * (R ** (beta / p)))
-    raise ValueError(f"Not support {model}.")
+    raise ValueError(f"unsupported option: {model}.")
 
 
 def _ilrma_mm_core_partitioning(Y2, T, V, Z, *, model, p, eps, nu=None, beta=None, me=False):
@@ -1693,7 +1693,7 @@ def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10, impl: str = "auto"):
     if impl == "chol":
         B2 = block_embed(Br, Bi)
         B2 = (B2 + jnp.swapaxes(B2, -1, -2)) / 2
-        L = jnp.linalg.cholesky(B2)
+        L = _chol_unrolled(B2)
         # logdet(E(B)) = 2 logdet(B); diag(L) contributes each twice
         logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
         Binv_r, Binv_i = _cinv(Br, Bi)
@@ -2167,6 +2167,31 @@ def _psd_project_sc(Ar, Ai, eps, impl):
     return Ar + eps * jnp.eye(Ar.shape[-1], dtype=Ar.dtype), Ai
 
 
+def _chol_unrolled(S, tiny=1e-30):
+    """Cholesky factor of batched real SPD ``(..., n, n)`` matrices.
+
+    Statically-unrolled Cholesky–Banachiewicz (column by column): XLA's
+    batched ``jnp.linalg.cholesky`` is an order of magnitude slower than
+    this elementwise chain for the small embedded matrices (n <= 16) the
+    geometric-mean and cACGMM paths factor — the same finding as for the
+    batched LU solve (see :func:`gauss_jordan_solve_nopivot`). Diagonal
+    entries are floored sign-preservingly at ``sqrt(tiny)`` so a
+    semidefinite input yields a finite factor.
+    """
+    n = S.shape[-1]
+    rows = jnp.arange(n)
+    cols = []
+    for j in range(n):
+        c = S[..., :, j]
+        if j:
+            Lprev = jnp.stack(cols, axis=-1)  # (..., n, j)
+            c = c - jnp.einsum("...ik,...k->...i", Lprev, Lprev[..., j, :])
+        d = jnp.sqrt(jnp.maximum(c[..., j : j + 1], tiny))
+        col = jnp.where(rows >= j, c / d, 0.0)
+        cols.append(col)
+    return jnp.stack(cols, axis=-1)
+
+
 def _tri_lower_inv(L):
     """Inverse of batched real lower-triangular ``(..., n, n)`` matrices.
 
@@ -2209,7 +2234,7 @@ def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0, impl: str = "eigh2"):
         EA = (EA + jnp.swapaxes(EA, -1, -2)) / 2
         if eps:
             EA = EA + eps * jnp.eye(2 * n, dtype=EA.dtype)
-        F = jnp.linalg.cholesky(EA)
+        F = _chol_unrolled(EA)
         Finv = _tri_lower_inv(F)
         EB = block_embed(Br, Bi)
         EB = (EB + jnp.swapaxes(EB, -1, -2)) / 2

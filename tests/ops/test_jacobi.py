@@ -58,3 +58,15 @@ def test_herm_eigh_embed_jacobi_impl_matches_lapack():
     l1, _ = _herm_eigh_embed(jnp.asarray(Ar), jnp.asarray(Ai), impl="jacobi")
     l2, _ = _herm_eigh_embed(jnp.asarray(Ar), jnp.asarray(Ai), impl="lapack")
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-9)
+
+
+def test_chol_unrolled_matches_lapack():
+    from ssspy_tpu.ops.splitc import _chol_unrolled
+
+    rng = np.random.default_rng(7)
+    for n in (4, 8, 16):
+        A = rng.standard_normal((23, n, n))
+        S = A @ A.swapaxes(-1, -2) + n * np.eye(n)
+        L1 = np.asarray(_chol_unrolled(jnp.asarray(S)))
+        L2 = np.linalg.cholesky(S)
+        np.testing.assert_allclose(L1, L2, atol=1e-10)
