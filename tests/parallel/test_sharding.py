@@ -282,3 +282,43 @@ def test_sharded_ipsdta_matches_unsharded():
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out[1][0]), np.asarray(ref[1][0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref[2]), atol=1e-4)
+
+
+def test_sharded_runner_pads_uneven_bins():
+    """257-bin (n_fft=512) shapes must run on any mesh: the runner pads
+    the bin axis internally and slices back; per-bin independence makes
+    the result identical to the unsharded unpadded step."""
+    from ssspy_tpu.parallel import batched_auxiva_ip1_step_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])  # bin axis = 4; 257 % 4 != 0
+    runner = make_batched_auxiva_runner_sc(mesh)
+
+    rng = np.random.default_rng(3)
+    B, M, I, T = 2, 3, 257, 16
+    Xs = rng.standard_normal((B, 2, M, I, T)).astype(np.float32)
+    W = np.zeros((B, 2, I, M, M), dtype=np.float32)
+    W[:, 0] = np.eye(M, dtype=np.float32)
+
+    out = np.asarray(runner(Xs, W, 2))
+    ref = jnp.asarray(W)
+    for _ in range(2):
+        ref = jax.jit(batched_auxiva_ip1_step_sc)(jnp.asarray(Xs), ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_iss_runner_pads_uneven_bins():
+    from ssspy_tpu.parallel import (
+        batched_auxiva_iss1_step_sc,
+        make_batched_auxiva_iss1_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_iss1_runner_sc(mesh)
+
+    rng = np.random.default_rng(4)
+    Y = rng.standard_normal((2, 2, 3, 257, 16)).astype(np.float32)
+    out = np.asarray(runner(Y, 2))
+    ref = jnp.asarray(Y)
+    for _ in range(2):
+        ref = jax.jit(batched_auxiva_iss1_step_sc)(ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
