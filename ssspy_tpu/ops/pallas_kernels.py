@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["weighted_covariance_sc", "planar_inverse_sc", "planar_inv_sandwich_sc"]
+__all__ = ["weighted_covariance_sc", "planar_inverse_sc", "planar_inv_sandwich_sc", "iss1_sweep_pallas"]
 
 # beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
 # f32 plus weights/outputs) approach the ~16 MB/core VMEM budget; the
@@ -362,3 +362,85 @@ def planar_inv_sandwich_sc(
 
     Or_l, Oi_l, Sr_l, Si_l = outs
     return back(Or_l), back(Oi_l), back(Sr_l), back(Si_l)
+
+
+# ---- fused ISS1 sweep --------------------------------------------------------
+#
+# The ISS1 source sweep is pure elementwise/reduce work, but the XLA
+# lowering re-reads the full (N, I, T) spectrogram pair from HBM for
+# every one of the N sequential source updates (~60 MB per source at the
+# bench workload). Bins are independent given the weights, so the fused
+# kernel holds a bin-block of Y VMEM-resident across the WHOLE sweep:
+# HBM sees each plane exactly twice (one read, one write).
+
+
+def _iss1_kernel(yr_ref, yi_ref, phi_ref, or_ref, oi_ref, *, n_sources, eps, phi_has_bins):
+    # tiles: (N, Ib, T); phi: (N, Ib, T) or the full (N, T) weights
+    yr = yr_ref[:]
+    yi = yi_ref[:]
+    phi = phi_ref[:]
+    if not phi_has_bins:
+        phi = phi[:, None, :]
+
+    inv_frames = 1.0 / yr.shape[-1]
+    for src in range(n_sources):
+        ynr = yr[src]  # (Ib, T)
+        yni = yi[src]
+        yn2 = ynr**2 + yni**2
+        yyr = yr * ynr[None] + yi * yni[None]  # Re(Y conj(y_n))
+        yyi = yi * ynr[None] - yr * yni[None]
+        num_r = jnp.sum(phi * yyr, axis=-1) * inv_frames  # (N, Ib)
+        num_i = jnp.sum(phi * yyi, axis=-1) * inv_frames
+        denom = jnp.maximum(jnp.sum(phi * yn2[None], axis=-1) * inv_frames, eps)
+
+        vr = num_r / denom
+        vi = num_i / denom
+        v_self = 1.0 - 1.0 / jnp.sqrt(denom[src])
+        # row select without scatter: Mosaic lowers where + broadcast fine
+        row = jax.lax.broadcasted_iota(jnp.int32, vr.shape, 0)
+        vr = jnp.where(row == src, v_self[None], vr)
+        vi = jnp.where(row == src, 0.0, vi)
+
+        yr = yr - (vr[:, :, None] * ynr[None] - vi[:, :, None] * yni[None])
+        yi = yi - (vr[:, :, None] * yni[None] + vi[:, :, None] * ynr[None])
+
+    or_ref[:] = yr
+    oi_ref[:] = yi
+
+
+def iss1_sweep_pallas(
+    Yr, Yi, varphi, eps=1e-10, block_bins: int = 16, interpret: bool = False
+):
+    """Fused ISS1 sweep: ``Y (N, I, T)`` pair + weights ``(N, T)`` or
+    ``(N, I, T)`` -> updated pair, one HBM round trip."""
+    n_sources, n_bins, n_frames = Yr.shape
+    phi_has_bins = varphi.ndim == 3 and varphi.shape[1] == n_bins
+    if varphi.ndim == 3 and not phi_has_bins:
+        varphi = varphi[:, 0, :]  # (N, 1, T) broadcast form
+
+    kernel = functools.partial(
+        _iss1_kernel, n_sources=n_sources, eps=eps, phi_has_bins=phi_has_bins
+    )
+    y_spec = pl.BlockSpec(
+        (n_sources, block_bins, n_frames), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    if phi_has_bins:
+        phi_spec = pl.BlockSpec(
+            (n_sources, block_bins, n_frames),
+            lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        phi_spec = pl.BlockSpec(
+            (n_sources, n_frames), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+    out_shape = jax.ShapeDtypeStruct(Yr.shape, Yr.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n_bins, block_bins),),
+        in_specs=[y_spec, y_spec, phi_spec],
+        out_specs=[y_spec, y_spec],
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(Yr, Yi, varphi)

@@ -297,14 +297,30 @@ def ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=1e-10, solve_impl: str = "auto", unroll: bo
     return lax.fori_loop(0, n_sources, body, (Wr, Wi))
 
 
-def iss1_sweep_sc(Yr, Yi, varphi, eps=1e-10):
+def iss1_sweep_sc(Yr, Yi, varphi, eps=1e-10, impl: str = "auto"):
     """ISS1 source-steering sweep with external planar weights.
 
     ``Y``: ``(N, I, T)`` pair; ``varphi``: weights broadcastable to
     ``(N, I, T)`` (IVA passes per-(source, frame), ILRMA per-bin).
     Rank-1 updates only — no solves, pure VPU work (reference
     ssspy/bss/_update_spatial_model.py:146-194).
+
+    ``impl``: ``"pallas"`` keeps a bin-block of ``Y`` VMEM-resident
+    across the whole N-source sweep (one HBM round trip instead of one
+    per source — the XLA form is bandwidth-bound; see
+    :func:`ssspy_tpu.ops.pallas_kernels.iss1_sweep_pallas`); ``"xla"``
+    is the fused-by-XLA form; ``"auto"`` picks pallas on TPU backends.
     """
+    if impl == "auto":
+        impl = "pallas" if _on_tpu_backend() else "xla"
+    if impl in ("pallas", "interpret"):
+        from .pallas_kernels import iss1_sweep_pallas
+
+        return iss1_sweep_pallas(
+            Yr, Yi, jnp.broadcast_to(varphi, (Yr.shape[0],) + varphi.shape[1:]),
+            eps=eps, interpret=impl == "interpret",
+        )
+
     n_sources = Yr.shape[0]
 
     for src in range(n_sources):
