@@ -1638,7 +1638,11 @@ def fast_gauss_mnmf_step_sc(
     DLambD = jnp.einsum("nim,itm->nit", Db, 1 / LambD)
     num = jnp.einsum("nkt,nit->nik", V, DQXLambD)
     denom = jnp.einsum("nkt,nit->nik", V, DLambD)
-    T = jnp.maximum(T * jnp.sqrt(num / denom), eps)
+    # tiny denominator floor: strictly positive for any bin with signal
+    # (D > 0), a no-op there; a zero-loaded (padded/silent) bin would
+    # otherwise produce 0/0 = NaN that the activation contraction then
+    # spreads across all bins
+    T = jnp.maximum(T * jnp.sqrt(num / jnp.maximum(denom, 1e-30)), eps)
 
     # activation MM update
     QX2, LambD, _ = power_stats(Qr, Qi, T, V, D)
@@ -1647,7 +1651,7 @@ def fast_gauss_mnmf_step_sc(
     DLambD = jnp.einsum("nim,itm->nit", Db, 1 / LambD)
     num = jnp.einsum("nik,nit->nkt", T, DQXLambD)
     denom = jnp.einsum("nik,nit->nkt", T, DLambD)
-    V = jnp.maximum(V * jnp.sqrt(num / denom), eps)
+    V = jnp.maximum(V * jnp.sqrt(num / jnp.maximum(denom, 1e-30)), eps)
 
     # diagonalizer IP sweep with per-channel weights 1 / (Lamb D)
     Lamb = jnp.maximum(T @ V, eps)

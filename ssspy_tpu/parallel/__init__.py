@@ -111,8 +111,15 @@ def auxiva_ip1_step(X, W, eps=1e-10):
         e_n = jnp.broadcast_to(E[src], (W.shape[0], n_channels))
         w = jnp.linalg.solve(W @ U_n, e_n[..., None])[..., 0]
         wUw = jnp.einsum("bm,bmn,bn->b", w.conj(), U_n, w).real
-        w = w.conj() / jnp.sqrt(jnp.maximum(wUw, eps))[:, None].astype(W.dtype)
-        return lax.dynamic_update_slice(W, w[:, None, :], (0, src, 0))
+        w_new = w.conj() / jnp.sqrt(jnp.maximum(wUw, eps))[:, None].astype(W.dtype)
+        # degenerate-bin guard (same rule as ip1_sweep_sc): a singular
+        # U_n — a silent or zero-padded bin — makes the LU solve NaN and
+        # IVA's cross-bin norm would spread it; freeze the row instead.
+        # wUw > 0 holds strictly for any bin with signal (NaN compares
+        # false and freezes too).
+        w_cur = lax.dynamic_index_in_dim(W, src, axis=1, keepdims=False)
+        w_new = jnp.where((wUw > 0)[:, None], w_new, w_cur)
+        return lax.dynamic_update_slice(W, w_new[:, None, :], (0, src, 0))
 
     W = lax.fori_loop(0, n_sources, body, W)
     return W
@@ -492,6 +499,10 @@ def make_batched_cacgmm_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
             P(dp, None, b),
             P(dp, None, None, b, None, None),
         ),
+        # no demixing-filter leaf: zero-padded mixing weights/covariances
+        # are correct (every E/M statistic is per-bin, NaNs in padded
+        # bins stay confined and are sliced away)
+        identity_leaves=(),
     )
 
 
@@ -505,6 +516,12 @@ def make_batched_fast_mnmf_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
     replicated over ``bin`` (it couples all bins — XLA inserts one
     ``psum`` over ICI per activation contraction, the ILRMA pattern);
     loadings ``D``: ``(batch, I, N, M)`` sharded (dp, bin, -, -).
+
+    At non-divisible bin counts the internal padding shifts the
+    normalization gauge (the step's power normalization averages over
+    all bins, padded included) — the separated output is gauge-fixed by
+    the downstream Wiener separation, but parameter trajectories should
+    be compared padded-vs-padded (see the dryrun's ILRMA check).
     """
     if mesh is None:
         mesh = make_mesh()

@@ -322,3 +322,97 @@ def test_sharded_iss_runner_pads_uneven_bins():
     for _ in range(2):
         ref = jax.jit(batched_auxiva_iss1_step_sc)(ref)
     np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_complex_runner_pads_uneven_bins():
+    """The complex-dtype runner must also survive padded (singular)
+    bins: the LU solve NaNs there and the IP1 guard freezes the row."""
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_runner(mesh)
+
+    rng = np.random.default_rng(5)
+    B, M, I, T = 2, 3, 33, 12
+    X = (
+        rng.standard_normal((B, M, I, T)) + 1j * rng.standard_normal((B, M, I, T))
+    ).astype(np.complex64)
+    W = np.tile(np.eye(M, dtype=np.complex64), (B, I, 1, 1))
+
+    out = np.asarray(runner(X, W, 2))
+    assert np.isfinite(out).all()
+    ref = jnp.asarray(W)
+    for _ in range(2):
+        ref = batched_auxiva_ip1_step(jnp.asarray(X), ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_cacgmm_pads_uneven_bins():
+    from ssspy_tpu.parallel import batched_cacgmm_step_sc, make_batched_cacgmm_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_cacgmm_runner_sc(mesh)
+
+    rng = np.random.default_rng(6)
+    B, M, I, T = 2, 3, 33, 12
+    Z = rng.standard_normal((B, M, I, T)) + 1j * rng.standard_normal((B, M, I, T))
+    Z = Z / np.abs(np.linalg.norm(Z, axis=1, keepdims=True))
+    Zs = np.stack([Z.real, Z.imag], axis=1).astype(np.float32)
+    alpha = rng.random((B, M, I))
+    alpha = (alpha / alpha.sum(axis=1, keepdims=True)).astype(np.float32)
+    Bd = rng.random((B, M, I, M))
+    Bd = Bd / Bd.sum(axis=-1, keepdims=True)
+    B0 = (Bd[..., None] * np.eye(M)).astype(np.float32)
+    Bs = np.stack([B0, np.zeros_like(B0)], axis=1)
+
+    out = runner(Zs, (jnp.asarray(alpha), jnp.asarray(Bs)), 3)
+    assert np.isfinite(np.asarray(out[0])).all()
+    ref = (jnp.asarray(alpha), jnp.asarray(Bs))
+    for _ in range(3):
+        ref = batched_cacgmm_step_sc(jnp.asarray(Zs), ref)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=2e-4)
+
+
+def test_sharded_fast_mnmf_pads_uneven_bins():
+    from ssspy_tpu.parallel import (
+        batched_fast_gauss_mnmf_step_sc,
+        make_batched_fast_mnmf_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_fast_mnmf_runner_sc(mesh)
+
+    rng = np.random.default_rng(7)
+    B, M, I, T, K = 2, 3, 33, 12, 2
+    X = rng.standard_normal((B, M, I, T)) + 1j * rng.standard_normal((B, M, I, T))
+    Xs = np.stack([X.real, X.imag], axis=1).astype(np.float32)
+    Q0 = np.zeros((B, 2, I, M, M), np.float32)
+    Q0[:, 0] = np.eye(M, dtype=np.float32)
+    Tb = (rng.random((B, M, I, K)) + 0.1).astype(np.float32)
+    Vb = (rng.random((B, M, K, T)) + 0.1).astype(np.float32)
+    Db = (rng.random((B, I, M, M)) + 0.1).astype(np.float32)
+
+    carry = tuple(jnp.asarray(a) for a in (Q0, Tb, Vb, Db))
+    out = runner(jnp.asarray(Xs), carry, 3)
+    for o in out:
+        assert np.isfinite(np.asarray(o)).all()
+
+    # FastGaussMNMF's normalization averages |QX|^2 over ALL bins, so
+    # padding shifts the per-channel scale gauge (like ILRMA's power
+    # normalization — see shard_pytree_run docstring): the unsharded
+    # reference must run on identically padded arrays, sliced after.
+    pad = (-I) % mesh.devices.shape[1]
+    Xp = np.pad(Xs, [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)])
+    Qp = np.pad(Q0, [(0, 0), (0, 0), (0, pad), (0, 0), (0, 0)])
+    Qp[:, 0, I:] = np.eye(M, dtype=np.float32)
+    Tp = np.pad(Tb, [(0, 0), (0, 0), (0, pad), (0, 0)])
+    Dp = np.pad(Db, [(0, 0), (0, pad), (0, 0), (0, 0)])
+    ref = tuple(jnp.asarray(a) for a in (Qp, Tp, Vb, Dp))
+    for _ in range(3):
+        ref = batched_fast_gauss_mnmf_step_sc(jnp.asarray(Xp), ref)
+    ref_sliced = (
+        np.asarray(ref[0])[:, :, :I],
+        np.asarray(ref[1])[:, :, :I],
+        np.asarray(ref[2]),
+        np.asarray(ref[3])[:, :I],
+    )
+    for o, r in zip(out, ref_sliced):
+        np.testing.assert_allclose(np.asarray(o), r, atol=1e-4)
