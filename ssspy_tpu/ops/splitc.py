@@ -949,10 +949,10 @@ def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
             + 2 * (g12r * (h0r * h1r + h0i * h1i) - g12i * (h0r * h1i - h0i * h1r))
         )
         d = jnp.maximum(jnp.sqrt(jnp.maximum(quad, 0.0)), eps)
-        return h0r / d, h0i / d, h1r / d, h1i / d
+        return (h0r / d, h0i / d, h1r / d, h1i / d), quad
 
-    h_m = normalize(h_hi, Gm)
-    h_n = normalize(h_lo, Gn)
+    h_m, quad_m = normalize(h_hi, Gm)
+    h_n, quad_n = normalize(h_lo, Gn)
 
     def project(P, h):
         Pr, Pi = P
@@ -964,6 +964,16 @@ def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
 
     wm_r, wm_i = project(Pm, h_m)
     wn_r, wn_i = project(Pn, h_n)
+    # degenerate-bin guard (same rule as ip1_sweep_sc): on a silent or
+    # zero-padded bin the pencil is singular, the solve/GEVD emit
+    # NaN/unbounded values, and IVA's cross-bin norm would spread them;
+    # freeze the pair's rows there (quad > 0 holds strictly with signal,
+    # NaN compares false and freezes too).
+    valid = ((quad_m > 0.0) & (quad_n > 0.0))[:, None]
+    wm_r = jnp.where(valid, wm_r, Wr[:, m])
+    wm_i = jnp.where(valid, wm_i, Wi[:, m])
+    wn_r = jnp.where(valid, wn_r, Wr[:, n])
+    wn_i = jnp.where(valid, wn_i, Wi[:, n])
     return (
         jnp.stack([wm_r, wn_r], axis=1),
         jnp.stack([wm_i, wn_i], axis=1),

@@ -416,3 +416,26 @@ def test_sharded_fast_mnmf_pads_uneven_bins():
     )
     for o, r in zip(out, ref_sliced):
         np.testing.assert_allclose(np.asarray(o), r, atol=1e-4)
+
+
+def test_sharded_ip2_runner_pads_uneven_bins():
+    from ssspy_tpu.parallel import (
+        batched_auxiva_ip2_step_sc,
+        make_batched_auxiva_ip2_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_ip2_runner_sc(mesh)
+
+    rng = np.random.default_rng(8)
+    B, M, I, T = 2, 4, 33, 16
+    Xs = rng.standard_normal((B, 2, M, I, T)).astype(np.float32)
+    W = np.zeros((B, 2, I, M, M), dtype=np.float32)
+    W[:, 0] = np.eye(M, dtype=np.float32)
+
+    out = np.asarray(runner(Xs, W, 2))
+    assert np.isfinite(out).all()
+    ref = jnp.asarray(W)
+    for _ in range(2):
+        ref = jax.jit(batched_auxiva_ip2_step_sc)(jnp.asarray(Xs), ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-4)
