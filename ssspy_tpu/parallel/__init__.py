@@ -38,6 +38,8 @@ __all__ = [
     "make_batched_auxiva_ip2_runner_sc",
     "batched_auxiva_iss1_step_sc",
     "make_batched_auxiva_iss1_runner_sc",
+    "batched_auxiva_iss2_step_sc",
+    "make_batched_auxiva_iss2_runner_sc",
     "batched_gauss_ilrma_ip1_step_sc",
     "make_batched_ilrma_runner_sc",
     "make_batched_auxiva_wave_runner_sc",
@@ -255,6 +257,12 @@ def _sc_iss1_step(Ys):
     return auxiva_iss1_step_sc(Ys)
 
 
+def _sc_iss2_step(Ys):
+    from ..ops.splitc import auxiva_iss2_step_sc
+
+    return auxiva_iss2_step_sc(Ys)
+
+
 def _sc_ilrma_ip1_step(Xs, carry):
     from ..ops.splitc import gauss_ilrma_ip1_step_sc
 
@@ -264,6 +272,7 @@ def _sc_ilrma_ip1_step(Xs, carry):
 
 batched_auxiva_ip2_step_sc = jax.vmap(_sc_ip2_step, in_axes=(0, 0))
 batched_auxiva_iss1_step_sc = jax.vmap(_sc_iss1_step, in_axes=(0,))
+batched_auxiva_iss2_step_sc = jax.vmap(_sc_iss2_step, in_axes=(0,))
 batched_gauss_ilrma_ip1_step_sc = jax.vmap(_sc_ilrma_ip1_step, in_axes=(0, 0))
 
 
@@ -353,6 +362,14 @@ def _pad_carry_leaves(leaves, axes_list, mult, identity_leaves=()):
                 leaf = lax.dynamic_update_slice_in_dim(leaf, eye, before, axis)
         out.append(leaf)
     return out
+
+
+def make_batched_auxiva_iss2_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex AuxIVA-ISS2 runner (Y-state path, same
+    layout as ISS1: ``(batch, 2, N, I, T)`` sharded (dp, -, -, bin, -))."""
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_state_run(mesh, batched_auxiva_iss2_step_sc, y_bin_axis=3, ndim=5)
 
 
 def shard_pytree_run(

@@ -439,3 +439,22 @@ def test_sharded_ip2_runner_pads_uneven_bins():
     for _ in range(2):
         ref = jax.jit(batched_auxiva_ip2_step_sc)(jnp.asarray(Xs), ref)
     np.testing.assert_allclose(out, np.asarray(ref), atol=2e-4)
+
+
+def test_sharded_iss2_runner_pads_uneven_bins():
+    from ssspy_tpu.parallel import (
+        batched_auxiva_iss2_step_sc,
+        make_batched_auxiva_iss2_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_iss2_runner_sc(mesh)
+
+    rng = np.random.default_rng(9)
+    Y = rng.standard_normal((2, 2, 4, 33, 16)).astype(np.float32)
+    out = np.asarray(runner(Y, 2))
+    assert np.isfinite(out).all()
+    ref = jnp.asarray(Y)
+    for _ in range(2):
+        ref = jax.jit(batched_auxiva_iss2_step_sc)(ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=2e-4)
