@@ -105,6 +105,22 @@ def solve_equation(
     ``phi``: ``(n_bins, N)`` eigenvalues, ``v``: ``(n_bins, N)`` rotated
     linear terms, ``z``: ``(n_bins,)``. Fixed-trip Newton with a cubic-root
     initialization; converged entries are frozen elementwise.
+
+    Reference quirk (reproduced for parity, ssspy/linalg/lqpqm.py:176-184):
+    ``normalization=True`` rescales ``v`` by ``phi_max`` where the
+    substitution ``lamb = phi_max * lamb_tilde`` actually requires
+    ``sqrt(phi_max)`` (the ratio ``lamb^2/(lamb - phi)^2`` is
+    scale-invariant, so only ``phi``, ``lamb`` and ``z`` scale). The
+    normalized Newton therefore converges to the root of a *different*
+    secular function, and the returned ``lamb`` generally does NOT satisfy
+    ``f(lamb) = 0`` for the docstring's ``f`` — verified directly against
+    the reference (its normalized root leaves ``f`` at ~1e4 on O(1) random
+    operands where ``normalization=False`` reaches ~1e-14). End-to-end IPA
+    converges to the same separation quality either way (the sweep's trace
+    pre-normalization keeps both fixed points aligned); the
+    eigendecomposition-free fast path
+    (:func:`ssspy_tpu.ops.splitc._secular_root_solve_sc`) solves the true
+    equation.
     """
     if flooring_fn is None:
         flooring_fn = identity

@@ -1231,70 +1231,196 @@ def psd_inv_sc(Ar, Ai, eps=1e-10, rel=0.0):
     return _spectral_sc(Ar, Ai, lambda lamb: 1 / floor(lamb))
 
 
-def lqpqm2_sc(Hr, Hi, vr, vi, z, eps=1e-10, max_iter=10):
+def _secular_root_solve_sc(Hr, Hi, vr, vi, z, trips=8, tiny=1e-30):
+    """Largest root of the LQPQM secular equation with NO eigendecomposition.
+
+    Solves ``f(l) = l^2 sum_i phi_i |vt_i|^2 / (l - phi_i)^2 - l + z = 0``
+    for its unique root right of the spectrum of the Hermitian PSD pair
+    ``H`` — the same equation :func:`ssspy_tpu.linalg.lqpqm.solve_equation`
+    solves on the eigenvalues (parity: ssspy/linalg/lqpqm.py:120-214) — via
+    the resolvent identities
+
+    ``sum phi |vt|^2/(l-phi)^2 = s^H H s``,  ``s = (lI - H)^{-1} v``
+    ``sum phi^2|vt|^2/(l-phi)^3 = w^H (lI - H)^{-1} w``,  ``w = H s``
+
+    so each Newton trip costs one unrolled Cholesky of the embedded real
+    pencil ``l I - E(H)`` plus two triangular solve pairs — much cheaper on
+    TPU than the embedded Jacobi eigh the spectrum route needs (the eigh is
+    the dominant cost of the IPA sweep; see BENCHMARKS.md).
+
+    Right of the spectrum ``f`` is strictly decreasing and convex (each
+    term ``l^2/(l-phi)^2`` has ``h'' = 2 phi (2l + phi)/(l-phi)^4 > 0``),
+    so a Newton iterate launched left of the root converges monotonically
+    from the left and never leaves the PD region. Safeguards (elementwise
+    over the batch, NaN-proof by comparing-false):
+
+    - certified initial bracket: ``lo = max(z + v^H H v, rayleigh(E))``
+      (``f >= v^H H v - l + z`` right of the spectrum, and any Rayleigh
+      quotient lower-bounds ``phi_max < root``); ``hi = max(2 gersh,
+      z + 4 v^H H v)`` (at ``l >= 2 phi_max``, ``l^2/(l-phi)^2 <= 4``).
+    - a non-positive Cholesky pivot certifies ``mu <= phi_max < root``:
+      treat ``mu`` as a new lower bracket and bisect.
+    - Newton steps landing outside ``(lo, hi)`` fall back to bisection.
+
+    Returns the root; callers nudge it ``O(32 eps)`` relative above to keep
+    the final resolvent solve non-singular (the same dtype-relative margin
+    the eigh path applies above ``phi_max``).
+    """
+    K = Hr.shape[-1]
+    E = block_embed(Hr, Hi)
+    E = (E + jnp.swapaxes(E, -1, -2)) / 2
+    v2 = jnp.concatenate([vr, vi], axis=-1)
+    eye2 = jnp.eye(2 * K, dtype=Hr.dtype)
+
+    # certified spectral bounds (Gershgorin above, Rayleigh below)
+    gersh = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
+    x0 = jnp.diagonal(E, axis1=-2, axis2=-1)  # nonnegative probe (PSD diag)
+    x1 = jnp.einsum("...ij,...j->...i", E, x0)
+    x2 = jnp.einsum("...ij,...j->...i", E, x1)
+    den = jnp.sum(x1 * x1, axis=-1)
+    rayleigh = jnp.where(
+        den > 0, jnp.sum(x2 * x1, axis=-1) / jnp.maximum(den, tiny), 0.0
+    )
+
+    Ev = jnp.einsum("...ij,...j->...i", E, v2)
+    c = jnp.sum(v2 * Ev, axis=-1)  # v^H H v  (real, >= 0)
+
+    lo = jnp.maximum(z + c, rayleigh)
+    hi = jnp.maximum(2 * gersh, z + 4 * c)
+    hi = jnp.maximum(hi, lo + jnp.abs(lo) * 1e-6 + tiny)
+
+    tol = 8 * jnp.finfo(Hr.dtype).eps
+    mu = lo
+    conv = jnp.zeros_like(z, dtype=bool)
+    for _ in range(trips):
+        A = mu[..., None, None] * eye2 - E
+        L, minpiv = _chol_unrolled_piv(A, tiny=tiny)
+        pd = minpiv > 0
+        Linv = _tri_lower_inv(L)
+        s2 = jnp.einsum("...ij,...j->...i", Linv, v2)
+        s2 = jnp.einsum("...ji,...j->...i", Linv, s2)  # (mu I - H)^{-1} v
+        w2 = jnp.einsum("...ij,...j->...i", E, s2)  # H s
+        g = jnp.sum(s2 * w2, axis=-1)
+        t2 = jnp.einsum("...ij,...j->...i", Linv, w2)
+        h = jnp.sum(t2 * t2, axis=-1)  # w^H (mu I - H)^{-1} w  (two L-solves)
+        f = mu * mu * g - mu + z
+        df = -2 * mu * h - 1.0
+        # bracket update: non-PD certifies mu < root (lower); else sign of f
+        lo = jnp.where(~pd | (f >= 0), mu, lo)
+        hi = jnp.where(pd & (f < 0), mu, hi)
+        newton = mu - f / df
+        inside = (newton > lo) & (newton < hi)
+        cand = jnp.where(pd & inside, newton, (lo + hi) / 2)
+        conv = conv | (pd & (jnp.abs(f) <= tol * (jnp.abs(z) + jnp.abs(mu) + 1.0)))
+        mu = jnp.where(conv, mu, cand)
+
+    # top-eigenvector estimate for the singular (v = 0) branch: normalized
+    # squared-power iteration (x <- E^2 x, renormalized; component decay
+    # (phi_2/phi_1)^2 per application). The direction is documented-arbitrary
+    # up to phase even in the eigh path — the reference indexes a row of the
+    # eigenvector matrix (see lqpqm2_sc) — but the Rayleigh quotient must
+    # approach phi_max tightly: the branch's step norm sqrt((phi_max - z)/
+    # phi_max) is sensitive near phi_max ~ z.
+    x = x2
+    for _ in range(12):
+        x = x / jnp.maximum(
+            jnp.sqrt(jnp.sum(x * x, axis=-1)), tiny
+        )[..., None]
+        x = jnp.einsum("...ij,...j->...i", E, x)
+        x = jnp.einsum("...ij,...j->...i", E, x)
+    nrm = jnp.sqrt(jnp.sum(x * x, axis=-1))
+    top = x / jnp.maximum(nrm, tiny)[..., None]
+    Et = jnp.einsum("...ij,...j->...i", E, top)
+    phi_est = jnp.sum(top * Et, axis=-1)
+    return mu, (phi_est, top)
+
+
+def lqpqm2_sc(
+    Hr, Hi, vr, vi, z, eps=1e-10, max_iter=10, secular_impl="eigh", secular_trips=8
+):
     """Split-complex LQPQM type-2 solver (parity: ssspy/linalg/lqpqm.py:13-118
     via :func:`ssspy_tpu.linalg.lqpqm2`).
 
     ``H``: PSD ``(..., K, K)`` pair; ``v``: ``(..., K)`` pair; ``z``:
-    ``(...,)`` real. Returns the planar solution pair. The scalar secular
+    ``(...,)`` real. Returns the planar solution pair.
+
+    ``secular_impl="eigh"`` (reference trajectory): the scalar secular
     equation is solved by the shared fixed-trip Newton
     (:func:`ssspy_tpu.linalg.lqpqm.solve_equation`) with the real-only
     cubic-root initializer, on the pair-reduced embedded spectrum: each
     complex eigenvalue appears twice in the embedding and the two squared
     projections of the embedded ``v`` sum to the complex ``|v_i|^2``, so the
     secular function is identical term by term.
+
+    ``secular_impl="solve"``: eigendecomposition-free — the same root found
+    by :func:`_secular_root_solve_sc` through ``secular_trips`` bracketed
+    resolvent-solve Newton trips (the fast choice on TPU, where the
+    embedded Jacobi eigh dominates the IPA sweep). Same root to solver
+    tolerance; deviations from the eigh path: no per-eigenvalue
+    ``phi |vt|^2 < floor`` masking (an ``O(eps)`` change to the secular
+    function), and the singular-branch direction comes from a power
+    iteration instead of the eigh's top column (that direction is already
+    documented-arbitrary: the reference indexes a *row* of the eigenvector
+    matrix, ssspy/linalg/lqpqm.py:86; norms agree).
     """
     import functools as _functools
 
     from ..linalg.lqpqm import _find_largest_root_real, solve_equation
     from ..special.flooring import max_flooring
 
-    flooring_fn = _functools.partial(max_flooring, eps=eps)
-
     K = vr.shape[-1]
-    lamb2, P2 = _herm_eigh_embed(Hr, Hi)  # (..., 2K), (..., 2K, 2K)
-    v2 = jnp.concatenate([vr, vi], axis=-1)
-    vt2 = jnp.sum(P2 * v2[..., :, None], axis=-2)  # sigma^T v in the embedding
-
-    # pair-reduce the doubled spectrum (adjacent after ascending sort)
-    phi = (lamb2[..., 0::2] + lamb2[..., 1::2]) / 2  # (..., K)
-    vsq = vt2[..., 0::2] ** 2 + vt2[..., 1::2] ** 2  # |v_tilde|^2 per pair
-
     norm = jnp.sqrt(jnp.sum(vr**2 + vi**2, axis=-1))
     is_singular = norm < eps
+    gap = 32 * jnp.finfo(Hr.dtype).eps
+
+    if secular_impl == "solve":
+        lamb, (phi_max, top) = _secular_root_solve_sc(
+            Hr, Hi, vr, vi, z, trips=secular_trips
+        )
+        # keep a representable margin above the pole for the resolvent solve
+        lamb = lamb * (1 + gap) + jnp.finfo(Hr.dtype).tiny
+        sig_max = top
+    else:
+        flooring_fn = _functools.partial(max_flooring, eps=eps)
+        lamb2, P2 = _herm_eigh_embed(Hr, Hi)  # (..., 2K), (..., 2K, 2K)
+        v2 = jnp.concatenate([vr, vi], axis=-1)
+        vt2 = jnp.sum(P2 * v2[..., :, None], axis=-2)  # sigma^T v, embedded
+
+        # pair-reduce the doubled spectrum (adjacent after ascending sort)
+        phi = (lamb2[..., 0::2] + lamb2[..., 1::2]) / 2  # (..., K)
+        vsq = vt2[..., 0::2] ** 2 + vt2[..., 1::2] ** 2  # |v_tilde|^2 per pair
+        phi_max = phi[..., -1]
+        sig_max = P2[..., :, -1]
+
+        # non-singular branch: largest root of the secular equation, then
+        # y = (lamb I - H)^{-1} H v — algebraically identical to the
+        # reference's eigen-reconstruction sum_i sigma_i phi_i v_i/(lamb-phi_i)
+        # but backward-stable: the eigen form catastrophically cancels in f32
+        # when lamb approaches phi_max (the pole), while lamb > phi_max makes
+        # (lamb I - H) positive definite, so the planar solve is well-posed.
+        lamb = solve_equation(
+            phi,
+            jnp.sqrt(vsq),
+            z,
+            flooring_fn=flooring_fn,
+            max_iter=max_iter,
+            normalization=True,
+            root_finder=_find_largest_root_real,
+        )
+        # dtype-relative gap floor: solve_equation's absolute clamp
+        # (phi_max + eps) rounds to phi_max exactly in f32, which would make
+        # (lamb I - H) singular; keep a representable margin above phi_max.
+        lamb = jnp.maximum(lamb, phi_max * (1 + gap))
 
     # singular branch (v = 0): rank-1 step along the top eigenvector. The
     # embedded eigenvector carries an arbitrary complex phase — same
     # documented deviation as the class path (direction differs, norm agrees).
-    phi_max = phi[..., -1]
-    sig_max = P2[..., :, -1]
     lamb_singular = jnp.maximum(z, phi_max)
     safe_phi_max = jnp.where(phi_max > 0, phi_max, 1)
     scale = jnp.where(phi_max > 0, (lamb_singular - z) / safe_phi_max, 0)
     scale = jnp.sqrt(jnp.maximum(scale, 0))
     y_sing_r = scale[..., None] * sig_max[..., :K]
     y_sing_i = scale[..., None] * sig_max[..., K:]
-
-    # non-singular branch: largest root of the secular equation, then
-    # y = (lamb I - H)^{-1} H v — algebraically identical to the
-    # reference's eigen-reconstruction sum_i sigma_i phi_i v_i/(lamb-phi_i)
-    # but backward-stable: the eigen form catastrophically cancels in f32
-    # when lamb approaches phi_max (the pole), while lamb > phi_max makes
-    # (lamb I - H) positive definite, so the planar solve is well-posed.
-    lamb = solve_equation(
-        phi,
-        jnp.sqrt(vsq),
-        z,
-        flooring_fn=flooring_fn,
-        max_iter=max_iter,
-        normalization=True,
-        root_finder=_find_largest_root_real,
-    )
-    # dtype-relative gap floor: solve_equation's absolute clamp
-    # (phi_max + eps) rounds to phi_max exactly in f32, which would make
-    # (lamb I - H) singular; keep a representable margin above phi_max.
-    gap = 32 * jnp.finfo(Hr.dtype).eps
-    lamb = jnp.maximum(lamb, phi[..., -1] * (1 + gap))
     Hv_r = (
         jnp.einsum("...ab,...b->...a", Hr, vr)
         - jnp.einsum("...ab,...b->...a", Hi, vi)
@@ -1323,6 +1449,8 @@ def ipa_sweep_sc(
     newton_iter=1,
     rel=None,
     psd_impl: str = "auto",
+    secular_impl: str = "auto",
+    secular_trips: int = 8,
 ):
     """IPA source sweep on planar operands (parity:
     ssspy/bss/_update_spatial_model.py:398-513 via
@@ -1347,6 +1475,14 @@ def ipa_sweep_sc(
     f32 TPU backends (the eigh there is the fixed-sweep Jacobi kernel
     and dominates the step); eigh elsewhere (CPU parity tests keep the
     reference-exact trajectory).
+
+    ``secular_impl``: ``"eigh"`` routes the LQPQM reduction's secular
+    equation through the embedded eigh of the (N-1)-pencil (reference
+    trajectory); ``"solve"`` through the bracketed resolvent-solve Newton
+    (:func:`_secular_root_solve_sc`, ``secular_trips`` trips) — no
+    eigendecomposition anywhere in the sweep. ``"auto"``: solve on f32
+    TPU backends (where the pencil eigh is ~80% of the step), eigh
+    elsewhere.
     """
     n_sources = Yr.shape[0]
     n_frames = Yr.shape[-1]
@@ -1355,6 +1491,9 @@ def ipa_sweep_sc(
     if psd_impl == "auto":
         on_tpu = _on_tpu_backend()
         psd_impl = "tikhonov" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
+    if secular_impl == "auto":
+        on_tpu = _on_tpu_backend()
+        secular_impl = "solve" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
 
     for n in range(n_sources):
         oth = tuple(k for k in range(n_sources) if k != n)
@@ -1461,7 +1600,17 @@ def ipa_sweep_sc(
             Hi = Hi / trace[..., None, None]
             z_n = z_n / trace
 
-        qc_r, qc_i = lqpqm2_sc(Hr, Hi, v_r, v_i, z_n, eps=eps, max_iter=newton_iter)
+        qc_r, qc_i = lqpqm2_sc(
+            Hr,
+            Hi,
+            v_r,
+            v_i,
+            z_n,
+            eps=eps,
+            max_iter=newton_iter,
+            secular_impl=secular_impl,
+            secular_trips=secular_trips,
+        )
 
         q_r = qc_r / a_sqrt - b_r / a_n
         q_i = qc_i / a_sqrt - b_i / a_n
@@ -1497,7 +1646,13 @@ def ipa_sweep_sc(
 
 
 def auxiva_ipa_step_sc(
-    Ys, eps=1e-10, lqpqm_normalization=True, newton_iter=1, psd_impl: str = "auto"
+    Ys,
+    eps=1e-10,
+    lqpqm_normalization=True,
+    newton_iter=1,
+    psd_impl: str = "auto",
+    secular_impl: str = "auto",
+    secular_trips: int = 8,
 ):
     """One AuxIVA-IPA iteration in split-complex form (parity:
     ssspy/bss/iva.py AuxIVA IPA dispatch; demix-free Y state)."""
@@ -1512,6 +1667,8 @@ def auxiva_ipa_step_sc(
         lqpqm_normalization=lqpqm_normalization,
         newton_iter=newton_iter,
         psd_impl=psd_impl,
+        secular_impl=secular_impl,
+        secular_trips=secular_trips,
     )
     return jnp.stack([Yr, Yi], axis=0)
 
@@ -1525,6 +1682,8 @@ def gauss_ilrma_ipa_step_sc(
     lqpqm_normalization=True,
     newton_iter=1,
     psd_impl: str = "auto",
+    secular_impl: str = "auto",
+    secular_trips: int = 8,
 ):
     """One GaussILRMA MM+IPA iteration in split-complex form (parity:
     ssspy/bss/ilrma.py:1794+ IPA dispatch; demix-free, power normalization)."""
@@ -1542,6 +1701,8 @@ def gauss_ilrma_ipa_step_sc(
         lqpqm_normalization=lqpqm_normalization,
         newton_iter=newton_iter,
         psd_impl=psd_impl,
+        secular_impl=secular_impl,
+        secular_trips=secular_trips,
     )
 
     psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
@@ -2207,18 +2368,33 @@ def _chol_unrolled(S, tiny=1e-30):
     entries are floored sign-preservingly at ``sqrt(tiny)`` so a
     semidefinite input yields a finite factor.
     """
+    return _chol_unrolled_piv(S, tiny=tiny)[0]
+
+
+def _chol_unrolled_piv(S, tiny=1e-30):
+    """:func:`_chol_unrolled` plus the minimum pre-floor pivot.
+
+    The second return is ``min_j c_jj`` — the smallest diagonal value
+    *before* the ``tiny`` floor. Its sign is a positive-definiteness
+    certificate: all pivots positive iff ``S`` is PD, so callers probing a
+    shifted pencil ``mu I - E(H)`` can tell ``mu > phi_max`` from
+    ``mu <= phi_max`` without an eigendecomposition (the safeguard of the
+    solve-based LQPQM secular root finder)."""
     n = S.shape[-1]
     rows = jnp.arange(n)
     cols = []
+    minpiv = None
     for j in range(n):
         c = S[..., :, j]
         if j:
             Lprev = jnp.stack(cols, axis=-1)  # (..., n, j)
             c = c - jnp.einsum("...ik,...k->...i", Lprev, Lprev[..., j, :])
+        piv = c[..., j]
+        minpiv = piv if minpiv is None else jnp.minimum(minpiv, piv)
         d = jnp.sqrt(jnp.maximum(c[..., j : j + 1], tiny))
         col = jnp.where(rows >= j, c / d, 0.0)
         cols.append(col)
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=-1), minpiv
 
 
 def _tri_lower_inv(L):
