@@ -2969,17 +2969,86 @@ def fast_iva_step_sc(Zs, Ws, eps=1e-10):
     return jnp.stack([Or, Oi], axis=0)
 
 
-def faster_iva_step_sc(Zs, Ws, eps=1e-10):
+def _top_eigvec_shift_invert_sc(Ar, Ai, bisect_trips=12, inv_iters=3, tiny=1e-30):
+    """Top eigenvector of Hermitian PSD pairs with NO eigendecomposition.
+
+    Shift-and-invert on the 2Nx2N real embedding: ``lamb_max`` is
+    bracketed by bisection on the sign of the minimum pre-floor Cholesky
+    pivot of ``mu I - E(A)`` (:func:`_chol_unrolled_piv` — all pivots
+    positive iff ``mu > lamb_max``), seeded by a Gershgorin upper bound
+    and a power-iterated Rayleigh lower bound; then inverse iteration
+    reuses the ONE final factorization (each extra trip is two
+    triangular matvecs). The closer the certified shift sits to
+    ``lamb_max``, the faster the amplification — and if the shifted
+    pencil is numerically singular, its floored factor amplifies exactly
+    the top eigendirection, so near-degeneracy helps rather than hurts.
+
+    In the embedding every complex eigenvalue is doubled, so the "top
+    eigenspace" is a 2-plane whose members are exactly ``e^{i theta} v``
+    — the iteration converges to the top complex eigenvector up to
+    phase, which all callers document as arbitrary (LAPACK's phase
+    choice differs too).
+
+    Returns the planar pair ``(vr, vi)``, unit-norm.
+    """
+    M = Ar.shape[-1]
+    E = block_embed(Ar, Ai)
+    E = (E + jnp.swapaxes(E, -1, -2)) / 2
+    eye2 = jnp.eye(2 * M, dtype=Ar.dtype)
+
+    gersh = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
+    x = jnp.diagonal(E, axis1=-2, axis2=-1)  # nonnegative probe (PSD diag)
+    for _ in range(2):
+        x = x / jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=-1)), tiny)[..., None]
+        x = jnp.einsum("...ij,...j->...i", E, x)
+        x = jnp.einsum("...ij,...j->...i", E, x)
+    den = jnp.sum(x * x, axis=-1)
+    Ex = jnp.einsum("...ij,...j->...i", E, x)
+    rayleigh = jnp.where(
+        den > 0, jnp.sum(Ex * x, axis=-1) / jnp.maximum(den, tiny), 0.0
+    )
+
+    lo = rayleigh
+    hi = gersh * (1 + 8 * jnp.finfo(Ar.dtype).eps) + tiny
+    for _ in range(bisect_trips):
+        mid = (lo + hi) / 2
+        _, piv = _chol_unrolled_piv(mid[..., None, None] * eye2 - E, tiny=tiny)
+        pd = piv > 0
+        hi = jnp.where(pd, mid, hi)
+        lo = jnp.where(pd, lo, mid)
+
+    L, _ = _chol_unrolled_piv(hi[..., None, None] * eye2 - E, tiny=tiny)
+    Linv = _tri_lower_inv(L)
+    v = x
+    for _ in range(inv_iters):
+        v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=-1)), tiny)[..., None]
+        v = jnp.einsum("...ij,...j->...i", Linv, v)
+        v = jnp.einsum("...ji,...j->...i", Linv, v)
+    v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=-1)), tiny)[..., None]
+    return v[..., :M], v[..., M:]
+
+
+def faster_iva_step_sc(Zs, Ws, eps=1e-10, eig_impl: str = "auto"):
     """One FasterIVA iteration (Laplace contrast) in planar form.
 
     Dominant-eigenvector update of the per-source weighted covariance,
     then polar re-orthogonalization (parity: ssspy/bss/iva.py:1354-1400
     via :class:`ssspy_tpu.bss.iva.FasterIVA`). Same shapes as
     :func:`fast_iva_step_sc`.
+
+    ``eig_impl``: ``"eigh"`` extracts the top eigenvector from the full
+    embedded Jacobi eigh (reference trajectory up to eigenvector phase);
+    ``"solve"`` uses :func:`_top_eigvec_shift_invert_sc` — no
+    eigendecomposition, the fast choice where the Jacobi eigh dominates
+    the step. ``"auto"``: solve on f32 TPU backends, eigh elsewhere.
     """
     Zr, Zi = Zs[0], Zs[1]
     Wr, Wi = Ws[0], Ws[1]
     M = Zr.shape[0]
+
+    if eig_impl == "auto":
+        on_tpu = _on_tpu_backend()
+        eig_impl = "solve" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
     Yr, Yi = _csep(Wr, Wi, Zr, Zi)
     norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
@@ -2987,9 +3056,12 @@ def faster_iva_step_sc(Zs, Ws, eps=1e-10):
 
     varphi_b = jnp.broadcast_to(varphi[:, None, :], (varphi.shape[0],) + Zr.shape[1:])
     Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, varphi_b)  # (I, N, M, M)
-    _, P2 = _herm_eigh_embed(Ur, Ui)
-    vr = P2[..., :M, -1]  # top eigenvector per (bin, source), planar parts
-    vi = P2[..., M:, -1]
+    if eig_impl == "solve":
+        vr, vi = _top_eigvec_shift_invert_sc(Ur, Ui)
+    else:
+        _, P2 = _herm_eigh_embed(Ur, Ui)
+        vr = P2[..., :M, -1]  # top eigenvector per (bin, source), planar parts
+        vi = P2[..., M:, -1]
 
     Or, Oi = _polar_sc(vr, -vi)  # rows are conj(v)
     return jnp.stack([Or, Oi], axis=0)

@@ -145,3 +145,89 @@ def test_whiten_sc_isotropic_bin_stays_full_rank():
     np.testing.assert_allclose(
         cov, np.tile(np.eye(M), (I, 1, 1)), atol=1e-3
     )
+
+
+class TestTopEigvecShiftInvert:
+    """The eigendecomposition-free dominant-eigenvector path
+    (``eig_impl="solve"``) behind FasterIVA's f32 TPU fast path."""
+
+    def test_matches_eigh_top_eigenvector(self):
+        from ssspy_tpu.ops.splitc import _top_eigvec_shift_invert_sc
+
+        rng = np.random.default_rng(0)
+        B, M = 300, 8
+        A = rng.standard_normal((B, M, M)) + 1j * rng.standard_normal((B, M, M))
+        H = A @ A.conj().swapaxes(-1, -2) / M
+        vr, vi = _top_eigvec_shift_invert_sc(jnp.asarray(H.real), jnp.asarray(H.imag))
+        v = np.asarray(vr) + 1j * np.asarray(vi)
+        w, P = np.linalg.eigh(H)
+        align = np.abs(np.einsum("bi,bi->b", v.conj(), P[..., -1]))
+        assert align.min() > 1 - 1e-8  # up to the documented-arbitrary phase
+
+    def test_clustered_top_pair_stays_in_top_plane(self):
+        """lambda_1 ~ lambda_2: the iterate may mix the two, but its
+        Rayleigh quotient must still reach lambda_max (any member of the
+        top near-eigenspace is an equally valid FasterIVA update)."""
+        from ssspy_tpu.ops.splitc import _top_eigvec_shift_invert_sc
+
+        rng = np.random.default_rng(1)
+        B, M = 128, 8
+        Q = np.linalg.qr(
+            rng.standard_normal((B, M, M)) + 1j * rng.standard_normal((B, M, M))
+        )[0]
+        lam = np.sort(rng.random((B, M)) + 0.05, axis=-1)
+        lam[:, -2] = lam[:, -1] * (1 - 1e-9)
+        H = np.einsum("bik,bk,bjk->bij", Q, lam, Q.conj())
+        vr, vi = _top_eigvec_shift_invert_sc(jnp.asarray(H.real), jnp.asarray(H.imag))
+        v = np.asarray(vr) + 1j * np.asarray(vi)
+        ray = np.real(np.einsum("bi,bij,bj->b", v.conj(), H, v))
+        np.testing.assert_allclose(ray, lam[:, -1], rtol=1e-6)
+
+    def test_faster_iva_quality_matches_eigh_path(self):
+        """30-iteration f32 FasterIVA: solve-path SI-SDR within 0.05 dB
+        of the eigh path (measured delta 2e-4 dB at 60 iterations)."""
+        import functools
+        import itertools
+
+        from jax import lax
+
+        from ssspy_tpu.fast import _projection_back_host
+        from ssspy_tpu.ops.splitc import _csep, to_split, whiten_sc
+        from ssspy_tpu.transform import istft, stft
+        from ssspy_tpu.utils.dataset import download_sample_speech_data
+        from tests.helpers import si_sdr
+
+        images, _ = download_sample_speech_data(
+            cache_dir="/tmp/ssspy_tpu_test_data", n_sources=2, max_duration=1.0,
+            conv=True, seed=3,
+        )
+        mix = images.sum(axis=0)
+        X = np.asarray(stft(mix, n_fft=256, hop_length=128))
+        Xs = jnp.asarray(to_split(X), dtype=jnp.float32)
+        M, I, _ = X.shape
+
+        def run(impl, n_iter=30):
+            step = functools.partial(faster_iva_step_sc, eig_impl=impl)
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def go(Xs, W, n):
+                Zs = whiten_sc(Xs)
+                W = lax.scan(lambda w, _: (step(Zs, w), None), W, None, length=n)[0]
+                Yr, Yi = _csep(W[0], W[1], Zs[0], Zs[1])
+                return jnp.stack([Yr, Yi], axis=0)
+
+            W0 = np.zeros((2, I, M, M), dtype=np.float32)
+            W0[0] = np.eye(M)
+            Ys = np.asarray(go(Xs, jnp.asarray(W0), n_iter))
+            Y = _projection_back_host(Ys[0] + 1j * Ys[1], X, 0)
+            return np.asarray(istft(Y, n_fft=256, hop_length=128, length=mix.shape[-1]))
+
+        def quality(y):
+            return max(
+                np.mean([si_sdr(y[p[s]], images[s, 0]) for s in range(2)])
+                for p in itertools.permutations(range(2))
+            )
+
+        q_solve, q_eigh = quality(run("solve")), quality(run("eigh"))
+        assert np.isfinite(q_solve)
+        assert q_solve > q_eigh - 0.05, (q_solve, q_eigh)
