@@ -2908,14 +2908,79 @@ def whiten_sc(Xs, tiny=1e-20):
     return jnp.stack([Zr, Zi], axis=0)
 
 
-def _polar_sc(Wr, Wi, tiny=1e-20):
+def _qdwh_schedule(l0=1e-5, max_iter=8, tol=1e-8):
+    """Static QDWH weight schedule (Nakatsukasa-Higham dynamically
+    weighted Halley) from a compile-time lower bound ``l0 <= sigma_min``.
+
+    Because ``l0`` is a Python float, the whole ``(a, b, c)`` sequence is
+    computed at trace time — the device program sees only constants. As
+    ``l -> 1`` the weights approach (3, 1, 3), plain cubic Halley.
+    """
+    import math
+
+    sched = []
+    l = float(l0)
+    for _ in range(max_iter):
+        d = (4 * (1 - l * l) / (l**4)) ** (1.0 / 3.0)
+        s = math.sqrt(1 + d)
+        a = s + 0.5 * math.sqrt(max(8 - 4 * d + 8 * (2 - l * l) / (l * l * s), 0.0))
+        b = (a - 1) ** 2 / 4
+        c = a + b - 1
+        sched.append((a, b, c))
+        l = l * (a + b * l * l) / (1 + c * l * l)
+        if 1 - l < tol:
+            break
+    return sched
+
+
+def _polar_sc(Wr, Wi, tiny=1e-20, impl: str = "auto"):
     """Orthogonal polar factor ``W (W^H W)^{-1/2}`` in planar form.
 
     Equals the ``u @ v^H`` of the SVD used by the class paths
     (reference ssspy/bss/iva.py:1203-1207) whenever ``W`` is
-    nonsingular; computed via one embedded Hermitian eigh instead of a
-    complex SVD.
+    nonsingular.
+
+    ``impl="eigh"``: one embedded Hermitian eigh of the Gram (instead of
+    a complex SVD). ``impl="qdwh"``: eigendecomposition-free
+    QDWH iteration ``X <- X (aI + b X^H X)(I + c X^H X)^{-1}`` with a
+    STATIC weight schedule (:func:`_qdwh_schedule` — the ``sigma_min``
+    seed is a compile-time constant, so every trip is an unrolled
+    embedded Cholesky + triangular inverse + 8x8 planar matmuls, no
+    data-dependent control flow). Converges to the unitary polar factor
+    in <= 6 trips for condition numbers up to ~1e10; for (near-)singular
+    ``W`` it degrades gracefully to a partial isometry, mirroring the
+    eigh path's ``1/sqrt(max(lamb, tiny))`` flooring. ``"auto"``: qdwh
+    on f32 TPU backends (where the Jacobi Gram eigh dominates the
+    FastIVA/FasterIVA steps), eigh elsewhere.
     """
+    if impl == "auto":
+        on_tpu = _on_tpu_backend()
+        impl = "qdwh" if (on_tpu and Wr.dtype != jnp.float64) else "eigh"
+
+    if impl == "qdwh":
+        M = Wr.shape[-1]
+        # sigma_max(X0) <= 1 via the Frobenius norm (per matrix)
+        fro = jnp.sqrt(
+            jnp.sum(Wr**2 + Wi**2, axis=(-2, -1), keepdims=True)
+        )
+        fro = jnp.maximum(fro, tiny)
+        Xr, Xi = Wr / fro, Wi / fro
+        eye2 = jnp.eye(2 * M, dtype=Wr.dtype)
+        for a, b, c in _qdwh_schedule():
+            Gr = jnp.swapaxes(Xr, -1, -2) @ Xr + jnp.swapaxes(Xi, -1, -2) @ Xi
+            Gi = jnp.swapaxes(Xr, -1, -2) @ Xi - jnp.swapaxes(Xi, -1, -2) @ Xr
+            E = block_embed(Gr, Gi)
+            E = (E + jnp.swapaxes(E, -1, -2)) / 2
+            L = _chol_unrolled(eye2 + c * E)
+            Linv = _tri_lower_inv(L)
+            Qe = jnp.swapaxes(Linv, -1, -2) @ Linv  # (I + c G)^{-1} embedded
+            Qr, Qi = Qe[..., :M, :M], Qe[..., M:, :M]
+            XQr, XQi = _cmatmul(Xr, Xi, Qr, Qi)
+            w = b / c
+            Xr = w * Xr + (a - w) * XQr
+            Xi = w * Xi + (a - w) * XQi
+        return Xr, Xi
+
     Gr = jnp.swapaxes(Wr, -1, -2) @ Wr + jnp.swapaxes(Wi, -1, -2) @ Wi
     Gi = jnp.swapaxes(Wr, -1, -2) @ Wi - jnp.swapaxes(Wi, -1, -2) @ Wr
     Fr, Fi = _spectral_sc(

@@ -231,3 +231,100 @@ class TestTopEigvecShiftInvert:
         q_solve, q_eigh = quality(run("solve")), quality(run("eigh"))
         assert np.isfinite(q_solve)
         assert q_solve > q_eigh - 0.05, (q_solve, q_eigh)
+
+
+class TestQDWHPolar:
+    """The eigendecomposition-free QDWH polar factor (``impl="qdwh"``)."""
+
+    @staticmethod
+    def _svd_polar(W):
+        U, _, Vh = np.linalg.svd(W)
+        return np.einsum("bij,bjk->bik", U, Vh)
+
+    def test_matches_svd_polar(self):
+        from ssspy_tpu.ops.splitc import _polar_sc
+
+        rng = np.random.default_rng(0)
+        W = rng.standard_normal((100, 8, 8)) + 1j * rng.standard_normal((100, 8, 8))
+        Or, Oi = _polar_sc(jnp.asarray(W.real), jnp.asarray(W.imag), impl="qdwh")
+        O = np.asarray(Or) + 1j * np.asarray(Oi)
+        np.testing.assert_allclose(O, self._svd_polar(W), atol=1e-10)
+
+    def test_near_singular_degrades_gracefully(self):
+        """sigma ~ 1e-6: the Gram-eigh path's flooring amplifies noise by
+        ~1e10; QDWH stays bounded and closer to the reference's exact SVD
+        polar (which is well-defined for tiny-but-nonzero sigma)."""
+        from ssspy_tpu.ops.splitc import _polar_sc
+
+        rng = np.random.default_rng(1)
+        W = rng.standard_normal((50, 8, 8)) + 1j * rng.standard_normal((50, 8, 8))
+        U, s, Vh = np.linalg.svd(W)
+        s[:, -1] *= 1e-6
+        W = np.einsum("bij,bj,bjk->bik", U, s, Vh)
+        Or, Oi = _polar_sc(jnp.asarray(W.real), jnp.asarray(W.imag), impl="qdwh")
+        O = np.asarray(Or) + 1j * np.asarray(Oi)
+        P = np.einsum("bij,bjk->bik", U, Vh)
+        assert np.abs(O - P).max() < 1.0  # bounded deviation, no blowup
+        dev = np.abs(
+            np.einsum("bij,bkj->bik", O, O.conj()) - np.eye(8)
+        ).max()
+        assert dev < 1.0
+
+    def test_fast_iva_quality_matches(self):
+        """15-iteration f32 FastIVA: qdwh polar within 0.05 dB of the
+        eigh polar (measured delta < 1e-7 dB at 60 iterations)."""
+        import functools
+        import itertools
+
+        import ssspy_tpu.ops.splitc as sc
+        from jax import lax
+
+        from ssspy_tpu.fast import _projection_back_host
+        from ssspy_tpu.ops.splitc import _csep, to_split, whiten_sc
+        from ssspy_tpu.transform import istft, stft
+        from ssspy_tpu.utils.dataset import download_sample_speech_data
+        from tests.helpers import si_sdr
+
+        images, _ = download_sample_speech_data(
+            cache_dir="/tmp/ssspy_tpu_test_data", n_sources=2, max_duration=1.0,
+            conv=True, seed=3,
+        )
+        mix = images.sum(axis=0)
+        X = np.asarray(stft(mix, n_fft=256, hop_length=128))
+        Xs = jnp.asarray(to_split(X), dtype=jnp.float32)
+        M, I, _ = X.shape
+
+        def run(polar_impl, n_iter=15):
+            orig = sc._polar_sc
+
+            def patched(Wr, Wi, tiny=1e-20, impl="auto"):
+                return orig(Wr, Wi, tiny=tiny, impl=polar_impl)
+
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def go(Xs, W, n):
+                Zs = whiten_sc(Xs)
+                W = lax.scan(
+                    lambda w, _: (fast_iva_step_sc(Zs, w), None), W, None, length=n
+                )[0]
+                Yr, Yi = _csep(W[0], W[1], Zs[0], Zs[1])
+                return jnp.stack([Yr, Yi], axis=0)
+
+            W0 = np.zeros((2, I, M, M), dtype=np.float32)
+            W0[0] = np.eye(M)
+            sc._polar_sc = patched
+            try:
+                Ys = np.asarray(go(Xs, jnp.asarray(W0), n_iter))
+            finally:
+                sc._polar_sc = orig
+            Y = _projection_back_host(Ys[0] + 1j * Ys[1], X, 0)
+            return np.asarray(istft(Y, n_fft=256, hop_length=128, length=mix.shape[-1]))
+
+        def quality(y):
+            return max(
+                np.mean([si_sdr(y[p[s]], images[s, 0]) for s in range(2)])
+                for p in itertools.permutations(range(2))
+            )
+
+        q_q, q_e = quality(run("qdwh")), quality(run("eigh"))
+        assert np.isfinite(q_q)
+        assert q_q > q_e - 0.05, (q_q, q_e)
