@@ -3128,6 +3128,22 @@ def faster_iva_step_sc(Zs, Ws, eps=1e-10, eig_impl: str = "auto"):
         vr = P2[..., :M, -1]  # top eigenvector per (bin, source), planar parts
         vi = P2[..., M:, -1]
 
+    # canonicalize the eigenvector's phase (largest-magnitude component
+    # made real-positive): the embedded top eigenpair is a 2-plane whose
+    # members are e^{i theta} v, and the eigh's pick within it flips
+    # under O(eps) input perturbations — e.g. a sharded runner's
+    # all-reduce summation order. Row phases pass straight through the
+    # polar factor (polar(DW) = D polar(W) for diagonal unitary D), so
+    # without this the trajectory is separation-equivalent but not
+    # reproducible across shardings/backends.
+    mag2 = vr**2 + vi**2
+    k0 = jnp.argmax(mag2, axis=-1, keepdims=True)
+    pr = jnp.take_along_axis(vr, k0, axis=-1)
+    pi = jnp.take_along_axis(vi, k0, axis=-1)
+    pn = jnp.sqrt(jnp.maximum(pr**2 + pi**2, 1e-30))
+    pr, pi = pr / pn, pi / pn
+    vr, vi = vr * pr + vi * pi, vi * pr - vr * pi
+
     Or, Oi = _polar_sc(vr, -vi)  # rows are conj(v)
     return jnp.stack([Or, Oi], axis=0)
 

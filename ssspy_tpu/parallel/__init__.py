@@ -49,6 +49,12 @@ __all__ = [
     "make_batched_fast_mnmf_runner_sc",
     "batched_ipsdta_vcd_step_sc",
     "make_batched_ipsdta_runner_sc",
+    "batched_auxiva_ipa_step_sc",
+    "make_batched_auxiva_ipa_runner_sc",
+    "batched_fast_iva_step_sc",
+    "make_batched_fast_iva_runner_sc",
+    "batched_faster_iva_step_sc",
+    "make_batched_faster_iva_runner_sc",
 ]
 
 
@@ -370,6 +376,70 @@ def make_batched_auxiva_iss2_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
     if mesh is None:
         mesh = make_mesh()
     return shard_state_run(mesh, batched_auxiva_iss2_step_sc, y_bin_axis=3, ndim=5)
+
+
+def _sc_ipa_step(Ys):
+    from ..ops.splitc import auxiva_ipa_step_sc
+
+    return auxiva_ipa_step_sc(Ys)
+
+
+def _sc_fast_iva_step(Zs, Ws):
+    from ..ops.splitc import fast_iva_step_sc
+
+    return fast_iva_step_sc(Zs, Ws)
+
+
+def _sc_faster_iva_step(Zs, Ws):
+    from ..ops.splitc import faster_iva_step_sc
+
+    return faster_iva_step_sc(Zs, Ws)
+
+
+batched_auxiva_ipa_step_sc = jax.vmap(_sc_ipa_step, in_axes=(0,))
+batched_fast_iva_step_sc = jax.vmap(_sc_fast_iva_step, in_axes=(0, 0))
+batched_faster_iva_step_sc = jax.vmap(_sc_faster_iva_step, in_axes=(0, 0))
+
+
+def make_batched_auxiva_ipa_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex AuxIVA-IPA runner (Y-state path, same
+    layout as ISS1: ``(batch, 2, N, I, T)`` sharded (dp, -, -, bin, -)).
+
+    IPA's per-source weights ``varphi = 1/||y_n||`` reduce over the
+    sharded bin axis, so — unlike the ISS family — the compiler inserts
+    one small ``(N, T)`` all-reduce per iteration; every other update is
+    per-bin independent. Zero-padded bins stay finite (the tikhonov
+    ridge / eigenvalue floor keeps their solves bounded) and are sliced
+    away."""
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_state_run(mesh, batched_auxiva_ipa_step_sc, y_bin_axis=3, ndim=5)
+
+
+def make_batched_fast_iva_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex FastIVA runner (whitened fixed point).
+
+    ``Z``: pre-whitened ``(batch, 2, M, I, T)`` sharded (dp, -, -, bin,
+    -); ``W``: ``(batch, 2, I, N, M)`` sharded (dp, -, bin, -, -) —
+    IP1's layout. The contrast weights reduce over bins (one ``(N, T)``
+    all-reduce per iteration); the fixed-point update and the polar
+    factor are per-bin."""
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_batched_run(
+        mesh, batched_fast_iva_step_sc, x_bin_axis=3, w_bin_axis=2, ndim=5
+    )
+
+
+def make_batched_faster_iva_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
+    """Sharded split-complex FasterIVA runner (dominant-eigenvector
+    update; same layout and collective profile as
+    :func:`make_batched_fast_iva_runner_sc`)."""
+    if mesh is None:
+        mesh = make_mesh()
+    return shard_batched_run(
+        mesh, batched_faster_iva_step_sc, x_bin_axis=3, w_bin_axis=2, ndim=5
+    )
 
 
 def shard_pytree_run(

@@ -458,3 +458,88 @@ def test_sharded_iss2_runner_pads_uneven_bins():
     for _ in range(2):
         ref = jax.jit(batched_auxiva_iss2_step_sc)(ref)
     np.testing.assert_allclose(out, np.asarray(ref), atol=2e-4)
+
+
+def test_sharded_ipa_runner_matches_unsharded():
+    from ssspy_tpu.parallel import (
+        batched_auxiva_ipa_step_sc,
+        make_batched_auxiva_ipa_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_ipa_runner_sc(mesh)
+
+    rng = np.random.default_rng(11)
+    # f64: IPA's eigh/Newton chain amplifies the sharded all-reduce's
+    # f32 summation-order differences to ~1e-2 over 2 iterations; in
+    # f64 the same drift sits below 1e-8
+    Y = rng.standard_normal((2, 2, 3, 32, 12))
+    out = np.asarray(runner(Y, 2))
+    assert np.isfinite(out).all()
+    ref = jnp.asarray(Y)
+    for _ in range(2):
+        ref = jax.jit(batched_auxiva_ipa_step_sc)(ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-7)
+
+
+def test_sharded_ipa_runner_pads_uneven_bins():
+    from ssspy_tpu.parallel import (
+        batched_auxiva_ipa_step_sc,
+        make_batched_auxiva_ipa_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_auxiva_ipa_runner_sc(mesh)
+
+    rng = np.random.default_rng(12)
+    Y = rng.standard_normal((2, 2, 3, 33, 12))  # f64, see the even-bin test
+    out = np.asarray(runner(Y, 2))
+    assert np.isfinite(out).all()
+    ref = jnp.asarray(Y)
+    for _ in range(2):
+        ref = jax.jit(batched_auxiva_ipa_step_sc)(ref)
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-7)
+
+
+def _whitened_fixture(seed, n_bins):
+    from ssspy_tpu.ops.splitc import whiten_sc
+
+    # f64: FasterIVA's top-eigenvector sign is convention-stable only up
+    # to perturbations well below the eigenvalue gaps; the sharded
+    # all-reduce's f32 summation-order drift (~1e-7) can flip it on the
+    # odd bin, which is a valid-but-different trajectory. The f64 drift
+    # (~1e-16) cannot.
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((2, 2, 3, n_bins, 16))
+    Z = np.asarray(jax.vmap(whiten_sc)(jnp.asarray(X)))
+    W = np.zeros((2, 2, n_bins, 3, 3))
+    W[:, 0] = np.eye(3)
+    return Z, W
+
+
+@pytest.mark.parametrize("variant", ["fast", "faster"])
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_fixed_point_iva_runners(variant, n_bins):
+    """FastIVA / FasterIVA sharded == unsharded, even and uneven bins."""
+    from ssspy_tpu.parallel import (
+        batched_fast_iva_step_sc,
+        batched_faster_iva_step_sc,
+        make_batched_fast_iva_runner_sc,
+        make_batched_faster_iva_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    if variant == "fast":
+        runner = make_batched_fast_iva_runner_sc(mesh)
+        step = batched_fast_iva_step_sc
+    else:
+        runner = make_batched_faster_iva_runner_sc(mesh)
+        step = batched_faster_iva_step_sc
+
+    Z, W = _whitened_fixture(13, n_bins)
+    out = np.asarray(runner(Z, W, 2))
+    assert np.isfinite(out).all()
+    Wref = jnp.asarray(W)
+    for _ in range(2):
+        Wref = jax.jit(step)(jnp.asarray(Z), Wref)
+    np.testing.assert_allclose(out, np.asarray(Wref), atol=1e-7)
