@@ -55,6 +55,11 @@ __all__ = [
     "make_batched_fast_iva_runner_sc",
     "batched_faster_iva_step_sc",
     "make_batched_faster_iva_runner_sc",
+    "batched_aux_fdica_ip1_step_sc",
+    "batched_aux_fdica_ip2_step_sc",
+    "make_batched_fdica_runner_sc",
+    "make_batched_grad_iva_runner_sc",
+    "make_batched_grad_fdica_runner_sc",
 ]
 
 
@@ -439,6 +444,93 @@ def make_batched_faster_iva_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
         mesh = make_mesh()
     return shard_batched_run(
         mesh, batched_faster_iva_step_sc, x_bin_axis=3, w_bin_axis=2, ndim=5
+    )
+
+
+def _sc_fdica_ip1_step(Xs, Ws):
+    from ..ops.splitc import aux_laplace_fdica_ip1_step_sc
+
+    return aux_laplace_fdica_ip1_step_sc(Xs, Ws)
+
+
+def _sc_fdica_ip2_step(Xs, Ws):
+    from ..ops.splitc import aux_laplace_fdica_ip2_step_sc
+
+    return aux_laplace_fdica_ip2_step_sc(Xs, Ws)
+
+
+batched_aux_fdica_ip1_step_sc = jax.vmap(_sc_fdica_ip1_step, in_axes=(0, 0))
+batched_aux_fdica_ip2_step_sc = jax.vmap(_sc_fdica_ip2_step, in_axes=(0, 0))
+
+
+def make_batched_fdica_runner_sc(
+    mesh: Optional[Mesh] = None, spatial_algorithm: str = "IP1"
+) -> Callable:
+    """Sharded split-complex AuxLaplaceFDICA runner (IP1 or IP2).
+
+    Same ``(batch, 2, M, I, T)`` / ``(batch, 2, I, N, M)`` layout as
+    AuxIVA-IP1, but FDICA's contrast is per TF cell — NO quantity
+    reduces over the frequency axis, so the compiled scan body is
+    entirely collective-free: each bin shard iterates in isolation and
+    only the (later, host-side) permutation alignment couples bins.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    step = {
+        "IP": batched_aux_fdica_ip1_step_sc,
+        "IP1": batched_aux_fdica_ip1_step_sc,
+        "IP2": batched_aux_fdica_ip2_step_sc,
+    }[spatial_algorithm]
+    return shard_batched_run(mesh, step, x_bin_axis=3, w_bin_axis=2, ndim=5)
+
+
+def make_batched_grad_iva_runner_sc(
+    mesh: Optional[Mesh] = None,
+    step_size: float = 1e-1,
+    is_holonomic: bool = True,
+    natural: bool = False,
+) -> Callable:
+    """Sharded split-complex Grad/NaturalGrad Laplace-IVA runner.
+
+    IP1 layout. The Laplace score normalizes by ``||y_n||`` across ALL
+    bins, so the compiler inserts one small ``(N, T)`` all-reduce per
+    iteration; the gradient direction, the ``W^{-H}`` solve (vanilla)
+    and the update itself are per-bin."""
+    if mesh is None:
+        mesh = make_mesh()
+
+    def _step(Xs, Ws):
+        from ..ops.splitc import grad_laplace_iva_step_sc
+
+        return grad_laplace_iva_step_sc(
+            Xs, Ws, step_size=step_size, is_holonomic=is_holonomic, natural=natural
+        )
+
+    return shard_batched_run(
+        mesh, jax.vmap(_step, in_axes=(0, 0)), x_bin_axis=3, w_bin_axis=2, ndim=5
+    )
+
+
+def make_batched_grad_fdica_runner_sc(
+    mesh: Optional[Mesh] = None,
+    step_size: float = 1e-1,
+    is_holonomic: bool = True,
+    natural: bool = False,
+) -> Callable:
+    """Sharded split-complex Grad/NaturalGrad Laplace-FDICA runner
+    (per-scalar score — collective-free like the Aux FDICA runner)."""
+    if mesh is None:
+        mesh = make_mesh()
+
+    def _step(Xs, Ws):
+        from ..ops.splitc import grad_laplace_fdica_step_sc
+
+        return grad_laplace_fdica_step_sc(
+            Xs, Ws, step_size=step_size, is_holonomic=is_holonomic, natural=natural
+        )
+
+    return shard_batched_run(
+        mesh, jax.vmap(_step, in_axes=(0, 0)), x_bin_axis=3, w_bin_axis=2, ndim=5
     )
 
 

@@ -543,3 +543,78 @@ def test_sharded_fixed_point_iva_runners(variant, n_bins):
     for _ in range(2):
         Wref = jax.jit(step)(jnp.asarray(Z), Wref)
     np.testing.assert_allclose(out, np.asarray(Wref), atol=1e-7)
+
+
+def _sc_fixture(seed, n_bins, n_channels=3, n_frames=16, n_batch=2):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n_batch, 2, n_channels, n_bins, n_frames))
+    W = np.zeros((n_batch, 2, n_bins, n_channels, n_channels))
+    W[:, 0] = np.eye(n_channels)
+    return X, W
+
+
+@pytest.mark.parametrize("algo", ["IP1", "IP2"])
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_fdica_runner(algo, n_bins):
+    """AuxLaplaceFDICA sharded == unsharded (collective-free scan body)."""
+    from ssspy_tpu.parallel import (
+        batched_aux_fdica_ip1_step_sc,
+        batched_aux_fdica_ip2_step_sc,
+        make_batched_fdica_runner_sc,
+    )
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_fdica_runner_sc(mesh, spatial_algorithm=algo)
+    step = (
+        batched_aux_fdica_ip1_step_sc
+        if algo == "IP1"
+        else batched_aux_fdica_ip2_step_sc
+    )
+
+    X, W = _sc_fixture(21, n_bins)
+    out = np.asarray(runner(X, W, 2))
+    assert np.isfinite(out).all()
+    Wref = jnp.asarray(W)
+    for _ in range(2):
+        Wref = jax.jit(step)(jnp.asarray(X), Wref)
+    np.testing.assert_allclose(out, np.asarray(Wref), atol=1e-10)
+
+
+@pytest.mark.parametrize("natural", [False, True])
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_grad_iva_runner(natural, n_bins):
+    """Grad/NaturalGrad IVA sharded == unsharded; the cross-bin score
+    norm is the one all-reduce and zero-padded bins are neutral in it."""
+    from ssspy_tpu.ops.splitc import grad_laplace_iva_step_sc
+    from ssspy_tpu.parallel import make_batched_grad_iva_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_grad_iva_runner_sc(mesh, natural=natural)
+
+    X, W = _sc_fixture(22, n_bins)
+    out = np.asarray(runner(X, W, 3))
+    assert np.isfinite(out).all()
+    step = jax.jit(
+        jax.vmap(lambda x, w: grad_laplace_iva_step_sc(x, w, natural=natural))
+    )
+    Wref = jnp.asarray(W)
+    for _ in range(3):
+        Wref = step(jnp.asarray(X), Wref)
+    np.testing.assert_allclose(out, np.asarray(Wref), atol=1e-10)
+
+
+def test_sharded_grad_fdica_runner():
+    from ssspy_tpu.ops.splitc import grad_laplace_fdica_step_sc
+    from ssspy_tpu.parallel import make_batched_grad_fdica_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_grad_fdica_runner_sc(mesh, natural=True)
+
+    X, W = _sc_fixture(23, 33)
+    out = np.asarray(runner(X, W, 3))
+    assert np.isfinite(out).all()
+    step = jax.jit(jax.vmap(lambda x, w: grad_laplace_fdica_step_sc(x, w, natural=True)))
+    Wref = jnp.asarray(W)
+    for _ in range(3):
+        Wref = step(jnp.asarray(X), Wref)
+    np.testing.assert_allclose(out, np.asarray(Wref), atol=1e-10)
