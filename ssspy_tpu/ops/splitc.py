@@ -2092,7 +2092,8 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     return Wr + Lr, Wi + Li
 
 
-def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10):
+def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10,
+                     n_real: int = None):
     """HVA's cepstral cosine-shrinkage mask on planar operands.
 
     Parity: ssspy/bss/hva.py:81-115 via
@@ -2100,18 +2101,36 @@ def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10):
     bin-axis irfft expressed as a matmul against the precomputed inverse
     DFT matrix (FFT-less TPU backends run it on the MXU). Returns the
     real mask ``(N, I, T)``.
+
+    ``n_real`` (static): the true bin count when the bin axis carries
+    trailing zero padding (the sharded runner's pad-to-mesh-multiple).
+    The cepstral transform is GLOBAL across bins — its DFT length and
+    the log-magnitude mean are functions of the true bin count, so
+    unlike the per-bin families, padding silently changes real bins'
+    masks unless the transform is built for ``n_real`` and the padded
+    rows/columns are excluded. Padded bins receive the uniform
+    ``(1/N)**attenuation`` mask (finite, sliced away by the caller).
     """
     from ..transform.stft import _idft_matrices
 
     n_bins = Zr.shape[1]
-    n_fft = 2 * (n_bins - 1)
-    Ct, _ = _idft_matrices(n_fft, dtype=Zr.dtype)  # (n_bins, n_fft), 1/n_fft scale
-    C = Ct[:, :n_bins]  # keep the first n_bins output samples
+    if n_real is None:
+        n_real = n_bins
+    n_fft = 2 * (n_real - 1)
+    Ct, _ = _idft_matrices(n_fft, dtype=Zr.dtype)  # (n_real, n_fft), 1/n_fft scale
+    C = Ct[:, :n_real]  # keep the first n_real output samples
 
     y = jnp.maximum(jnp.sqrt(Zr**2 + Zi**2), eps)
     zeta = jnp.log(y)  # (N, I, T)
-    zeta_mean = zeta.mean(axis=1, keepdims=True)
-    rho = zeta - zeta_mean
+    if n_real != n_bins:
+        C = jnp.pad(C, ((0, n_bins - n_real), (0, n_bins - n_real)))
+        valid = (jnp.arange(n_bins) < n_real)[None, :, None]
+        zeta = jnp.where(valid, zeta, 0.0)
+        zeta_mean = zeta.sum(axis=1, keepdims=True) / n_real
+        rho = jnp.where(valid, zeta - zeta_mean, 0.0)
+    else:
+        zeta_mean = zeta.mean(axis=1, keepdims=True)
+        rho = zeta - zeta_mean
 
     # nu = irfft(rho, axis=1, norm="backward")[:, :n_bins] with real rho
     nu = jnp.einsum("nit,ik->nkt", rho, C)
@@ -2139,6 +2158,7 @@ def hva_pds_step_sc(
     attenuation=None,
     mask_iter: int = 1,
     eps=1e-10,
+    n_real: int = None,
 ):
     """One HVA (masking-PDS) iteration in split-complex form.
 
@@ -2146,7 +2166,8 @@ def hva_pds_step_sc(
     :class:`ssspy_tpu.bss.hva.MaskingPDSHVA`. ``Xs``: spectral-norm-
     normalized mixture ``(2, M, I, T)``; ``Ws``: demixing
     ``(2, I, N, M)``; ``Ys``: dual ``(2, N, I, T)``. Returns
-    ``(Ws, Ys)``.
+    ``(Ws, Ys)``. ``n_real`` (static): true bin count under trailing
+    zero padding — see :func:`harmonic_mask_sc`.
     """
     Xr, Xi = Xs[0], Xs[1]
     Wr, Wi = Ws[0], Ws[1]
@@ -2167,7 +2188,9 @@ def hva_pds_step_sc(
     Zr = Yr + XWr
     Zi = Yi + XWi
 
-    mask = harmonic_mask_sc(Zr, Zi, attenuation, mask_iter=mask_iter, eps=eps)
+    mask = harmonic_mask_sc(
+        Zr, Zi, attenuation, mask_iter=mask_iter, eps=eps, n_real=n_real
+    )
     Yt_r = Zr - mask * Zr
     Yt_i = Zi - mask * Zi
 
@@ -2209,6 +2232,7 @@ def gauss_mnmf_step_sc(
     normalization=True,
     inv_impl: str = "auto",
     gmean_impl: str = "auto",
+    bin_mask=None,
 ):
     """One GaussMNMF iteration in split-complex form.
 
@@ -2224,6 +2248,16 @@ def gauss_mnmf_step_sc(
     the dominant cost of the dense iteration (see
     :func:`ssspy_tpu.ops.pallas_kernels.planar_inverse_sc`). Returns
     ``(T, V, Hs[, Z])``.
+
+    ``bin_mask`` (optional, ``(I,)`` bool): bins marked False are inert
+    padding — their Wiener-trace statistics are zeroed before the
+    bin-reducing activation/latent contractions and their ``T`` rows /
+    spatial covariances are frozen, so a zero-padded bin is EXACTLY
+    neutral to every real bin's trajectory. This is what lets the
+    sharded runner pad 257 bins up to a mesh multiple: without the
+    freeze, the eps floor of the multiplicative ``T`` update resurrects
+    a padded-zero basis row, whose ``tr(R^-1 H)`` then pollutes the
+    activation denominator at O(1).
     """
     from .pallas_kernels import planar_inv_sandwich_sc
 
@@ -2270,6 +2304,13 @@ def gauss_mnmf_step_sc(
         tr_RH = jnp.einsum("itab,niba->nit", Rinv_r, Hr) - jnp.einsum(
             "itab,niba->nit", Rinv_i, Hi
         )
+        if bin_mask is not None:
+            # inert padded bins: zero their statistics BEFORE any
+            # bin-reducing contraction (jnp.where, not multiply — the
+            # padded bins' singular model can produce inf/NaN traces)
+            keep = bin_mask[None, :, None]
+            tr_RXXRH = jnp.where(keep, tr_RXXRH, 0.0)
+            tr_RH = jnp.where(keep, tr_RH, 0.0)
         return tr_RXXRH, tr_RH
 
     # ---- MM updates of basis then activation (mnmf.py:836-968) ---------------
@@ -2280,7 +2321,11 @@ def gauss_mnmf_step_sc(
     else:
         n_ = jnp.einsum("nk,kt,nit->ik", Z, V, num)
         d_ = jnp.einsum("nk,kt,nit->ik", Z, V, denom)
-    T = jnp.maximum(T * jnp.sqrt(n_ / d_), eps)
+    T_new = jnp.maximum(T * jnp.sqrt(n_ / d_), eps)
+    if bin_mask is not None:
+        keep_T = bin_mask[None, :, None] if Z is None else bin_mask[:, None]
+        T_new = jnp.where(keep_T, T_new, T)  # freeze padded basis rows
+    T = T_new
 
     num, denom = traces(T, V, Z)
     if Z is None:
@@ -2304,12 +2349,21 @@ def gauss_mnmf_step_sc(
     HQHr, HQHi = _cmatmul(*_cmatmul(Hr, Hi, Qr, Qi), Hr, Hi)
     Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
     HQHr, HQHi = _psd_project_sc(HQHr, HQHi, eps, psd_impl)
-    Hr, Hi = gmean2_sc(Pr, Pi, HQHr, HQHi, impl=gmean_impl)
-    Hr, Hi = _psd_project_sc(Hr, Hi, eps, psd_impl)
+    Hr_new, Hi_new = gmean2_sc(Pr, Pi, HQHr, HQHi, impl=gmean_impl)
+    Hr_new, Hi_new = _psd_project_sc(Hr_new, Hi_new, eps, psd_impl)
+    if bin_mask is not None:
+        keep_H = bin_mask[None, :, None, None]
+        Hr_new = jnp.where(keep_H, Hr_new, Hr)  # freeze padded covariances
+        Hi_new = jnp.where(keep_H, Hi_new, Hi)
+    Hr, Hi = Hr_new, Hi_new
 
     # ---- unit-trace normalization (mnmf.py:391-414) ---------------------------
     if normalization:
         trace = jnp.trace(Hr, axis1=-2, axis2=-1)  # (N, I)
+        if bin_mask is not None:
+            # padded bins carry an all-zero frozen H; keep them finite
+            # (real bins always have trace >= M * eps after projection)
+            trace = jnp.where(trace > 0, trace, 1.0)
         Hr = Hr / trace[..., None, None]
         Hi = Hi / trace[..., None, None]
         if Z is None:

@@ -60,6 +60,10 @@ __all__ = [
     "make_batched_fdica_runner_sc",
     "make_batched_grad_iva_runner_sc",
     "make_batched_grad_fdica_runner_sc",
+    "make_batched_gauss_mnmf_runner_sc",
+    "make_batched_pds_iva_runner_sc",
+    "make_batched_admm_iva_runner_sc",
+    "make_batched_hva_runner_sc",
 ]
 
 
@@ -747,6 +751,232 @@ def make_batched_ipsdta_runner_sc(mesh: Optional[Mesh] = None) -> Callable:
             P(dp, None, None, None),
         ),
     )
+
+
+def make_batched_pds_iva_runner_sc(
+    mesh: Optional[Mesh] = None,
+    mu1: float = 1.0,
+    mu2: float = 1.0,
+    relaxation: float = 1.0,
+) -> Callable:
+    """Sharded split-complex PDSIVA runner (primal-dual splitting).
+
+    ``run(X, (W, Y), n_iter)`` with ``X``: ``(batch, 2, M, I, T)``
+    sharded (dp, -, -, bin, -); primal ``W``: ``(batch, 2, I, N, M)``
+    sharded (dp, -, bin, -, -); dual ``Y``: ``(batch, 2, N, I, T)``
+    sharded (dp, -, -, bin, -). The L21 penalty's group norm reduces
+    over bins — one ``(N, T)`` all-reduce per iteration, where
+    zero-padded bins are exactly neutral; the log-det prox and the
+    gradient einsums are per-bin.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+
+    def _step(Xs, carry):
+        from ..ops.splitc import pds_iva_step_sc
+
+        Ws, Ys = carry
+        return pds_iva_step_sc(Xs, Ws, Ys, mu1=mu1, mu2=mu2, relaxation=relaxation)
+
+    return shard_pytree_run(
+        mesh,
+        jax.vmap(_step, in_axes=(0, 0)),
+        x_spec=P(dp, None, None, b, None),
+        carry_specs=(P(dp, None, b, None, None), P(dp, None, None, b, None)),
+    )
+
+
+def make_batched_admm_iva_runner_sc(
+    mesh: Optional[Mesh] = None, rho: float = 1.0, relaxation: float = 1.0
+) -> Callable:
+    """Sharded split-complex ADMMIVA runner.
+
+    ``run(X, (W, V, Vt, Y, Yt), n_iter)``: filter-shaped leaves
+    ``(batch, 2, I, N, M)`` sharded (dp, -, bin, -, -), spectrogram-
+    shaped ``(batch, 2, N, I, T)`` sharded (dp, -, -, bin, -). ``W`` is
+    recomputed from the quadratic subproblem each iteration (its input
+    value is a pass-through); the only cross-bin coupling is the L21
+    prox's group norm (zero-pad-neutral all-reduce).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+
+    def _step(Xs, carry):
+        from ..ops.splitc import admm_iva_step_sc
+
+        _, Vs, Vts, Ys, Yts = carry
+        return admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho=rho, relaxation=relaxation)
+
+    filt = P(dp, None, b, None, None)
+    spec = P(dp, None, None, b, None)
+    return shard_pytree_run(
+        mesh,
+        jax.vmap(_step, in_axes=(0, 0)),
+        x_spec=P(dp, None, None, b, None),
+        carry_specs=(filt, filt, spec, filt, spec),
+        identity_leaves=(0, 1),
+    )
+
+
+def make_batched_hva_runner_sc(
+    mesh: Optional[Mesh] = None,
+    mu1: float = 1.0,
+    mu2: float = 1.0,
+    relaxation: float = 1.0,
+    attenuation=None,
+    mask_iter: int = 1,
+) -> Callable:
+    """Sharded split-complex HVA (masking-PDS) runner.
+
+    ``run(X, (W, Y), n_iter)`` with the PDSIVA layouts. HVA's harmonic
+    mask is a cepstral transform over the WHOLE bin axis (an irfft whose
+    length is a function of the bin count), so the scan body carries two
+    cross-bin collectives per iteration (the two DFT matmuls reduce over
+    sharded bins) and naive zero-padding would change real bins' masks;
+    the runner threads the static true bin count into
+    :func:`harmonic_mask_sc` so the padded program computes exactly the
+    unpadded transform (see its ``n_real`` note).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+    n_bin_shards = mesh.devices.shape[1]
+    x_spec = P(dp, None, None, b, None)
+    filt = P(dp, None, b, None, None)
+    spec = P(dp, None, None, b, None)
+    x_sharding = NamedSharding(mesh, x_spec)
+    carry_shardings = (NamedSharding(mesh, filt), NamedSharding(mesh, spec))
+
+    def _step(Xs, carry, n_real):
+        from ..ops.splitc import hva_pds_step_sc
+
+        Ws, Ys = carry
+        return hva_pds_step_sc(
+            Xs, Ws, Ys, mu1=mu1, mu2=mu2, relaxation=relaxation,
+            attenuation=attenuation, mask_iter=mask_iter, n_real=n_real,
+        )
+
+    vstep = jax.vmap(_step, in_axes=(0, 0, None))
+
+    def run(X, carry, n_iter, n_real):
+        def body(carry, _):
+            return vstep(X, carry, n_real), None
+
+        carry, _ = lax.scan(body, carry, None, length=n_iter)
+        return carry
+
+    jitted = jax.jit(
+        run,
+        in_shardings=(x_sharding, carry_shardings),
+        out_shardings=carry_shardings,
+        static_argnums=(2, 3),
+    )
+
+    def run_padded(X, carry, n_iter):
+        n_bins = X.shape[3]
+        Xp = _pad_to_multiple(jnp.asarray(X), 3, n_bin_shards)
+        W, Y = (jnp.asarray(a) for a in carry)
+        pad = Xp.shape[3] - n_bins
+        if pad:
+            n_rows = W.shape[-2]
+            eye = jnp.zeros(W.shape[:2] + (pad,) + W.shape[3:], W.dtype)
+            eye = eye.at[:, 0].add(jnp.eye(n_rows, eye.shape[-1], dtype=W.dtype))
+            W = jnp.concatenate([W, eye], axis=2)
+            Y = _pad_to_multiple(Y, 3, n_bin_shards)
+        outW, outY = jitted(Xp, (W, Y), n_iter, n_bins)
+        return _slice_axis(outW, 2, n_bins), _slice_axis(outY, 3, n_bins)
+
+    return run_padded
+
+
+def make_batched_gauss_mnmf_runner_sc(
+    mesh: Optional[Mesh] = None, partitioning: bool = False
+) -> Callable:
+    """Sharded split-complex dense GaussMNMF runner (full-rank spatial
+    covariance model — no demixing matrix).
+
+    ``run(XX, (T, V, H[, Z]), n_iter)`` with instant covariances ``XX``:
+    ``(batch, 2, I, Tf, M, M)`` sharded (dp, -, bin, -, -, -); basis
+    ``T``: ``(batch, N, I, K)`` (or ``(batch, I, K)`` with
+    ``partitioning=True``) sharded over its bin axis; activation ``V``
+    and latent ``Z`` replicated over ``bin`` (they couple all bins — one
+    ``psum`` per contraction, the ILRMA pattern); spatial covariances
+    ``H``: ``(batch, 2, N, I, M, M)`` sharded (dp, -, -, bin, -, -).
+
+    Unlike the demixing-filter families, zero-padding is NOT intrinsically
+    neutral here (the eps floor of the multiplicative ``T`` update
+    resurrects padded rows, see :func:`gauss_mnmf_step_sc`), so the
+    runner threads a per-bin validity mask — built inside the jitted
+    program from the static real-bin count — that freezes padded bins
+    exactly. Sharded-padded therefore matches the unsharded UNPADDED
+    trajectory, with no normalization-gauge caveat.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp, b = mesh.axis_names
+    n_bin_shards = mesh.devices.shape[1]
+    xx_spec = P(dp, None, b, None, None, None)
+    if partitioning:
+        t_axis, h_axis = 1, 3
+        carry_specs = (
+            P(dp, b, None),
+            P(dp, None, None),  # V is (batch, K, T) under partitioning
+            P(dp, None, None, b, None, None),
+            P(dp, None, None),
+        )
+    else:
+        t_axis, h_axis = 2, 3
+        carry_specs = (
+            P(dp, None, b, None),
+            P(dp, None, None, None),
+            P(dp, None, None, b, None, None),
+        )
+    xx_sharding = NamedSharding(mesh, xx_spec)
+    carry_shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        carry_specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+
+    def _step(XXs, carry, mask):
+        from ..ops.splitc import gauss_mnmf_step_sc
+
+        return gauss_mnmf_step_sc(XXs, *carry, bin_mask=mask)
+
+    vstep = jax.vmap(_step, in_axes=(0, 0, None))
+
+    def run(XX, carry, n_iter, n_real):
+        mask = jnp.arange(XX.shape[2]) < n_real
+
+        def body(carry, _):
+            return vstep(XX, carry, mask), None
+
+        carry, _ = lax.scan(body, carry, None, length=n_iter)
+        return carry
+
+    jitted = jax.jit(
+        run,
+        in_shardings=(xx_sharding, carry_shardings),
+        out_shardings=carry_shardings,
+        static_argnums=(2, 3),
+    )
+
+    def run_padded(XX, carry, n_iter):
+        n_bins = XX.shape[2]
+        XXp = _pad_to_multiple(jnp.asarray(XX), 2, n_bin_shards)
+        T = _pad_to_multiple(jnp.asarray(carry[0]), t_axis, n_bin_shards)
+        H = _pad_to_multiple(jnp.asarray(carry[2]), h_axis, n_bin_shards)
+        rest = tuple(jnp.asarray(a) for a in carry[3:])
+        out = jitted(XXp, (T, jnp.asarray(carry[1]), H) + rest, n_iter, n_bins)
+        return (
+            _slice_axis(out[0], t_axis, n_bins),
+            out[1],
+            _slice_axis(out[2], h_axis, n_bins),
+        ) + tuple(out[3:])
+
+    return run_padded
 
 
 def make_batched_auxiva_wave_runner_sc(

@@ -618,3 +618,170 @@ def test_sharded_grad_fdica_runner():
     for _ in range(3):
         Wref = step(jnp.asarray(X), Wref)
     np.testing.assert_allclose(out, np.asarray(Wref), atol=1e-10)
+
+
+def _mnmf_fixture(seed, n_bins, n_channels=3, n_frames=8, n_basis=2, n_batch=2,
+                  partitioning=False):
+    rng = np.random.default_rng(seed)
+    Xc = rng.standard_normal((n_batch, n_channels, n_bins, n_frames)) + 1j * (
+        rng.standard_normal((n_batch, n_channels, n_bins, n_frames))
+    )
+    XX = np.einsum("bmit,bnit->bitmn", Xc, Xc.conj())
+    XXs = np.stack([XX.real, XX.imag], axis=1)  # (batch, 2, I, Tf, M, M)
+    N = n_channels
+    if partitioning:
+        T = rng.random((n_batch, n_bins, n_basis)) + 0.1
+        Z = rng.random((n_batch, N, n_basis))
+        Z = Z / Z.sum(axis=1, keepdims=True)
+        V = rng.random((n_batch, n_basis, n_frames)) + 0.1
+    else:
+        T = rng.random((n_batch, N, n_bins, n_basis)) + 0.1
+        Z = None
+        V = rng.random((n_batch, N, n_basis, n_frames)) + 0.1
+    H = np.tile(np.eye(n_channels), (n_batch, N, n_bins, 1, 1)) + 0.1
+    Hs = np.stack([H, np.zeros_like(H)], axis=1)  # (batch, 2, N, I, M, M)
+    return XXs, T, V, Hs, Z
+
+
+def test_gauss_mnmf_bin_mask_is_exactly_neutral():
+    """A masked zero-padded bin never perturbs real bins' trajectories."""
+    from ssspy_tpu.ops.splitc import gauss_mnmf_step_sc
+
+    XXs, T, V, Hs, _ = _mnmf_fixture(31, 8, n_batch=1)
+    XXs, T, V, Hs = XXs[0], T[0], V[0], Hs[0]
+    pad = 3
+    XXp = np.pad(XXs, [(0, 0), (0, pad), (0, 0), (0, 0), (0, 0)])
+    Tp = np.pad(T, [(0, 0), (0, pad), (0, 0)])
+    Hp = np.pad(Hs, [(0, 0), (0, 0), (0, pad), (0, 0), (0, 0)])
+    mask = jnp.arange(8 + pad) < 8
+
+    ref = (jnp.asarray(T), jnp.asarray(V), jnp.asarray(Hs))
+    padded = (jnp.asarray(Tp), jnp.asarray(V), jnp.asarray(Hp))
+    for _ in range(3):
+        ref = gauss_mnmf_step_sc(jnp.asarray(XXs), *ref)
+        padded = gauss_mnmf_step_sc(jnp.asarray(XXp), *padded, bin_mask=mask)
+    np.testing.assert_allclose(np.asarray(padded[0][:, :8]), np.asarray(ref[0]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(padded[1]), np.asarray(ref[1]), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(padded[2][:, :, :8]), np.asarray(ref[2]), rtol=1e-12)
+    # frozen padding: T rows and H blocks of masked bins unchanged (zero)
+    assert np.all(np.asarray(padded[0][:, 8:]) == 0)
+    assert np.all(np.asarray(padded[2][:, :, 8:]) == 0)
+
+
+@pytest.mark.parametrize("partitioning", [False, True])
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_gauss_mnmf_runner(partitioning, n_bins):
+    """Dense GaussMNMF sharded-padded == unsharded UNPADDED (the mask
+    makes padding exactly neutral — no normalization-gauge caveat)."""
+    from ssspy_tpu.ops.splitc import gauss_mnmf_step_sc
+    from ssspy_tpu.parallel import make_batched_gauss_mnmf_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_gauss_mnmf_runner_sc(mesh, partitioning=partitioning)
+
+    XXs, T, V, Hs, Z = _mnmf_fixture(32, n_bins, partitioning=partitioning)
+    carry = (T, V, Hs) + ((Z,) if partitioning else ())
+    out = runner(XXs, carry, 2)
+    for leaf in out:
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    step = jax.jit(jax.vmap(lambda xx, c: gauss_mnmf_step_sc(xx, *c), in_axes=(0, 0)))
+    ref = tuple(jnp.asarray(a) for a in carry)
+    for _ in range(2):
+        ref = step(jnp.asarray(XXs), ref)
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_pds_iva_runner(n_bins):
+    """PDSIVA sharded == unsharded: the L21 group norm over bins is the
+    one all-reduce; zero-padded bins are neutral in it."""
+    from ssspy_tpu.ops.splitc import pds_iva_step_sc
+    from ssspy_tpu.parallel import make_batched_pds_iva_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_pds_iva_runner_sc(mesh)
+
+    X, W = _sc_fixture(41, n_bins)
+    Y = np.zeros((2, 2, 3, n_bins, 16))
+    outW, outY = runner(X, (W, Y), 3)
+    assert np.isfinite(np.asarray(outW)).all()
+
+    step = jax.jit(jax.vmap(lambda x, c: pds_iva_step_sc(x, *c), in_axes=(0, 0)))
+    ref = (jnp.asarray(W), jnp.asarray(Y))
+    for _ in range(3):
+        ref = step(jnp.asarray(X), ref)
+    np.testing.assert_allclose(np.asarray(outW), np.asarray(ref[0]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(outY), np.asarray(ref[1]), atol=1e-10)
+
+
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_admm_iva_runner(n_bins):
+    from ssspy_tpu.ops.splitc import admm_iva_step_sc
+    from ssspy_tpu.parallel import make_batched_admm_iva_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_admm_iva_runner_sc(mesh)
+
+    X, W = _sc_fixture(42, n_bins)
+    V = W.copy()
+    Vt = np.zeros((2, 2, 3, n_bins, 16))
+    Y = np.zeros_like(W)
+    Yt = np.zeros_like(Vt)
+    out = runner(X, (W, V, Vt, Y, Yt), 3)
+    for leaf in out:
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    def _step(x, c):
+        return admm_iva_step_sc(x, c[1], c[2], c[3], c[4])
+
+    step = jax.jit(jax.vmap(_step, in_axes=(0, 0)))
+    ref = tuple(jnp.asarray(a) for a in (W, V, Vt, Y, Yt))
+    for _ in range(3):
+        ref = step(jnp.asarray(X), ref)
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+def test_harmonic_mask_n_real_matches_unpadded():
+    """mask(padded Z, n_real) restricted to real bins == mask(unpadded Z)."""
+    from ssspy_tpu.ops.splitc import harmonic_mask_sc
+
+    rng = np.random.default_rng(51)
+    Zr = rng.standard_normal((3, 33, 8))
+    Zi = rng.standard_normal((3, 33, 8))
+    ref = np.asarray(harmonic_mask_sc(jnp.asarray(Zr), jnp.asarray(Zi), 1 / 3))
+    Zrp = np.pad(Zr, [(0, 0), (0, 7), (0, 0)])
+    Zip = np.pad(Zi, [(0, 0), (0, 7), (0, 0)])
+    got = np.asarray(
+        harmonic_mask_sc(jnp.asarray(Zrp), jnp.asarray(Zip), 1 / 3, n_real=33)
+    )
+    np.testing.assert_allclose(got[:, :33], ref, rtol=1e-12)
+    assert np.isfinite(got).all()
+
+
+@pytest.mark.parametrize("n_bins", [32, 33])
+def test_sharded_hva_runner(n_bins):
+    """HVA sharded == unsharded: the cepstral mask is cross-bin (two DFT
+    collectives per iteration) and the static n_real keeps the padded
+    transform exactly equal to the unpadded one."""
+    from ssspy_tpu.ops.splitc import hva_pds_step_sc
+    from ssspy_tpu.parallel import make_batched_hva_runner_sc
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_hva_runner_sc(mesh)
+
+    X, W = _sc_fixture(52, n_bins)
+    # HVA expects a spectral-norm-normalized mixture; any O(1) scaling works
+    X = X / np.linalg.norm(X, axis=(1, 2), keepdims=True).max()
+    Y = np.zeros((2, 2, 3, n_bins, 16))
+    outW, outY = runner(X, (W, Y), 3)
+    assert np.isfinite(np.asarray(outW)).all()
+
+    step = jax.jit(jax.vmap(lambda x, c: hva_pds_step_sc(x, *c), in_axes=(0, 0)))
+    ref = (jnp.asarray(W), jnp.asarray(Y))
+    for _ in range(3):
+        ref = step(jnp.asarray(X), ref)
+    np.testing.assert_allclose(np.asarray(outW), np.asarray(ref[0]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(outY), np.asarray(ref[1]), atol=1e-9)
