@@ -2560,31 +2560,50 @@ def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
     Ui_d = jnp.moveaxis(jnp.diagonal(RXXi, axis1=1, axis2=2), -1, 0)
     E_i = jnp.eye(n_neighbors, dtype=Wr.dtype)
 
-    def neighbor_body(i, carry):
-        Wr, Wi = carry
+    # statically unrolled over (neighbor, source): like the IP1 sweep,
+    # the fori_loop form blocks XLA from fusing the per-step chains, and
+    # J x N is small (<= ~64 steps) so the unrolled program stays cheap
+    # to compile while the solves fuse with their surrounding matvecs
+    for i in range(n_neighbors):
         pad = (1 - E_i[i])[None, :, None]  # (1, J, 1)
-        U_ir = lax.dynamic_index_in_dim(Ur_d, i, axis=0, keepdims=False)  # (B, N, M, M)
-        U_ii = lax.dynamic_index_in_dim(Ui_d, i, axis=0, keepdims=False)
-        RXX_ir = lax.dynamic_index_in_dim(RXXr, i, axis=1, keepdims=False)  # (B,J,N,M,M)
-        RXX_ii = lax.dynamic_index_in_dim(RXXi, i, axis=1, keepdims=False)
+        U_ir, U_ii = Ur_d[i], Ui_d[i]  # (B, N, M, M)
+        RXX_ir, RXX_ii = RXXr[:, i], RXXi[:, i]  # (B, J, N, M, M)
 
         for n in range(n_sources):
             U_inr, U_ini = U_ir[:, n], U_ii[:, n]  # (B, M, M)
             RXX_inr, RXX_ini = RXX_ir[:, :, n], RXX_ii[:, :, n]  # (B, J, M, M)
             wr, wi = Wr[:, :, n, :], Wi[:, :, n, :]  # (B, J, M)
 
-            # RXY = RXX_in @ conj(w_n)
-            RXYr = (RXX_inr @ wr[..., None])[..., 0] + (RXX_ini @ wi[..., None])[..., 0]
-            RXYi = (RXX_ini @ wr[..., None])[..., 0] - (RXX_inr @ wi[..., None])[..., 0]
+            # RXY = RXX_in @ conj(w_n) as einsum matvecs: the (..., M, 1)
+            # batched-matmul form hits the pathological small-trailing-dim
+            # lowering on TPU (same finding as the IP2 pair solves)
+            RXYr = jnp.einsum("bjmp,bjp->bjm", RXX_inr, wr) + jnp.einsum(
+                "bjmp,bjp->bjm", RXX_ini, wi
+            )
+            RXYi = jnp.einsum("bjmp,bjp->bjm", RXX_ini, wr) - jnp.einsum(
+                "bjmp,bjp->bjm", RXX_inr, wi
+            )
             gr = jnp.sum(pad * RXYr, axis=1)  # (B, M)
             gi = jnp.sum(pad * RXYi, axis=1)
 
-            W_ir = lax.dynamic_index_in_dim(Wr, i, axis=1, keepdims=False)  # (B, N, M)
-            W_ii = lax.dynamic_index_in_dim(Wi, i, axis=1, keepdims=False)
+            W_ir, W_ii = Wr[:, i], Wi[:, i]  # (B, N, M)
             WUr, WUi = _cmatmul(W_ir, W_ii, U_inr, U_ini)
             e_n = jnp.zeros((n_blocks_p, n_sources), Wr.dtype).at[:, n].set(1.0)
-            etar, etai = csolve(WUr, WUi, e_n, jnp.zeros_like(e_n))
-            ehr, ehi = csolve(U_inr, U_ini, gr, gi)
+            if n_sources == U_inr.shape[-1]:
+                # stack the two independent solves (eta vs W U, eta_hat
+                # vs U) into ONE Gauss-Jordan chain over a doubled batch
+                # — the IP2 stacked-pair-solve win (2.3x there)
+                sr, si = csolve(
+                    jnp.concatenate([WUr, U_inr], axis=0),
+                    jnp.concatenate([WUi, U_ini], axis=0),
+                    jnp.concatenate([e_n, gr], axis=0),
+                    jnp.concatenate([jnp.zeros_like(e_n), gi], axis=0),
+                )
+                etar, ehr = sr[:n_blocks_p], sr[n_blocks_p:]
+                etai, ehi = si[:n_blocks_p], si[n_blocks_p:]
+            else:
+                etar, etai = csolve(WUr, WUi, e_n, jnp.zeros_like(e_n))
+                ehr, ehi = csolve(U_inr, U_ini, gr, gi)
 
             # z = eta^H U (row); xi = Re(z eta); xi_hat = z eta_hat
             zr = jnp.einsum("bm,bmp->bp", etar, U_inr) + jnp.einsum(
@@ -2608,11 +2627,8 @@ def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
             # w_new = coeff * eta - eta_hat; stored row is conj(w_new)
             w_newr = cr[:, None] * etar - ci[:, None] * etai - ehr
             w_newi = cr[:, None] * etai + ci[:, None] * etar - ehi
-            Wr = lax.dynamic_update_slice(Wr, w_newr[:, None, None, :], (0, i, n, 0))
-            Wi = lax.dynamic_update_slice(Wi, -w_newi[:, None, None, :], (0, i, n, 0))
-        return Wr, Wi
-
-    Wr, Wi = lax.fori_loop(0, n_neighbors, neighbor_body, (Wr, Wi))
+            Wr = Wr.at[:, i, n, :].set(w_newr)
+            Wi = Wi.at[:, i, n, :].set(-w_newi)
     return Wr, Wi
 
 
