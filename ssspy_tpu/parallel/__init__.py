@@ -64,6 +64,7 @@ __all__ = [
     "make_batched_pds_iva_runner_sc",
     "make_batched_admm_iva_runner_sc",
     "make_batched_hva_runner_sc",
+    "make_batched_ica_runner",
 ]
 
 
@@ -817,6 +818,52 @@ def make_batched_admm_iva_runner_sc(
         x_spec=P(dp, None, None, b, None),
         carry_specs=(filt, filt, spec, filt, spec),
         identity_leaves=(0, 1),
+    )
+
+
+def make_batched_ica_runner(
+    mesh: Optional[Mesh] = None,
+    variant: str = "natural_grad",
+    step_size: float = 1e-1,
+    is_holonomic: bool = False,
+) -> Callable:
+    """dp-sharded time-domain Laplace-ICA runner (fleet throughput).
+
+    ``run(X, W, n_iter)`` with waveforms ``X``: ``(batch, M, T)`` real
+    f32 sharded over ``dp`` only — the time-domain family has no bin
+    axis, so the second mesh axis is unused and the program is pure
+    embarrassing data parallelism (zero collectives). Step math matches
+    :class:`ssspy_tpu.bss.ica.GradLaplaceICA` /
+    ``NaturalGradLaplaceICA`` (reference ssspy/bss/ica.py:846-1095).
+    ``variant``: "grad" | "natural_grad".
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    dp = mesh.axis_names[0]
+    natural = {"grad": False, "natural_grad": True}[variant]
+
+    def _step(X, W):
+        Y = W @ X
+        PhiY = (jnp.sign(Y) @ jnp.swapaxes(Y, -1, -2)) / Y.shape[-1]
+        eye = jnp.eye(W.shape[-1], dtype=W.dtype)
+        direction = PhiY - eye if is_holonomic else (1 - eye) * PhiY
+        right = W if natural else jnp.swapaxes(jnp.linalg.inv(W), -1, -2)
+        return W - step_size * (direction @ right)
+
+    x_sharding = NamedSharding(mesh, P(dp, None, None))
+    w_sharding = NamedSharding(mesh, P(dp, None, None))
+
+    def run(X, W, n_iter):
+        def body(W, _):
+            return _step(X, W), None
+
+        return lax.scan(body, W, None, length=n_iter)[0]
+
+    return jax.jit(
+        run,
+        in_shardings=(x_sharding, w_sharding),
+        out_shardings=w_sharding,
+        static_argnums=(2,),
     )
 
 

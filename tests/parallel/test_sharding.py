@@ -785,3 +785,25 @@ def test_sharded_hva_runner(n_bins):
         ref = step(jnp.asarray(X), ref)
     np.testing.assert_allclose(np.asarray(outW), np.asarray(ref[0]), atol=1e-9)
     np.testing.assert_allclose(np.asarray(outY), np.asarray(ref[1]), atol=1e-9)
+
+
+@pytest.mark.parametrize("variant", ["grad", "natural_grad"])
+def test_batched_ica_runner_matches_class(variant):
+    """dp-sharded time-domain ICA == the class trajectory per utterance."""
+    from ssspy_tpu.bss.ica import GradLaplaceICA, NaturalGradLaplaceICA
+    from ssspy_tpu.parallel import make_batched_ica_runner
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    runner = make_batched_ica_runner(mesh, variant=variant)
+
+    rng = np.random.default_rng(61)
+    X = rng.laplace(size=(2, 3, 256))
+    W = np.tile(np.eye(3), (2, 1, 1))
+    out = np.asarray(runner(X, W, 4))
+    assert np.isfinite(out).all()
+
+    cls = GradLaplaceICA if variant == "grad" else NaturalGradLaplaceICA
+    for b in range(2):
+        ica = cls(record_loss=False)
+        ica(X[b], n_iter=4)
+        np.testing.assert_allclose(out[b], np.asarray(ica.demix_filter), atol=1e-10)
