@@ -317,6 +317,69 @@ def bench_numpy_hva(spectrogram):
     return _diff_rate(call, 2, 12)
 
 
+def bench_jax_grad_ica(waveform2):
+    """NaturalGradLaplaceICA (time-domain, BASELINE config #1) on-chip."""
+    import jax
+    import jax.numpy as jnp
+
+    X = jax.device_put(waveform2.astype(np.float32))
+    W = jax.device_put(np.eye(2, dtype=np.float32))
+
+    def step(W):
+        Y = W @ X
+        PhiY = (jnp.sign(Y) @ Y.T) / Y.shape[-1]
+        eye = jnp.eye(2, dtype=W.dtype)
+        return W - 0.1 * (((1 - eye) * PhiY) @ W)
+
+    return _chain_scan(step, W, lambda w: w)
+
+
+def bench_numpy_grad_ica(waveform2):
+    sys.path.insert(0, "/root/reference")
+    try:
+        from ssspy.bss.ica import NaturalGradLaplaceICA
+    except Exception:
+        return None
+    x = waveform2.astype(np.float64)
+
+    def call(n):
+        NaturalGradLaplaceICA(record_loss=False)(x, n_iter=n)
+
+    return _diff_rate(call, 2, 22)
+
+
+def bench_jax_pds(spectrogram):
+    """PDSIVA (BASELINE config #5, proximal splitting) on the fast path."""
+    import jax
+
+    from ssspy_tpu.ops.splitc import pds_iva_step_sc
+
+    M, n_bins, n_frames = spectrogram.shape
+    spec = spectrogram / np.abs(spectrogram).max()
+    Xs = jax.device_put(np.stack([spec.real, spec.imag]).astype(np.float32))
+    W0 = np.zeros((2, n_bins, M, M), dtype=np.float32)
+    W0[0] = np.eye(M, dtype=np.float32)
+    carry = (
+        jax.device_put(W0),
+        jax.device_put(np.zeros((2, M, n_bins, n_frames), dtype=np.float32)),
+    )
+    return _chain_scan(lambda c: pds_iva_step_sc(Xs, *c), carry, lambda c: c[0])
+
+
+def bench_numpy_pds(spectrogram):
+    sys.path.insert(0, "/root/reference")
+    try:
+        from ssspy.bss.iva import PDSIVA
+    except Exception:
+        return None
+    spec = spectrogram.astype(np.complex128)
+
+    def call(n):
+        PDSIVA(scale_restoration=False)(spec, n_iter=n)
+
+    return _diff_rate(call, 2, 12)
+
+
 def bench_numpy(spectrogram, n_iter=10):
     """Reference denominator, measured live. Returns its/sec or None."""
     sys.path.insert(0, "/root/reference")
@@ -398,6 +461,10 @@ def main():
          lambda: bench_numpy_cacgmm(spec), 0.33),
         ("hva_8ch", lambda: bench_jax_hva(spec),
          lambda: bench_numpy_hva(spec), 4.48),
+        ("pds_iva_8ch", lambda: bench_jax_pds(spec),
+         lambda: bench_numpy_pds(spec), 5.43),
+        ("natural_grad_ica_2ch", lambda: bench_jax_grad_ica(mix[:2]),
+         lambda: bench_numpy_grad_ica(mix[:2]), 208.0),
     ):
         try:
             ips = jax_fn()
