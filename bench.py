@@ -318,7 +318,13 @@ def bench_numpy_hva(spectrogram):
 
 
 def bench_jax_grad_ica(waveform2):
-    """NaturalGradLaplaceICA (time-domain, BASELINE config #1) on-chip."""
+    """NaturalGradLaplaceICA (time-domain, BASELINE config #1) on-chip.
+
+    Timed over 1000-iteration scans: the step itself is ~17 us, so at
+    the standard 100-iteration chaining the remote tunnel's ~3 ms
+    per-call round trip would dominate the measurement (it is <1% for
+    every frequency-domain row).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -331,7 +337,7 @@ def bench_jax_grad_ica(waveform2):
         eye = jnp.eye(2, dtype=W.dtype)
         return W - 0.1 * (((1 - eye) * PhiY) @ W)
 
-    return _chain_scan(step, W, lambda w: w)
+    return _chain_scan(step, W, lambda w: w, n_iter=1000)
 
 
 def bench_numpy_grad_ica(waveform2):

@@ -35,8 +35,14 @@ def make_spectrogram():
     return bench.host_stft(mix), mix
 
 
-def _time_scan(step_with_carry, carry, read_leaf):
-    """Compile + time REPS chained n-iter scans; return iters/sec."""
+def _time_scan(step_with_carry, carry, read_leaf, n_iter=None):
+    """Compile + time REPS chained n-iter scans; return iters/sec.
+
+    ``n_iter`` overrides the standard 100-iteration chunk for steps so
+    fast that the tunnel's ~3 ms per-call round trip would dominate
+    (the time-domain ICA rows: ~17 us/step).
+    """
+    n = N_ITER if n_iter is None else n_iter
     import jax
     from jax import lax
 
@@ -47,14 +53,14 @@ def _time_scan(step_with_carry, carry, read_leaf):
 
         return lax.scan(body, carry, None, length=n)[0]
 
-    np.asarray(read_leaf(runner(carry, N_ITER)))  # compile + 1 full run
+    np.asarray(read_leaf(runner(carry, n)))  # compile + 1 full run
     c = carry
     t0 = time.perf_counter()
     for _ in range(REPS):
-        c = runner(c, N_ITER)
+        c = runner(c, n)
     np.asarray(read_leaf(c))
     dt = (time.perf_counter() - t0) / REPS
-    return N_ITER / dt
+    return n / dt
 
 
 def main():
@@ -314,7 +320,7 @@ def main():
         m._reset()
         state = m.init_state()
         step = m.make_step()
-        return _time_scan(step, state, lambda c: c["W"])
+        return _time_scan(step, state, lambda c: c["W"], n_iter=1000)
 
     record("ica_grad", lambda: ica_family("grad"))
     record("ica_natural_grad", lambda: ica_family("natural"))
