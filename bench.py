@@ -25,6 +25,12 @@ SAMPLE_RATE = 16_000
 DURATION_S = 10.0
 N_FFT, HOP = 512, 256
 N_ITER = 100
+# Timing runs use 300-iteration scan chunks: the per-EXECUTION overhead of
+# the remote backend (~8 ms program dispatch/round trip) inflates 100-
+# iteration measurements of sub-ms steps by 10-30% (measured 2985 vs 4094
+# it/s on the flagship at n=100 vs n=300); 300 amortizes it below ~3%
+# while keeping the slowest rows' wall time bounded.
+N_MEASURE = 300
 
 # NumPy-reference denominators measured live when /root/reference imports;
 # otherwise these pinned values (measured 2026-08-16 on this host's CPU,
@@ -99,7 +105,7 @@ def bench_jax(spectrogram):
         def runner(X, W, n):
             return lax.scan(lambda w, _: (step(X, w), None), W, None, length=n)[0]
 
-    np.asarray(runner(X, W, N_ITER))  # compile + force one full execution
+    np.asarray(runner(X, W, N_MEASURE))  # compile + force one full execution
     # chain the filter through repeated calls (every execution is
     # data-dependent on the previous) and force a host readback of the
     # final filter: on remote-execution backends block_until_ready() can
@@ -109,10 +115,10 @@ def bench_jax(spectrogram):
     W_t = W
     t0 = time.perf_counter()
     for _ in range(reps):
-        W_t = runner(X, W_t, N_ITER)
+        W_t = runner(X, W_t, N_MEASURE)
     np.asarray(W_t)
     dt = (time.perf_counter() - t0) / reps
-    return N_ITER / dt
+    return N_MEASURE / dt
 
 
 def bench_jax_ilrma(spectrogram):
@@ -142,20 +148,23 @@ def bench_jax_ilrma(spectrogram):
         return lax.scan(body, carry, None, length=n)[0]
 
     carry = tuple(jax.device_put(a) for a in (W0, T0, V0))
-    np.asarray(runner(carry, N_ITER)[0])  # compile + one full execution
+    np.asarray(runner(carry, N_MEASURE)[0])  # compile + one full execution
     reps = 3
     c_t = carry
     t0 = time.perf_counter()
     for _ in range(reps):
-        c_t = runner(c_t, N_ITER)
+        c_t = runner(c_t, N_MEASURE)
     np.asarray(c_t[0])  # host readback = the only trustworthy barrier
     dt = (time.perf_counter() - t0) / reps
-    return N_ITER / dt
+    return N_MEASURE / dt
 
 
-def _chain_scan(step_with_carry, carry, read_leaf, n_iter=N_ITER, reps=3):
+def _chain_scan(step_with_carry, carry, read_leaf, n_iter=None, reps=3):
     """Compile + time chained n_iter scans with a host-readback barrier."""
     import functools
+
+    if n_iter is None:
+        n_iter = N_MEASURE
 
     import jax
     from jax import lax
