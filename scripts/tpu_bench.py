@@ -41,29 +41,22 @@ def make_spectrogram():
 def _time_scan(step_with_carry, carry, read_leaf, n_iter=None):
     """Compile + time REPS chained n-iter scans; return iters/sec.
 
-    ``n_iter`` overrides the standard 100-iteration chunk for steps so
-    fast that the tunnel's ~3 ms per-call round trip would dominate
-    (the time-domain ICA rows: ~17 us/step).
+    Delegates to ``bench._chain_scan`` — ONE copy of the load-bearing
+    timing methodology (chained data-dependent executions, measurement
+    chunk size, host-readback barrier) shared with the driver metric.
+    ``n_iter`` overrides the standard chunk for steps so fast that the
+    tunnel's ~3 ms per-call round trip would dominate (the time-domain
+    ICA rows: ~17 us/step).
     """
-    n = N_ITER if n_iter is None else n_iter
-    import jax
-    from jax import lax
+    import bench
 
-    @functools.partial(jax.jit, static_argnums=(1,))
-    def runner(carry, n):
-        def body(c, _):
-            return step_with_carry(c), None
-
-        return lax.scan(body, carry, None, length=n)[0]
-
-    np.asarray(read_leaf(runner(carry, n)))  # compile + 1 full run
-    c = carry
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        c = runner(c, n)
-    np.asarray(read_leaf(c))
-    dt = (time.perf_counter() - t0) / REPS
-    return n / dt
+    return bench._chain_scan(
+        step_with_carry,
+        carry,
+        read_leaf,
+        n_iter=N_ITER if n_iter is None else n_iter,
+        reps=REPS,
+    )
 
 
 def main():

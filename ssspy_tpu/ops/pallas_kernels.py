@@ -129,7 +129,9 @@ def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
     if impl == "auto":
         # the kernel lowers only on TPU targets ("tpu" proper and the
         # axon PJRT tunnel); GPUs and CPUs take the XLA einsum path
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        from .splitc import _on_tpu_backend
+
+        on_tpu = _on_tpu_backend()
         fits_vmem = Xr.shape[-1] <= _MAX_FRAMES_VMEM
         impl = "pallas" if (on_tpu and fits_vmem) else "einsum"
 
@@ -247,7 +249,9 @@ def planar_inverse_sc(Rr, Ri, impl: str = "auto", block_b: int = 1024):
     elimination order and the same sign-preserving pivot floor.
     """
     if impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        from .splitc import _on_tpu_backend
+
+        on_tpu = _on_tpu_backend()
         n_batch = 1
         for d in Rr.shape[:-2]:
             n_batch *= d
@@ -310,7 +314,9 @@ def planar_inv_sandwich_sc(
     VMEM-resident. ``impl`` as in :func:`planar_inverse_sc` ("gj"
     computes the same values via XLA)."""
     if impl == "auto":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
+        from .splitc import _on_tpu_backend
+
+        on_tpu = _on_tpu_backend()
         n_batch = 1
         for d in Rr.shape[:-2]:
             n_batch *= d

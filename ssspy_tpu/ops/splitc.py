@@ -307,12 +307,17 @@ def iss1_sweep_sc(Yr, Yi, varphi, eps=1e-10, impl: str = "auto"):
 
     ``impl``: ``"pallas"`` keeps a bin-block of ``Y`` VMEM-resident
     across the whole N-source sweep (one HBM round trip instead of one
-    per source — the XLA form is bandwidth-bound; see
+    per source; see
     :func:`ssspy_tpu.ops.pallas_kernels.iss1_sweep_pallas`); ``"xla"``
-    is the fused-by-XLA form; ``"auto"`` picks pallas on TPU backends.
+    is the fused-by-XLA form. ``"auto"`` picks XLA everywhere: measured
+    772 vs 842 it/s (AuxIVA-ISS1) and 731 vs 796 (ILRMA-ISS1) on the
+    v5e — XLA already fuses each source's product+reduce chain without
+    rematerializing ``Y``, so the kernel's traffic win never
+    materializes (BENCHMARKS.md); the kernel stays opt-in for
+    long-frame shapes.
     """
     if impl == "auto":
-        impl = "pallas" if _on_tpu_backend() else "xla"
+        impl = "xla"
     if impl in ("pallas", "interpret"):
         from .pallas_kernels import iss1_sweep_pallas
 
@@ -1231,6 +1236,63 @@ def psd_inv_sc(Ar, Ai, eps=1e-10, rel=0.0):
     return _spectral_sc(Ar, Ai, lambda lamb: 1 / floor(lamb))
 
 
+def _largest_real_cubic_root(A, B, C):
+    """Largest real root of ``x^3 + A x^2 + B x + C`` (exact Cardano).
+
+    Unlike :func:`ssspy_tpu.linalg.lqpqm._find_largest_root_real` — which
+    bit-replicates the reference's principal-branch quirk because parity
+    requires it — this returns the TRUE real root in the one-real-root
+    (``D > 0``) branch: ``cbrt`` of each Cardano summand with its sign.
+    """
+    P = -(A**2) / 3 + B
+    Q = (2 * A**3) / 27 - (A * B) / 3 + C
+    D = (Q / 2) ** 2 + (P / 3) ** 3
+
+    sqrt_D = jnp.sqrt(jnp.maximum(D, 0.0))
+    root_pos = jnp.cbrt(-Q / 2 + sqrt_D) + jnp.cbrt(-Q / 2 - sqrt_D)
+
+    # D <= 0 (implies P <= 0): three real roots; largest is 2 r cos(th/3)
+    r = jnp.sqrt(jnp.maximum(-P / 3, 0.0))
+    r_safe = jnp.where(r > 0, r, 1.0)
+    theta = jnp.arccos(jnp.clip(-Q / (2 * r_safe**3), -1.0, 1.0))
+    root_neg = 2 * r * jnp.cos(theta / 3)
+
+    return jnp.where(D > 0, root_pos, root_neg) - A / 3
+
+
+def _secular_model_root(p, q2, z):
+    """Unique root right of ``max(p, z)`` of the pole model
+    ``q2 l^2/(l - p)^2 - l + z`` (``q2 = q^2 >= 0``), via the equivalent
+    cubic ``l^3 - (2p + z + q2) l^2 + (p^2 + 2pz) l - p^2 z = 0``.
+
+    The model is strictly decreasing right of the pole, so its largest
+    real root is THE model root; solving in closed form avoids the
+    fixed-point inner iteration, whose map can 2-cycle around the root
+    (measured: an even trip count then returns the starting point,
+    stalling the outer iteration at an O(1)-wrong value).
+    """
+    return _largest_real_cubic_root(-(2 * p + z + q2), p * p + 2 * p * z, -p * p * z)
+
+
+def _psd_power_probe(E, tiny=1e-30):
+    """Starting probe for power/inverse iteration on embedded PSD batches.
+
+    The PSD diagonal is the natural nonnegative probe but can be
+    structurally orthogonal to the top eigenspace (``A = vv^H`` with
+    ``v = (1,-1)/sqrt(2)`` has a constant diagonal, so the constant probe
+    never rotates) — a measure-zero event for random data but exactly the
+    symmetric/duplicated-channel covariances degenerate bins produce.
+    Blend in ``E @ r`` with a fixed golden-angle-stride direction ``r``:
+    deterministic, no structural alignment with sign-pattern eigenvectors,
+    and multiplying by ``E`` keeps the probe inside ``range(E)``.
+    """
+    n = E.shape[-1]
+    idx = jnp.arange(n, dtype=E.dtype)
+    r = 1.0 + jnp.cos(idx * 2.399963229728653)  # golden angle, nonnegative
+    x = jnp.einsum("...ij,...j->...i", E, r)
+    return x + jnp.diagonal(E, axis1=-2, axis2=-1)
+
+
 def _secular_root_solve_sc(Hr, Hi, vr, vi, z, trips=8, tiny=1e-30):
     """Largest root of the LQPQM secular equation with NO eigendecomposition.
 
@@ -1243,24 +1305,32 @@ def _secular_root_solve_sc(Hr, Hi, vr, vi, z, trips=8, tiny=1e-30):
     ``sum phi |vt|^2/(l-phi)^2 = s^H H s``,  ``s = (lI - H)^{-1} v``
     ``sum phi^2|vt|^2/(l-phi)^3 = w^H (lI - H)^{-1} w``,  ``w = H s``
 
-    so each Newton trip costs one unrolled Cholesky of the embedded real
+    so each trip costs one unrolled Cholesky of the embedded real
     pencil ``l I - E(H)`` plus two triangular solve pairs — much cheaper on
     TPU than the embedded Jacobi eigh the spectrum route needs (the eigh is
     the dominant cost of the IPA sweep; see BENCHMARKS.md).
 
-    Right of the spectrum ``f`` is strictly decreasing and convex (each
-    term ``l^2/(l-phi)^2`` has ``h'' = 2 phi (2l + phi)/(l-phi)^4 > 0``),
-    so a Newton iterate launched left of the root converges monotonically
-    from the left and never leaves the PD region. Safeguards (elementwise
-    over the batch, NaN-proof by comparing-false):
+    Right of the spectrum ``f`` is strictly decreasing and convex, and each
+    trip proposes a fitted-pole rational step (see the body comment; exact
+    cubic model solve via :func:`_secular_model_root`), falling back to a
+    ``phi_est``-anchored rational step, then Newton, then bisection.
+    Safeguards (elementwise over the batch, NaN-proof by comparing-false):
 
-    - certified initial bracket: ``lo = max(z + v^H H v, rayleigh(E))``
+    - certified initial bracket: ``lo = max(z + v^H H v, phi_est)`` where
+      ``phi_est`` is the shift-invert Rayleigh estimate of ``phi_max``
       (``f >= v^H H v - l + z`` right of the spectrum, and any Rayleigh
       quotient lower-bounds ``phi_max < root``); ``hi = max(2 gersh,
       z + 4 v^H H v)`` (at ``l >= 2 phi_max``, ``l^2/(l-phi)^2 <= 4``).
+      Seeding ``lo`` essentially AT ``phi_max`` matters: for
+      near-singular ``v`` the root sits barely above the pole, and a loose
+      lower bracket (``z + c`` is tiny) leaves bisection short of the PD
+      region within the trip budget (measured 1e-3-relative root errors).
     - a non-positive Cholesky pivot certifies ``mu <= phi_max < root``:
       treat ``mu`` as a new lower bracket and bisect.
-    - Newton steps landing outside ``(lo, hi)`` fall back to bisection.
+    - candidates landing outside ``[lo, hi]`` fall back down the chain.
+    - the returned root is clamped into the final certified bracket
+      ``[max(lo, phi_est), hi]`` so an unconverged trip budget degrades to
+      a bracketed estimate, never a point left of the pole.
 
     Returns the root; callers nudge it ``O(32 eps)`` relative above to keep
     the final resolvent solve non-singular (the same dtype-relative margin
@@ -1272,25 +1342,36 @@ def _secular_root_solve_sc(Hr, Hi, vr, vi, z, trips=8, tiny=1e-30):
     v2 = jnp.concatenate([vr, vi], axis=-1)
     eye2 = jnp.eye(2 * K, dtype=Hr.dtype)
 
-    # certified spectral bounds (Gershgorin above, Rayleigh below)
-    gersh = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
-    x0 = jnp.diagonal(E, axis1=-2, axis2=-1)  # nonnegative probe (PSD diag)
-    x1 = jnp.einsum("...ij,...j->...i", E, x0)
-    x2 = jnp.einsum("...ij,...j->...i", E, x1)
-    den = jnp.sum(x1 * x1, axis=-1)
-    rayleigh = jnp.where(
-        den > 0, jnp.sum(x2 * x1, axis=-1) / jnp.maximum(den, tiny), 0.0
-    )
+    # top-eigenvector / phi_max estimate via the certified shift-invert
+    # scheme (pivot-sign bisection + inverse iteration — the FasterIVA
+    # helper). Runs BEFORE the root trips so the Rayleigh estimate can
+    # seed the lower bracket. Squared-power iteration was tried here and
+    # replaced: with a near-degenerate top pair (ratio r, decay r^2 per
+    # application) phi_est lands O(1e-2) below phi_max, which poisons
+    # both the bracket seed and the rat2 pole anchor exactly in the
+    # near-singular-v cases where the root hugs the pole (measured 3%
+    # root error); shift-invert's amplification is set by the certified
+    # shift distance, not the spectral gap. The direction is
+    # documented-arbitrary up to phase even in the eigh path — the
+    # reference indexes a row of the eigenvector matrix (see lqpqm2_sc) —
+    # but the Rayleigh quotient must approach phi_max tightly: the
+    # singular branch's step norm sqrt((phi_max - z)/phi_max) is
+    # sensitive near phi_max ~ z.
+    tr, ti = _top_eigvec_shift_invert_sc(Hr, Hi)
+    top = jnp.concatenate([tr, ti], axis=-1)
+    Et = jnp.einsum("...ij,...j->...i", E, top)
+    phi_est = jnp.sum(top * Et, axis=-1)
 
+    gersh = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
     Ev = jnp.einsum("...ij,...j->...i", E, v2)
     c = jnp.sum(v2 * Ev, axis=-1)  # v^H H v  (real, >= 0)
 
-    lo = jnp.maximum(z + c, rayleigh)
+    lo = jnp.maximum(z + c, phi_est)
     hi = jnp.maximum(2 * gersh, z + 4 * c)
     hi = jnp.maximum(hi, lo + jnp.abs(lo) * 1e-6 + tiny)
 
     tol = 8 * jnp.finfo(Hr.dtype).eps
-    mu = lo
+    mu = hi
     conv = jnp.zeros_like(z, dtype=bool)
     for _ in range(trips):
         A = mu[..., None, None] * eye2 - E
@@ -1308,30 +1389,56 @@ def _secular_root_solve_sc(Hr, Hi, vr, vi, z, trips=8, tiny=1e-30):
         # bracket update: non-PD certifies mu < root (lower); else sign of f
         lo = jnp.where(~pd | (f >= 0), mu, lo)
         hi = jnp.where(pd & (f < 0), mu, hi)
+        # fitted-pole rational candidate (the LAPACK dlasd4 lesson): model
+        # the sum term S(l) = l^2 g(l) as C l^2/(l-p)^2 with BOTH C and
+        # the effective pole p matched to (S, S') at the current iterate —
+        # p = mu h/(g+h) in closed form (exactly phi_max for a single
+        # pole) — then take the MODEL's root as the next iterate. The
+        # true root is a fixed point (the model agrees with f in value
+        # and slope at mu), so this is second order like Newton; near the
+        # pole — near-singular v, root barely right of phi_max — it lands
+        # in one or two trips where Newton's linear model creeps
+        # geometrically (step = d/2 a trip).
+        p = mu * h / jnp.maximum(g + h, tiny)
+        rat_ok = pd & (g + h > 0)
+        # the model root comes from the exact cubic solve
+        # (:func:`_secular_model_root`) — a fixed-point inner iteration
+        # was tried and removed: its map 2-cycles around the root in the
+        # z > phi_max regime and an even trip count returns the starting
+        # point, stalling the outer iteration at an O(1)-wrong value
+        g_safe = jnp.where(rat_ok, g, 0.0)
+        rat = _secular_model_root(p, g_safe * (mu - p) ** 2, z)
+        # fallback candidate with the pole pinned at phi_est: far from the
+        # root the fitted p underestimates the top pole and the model root
+        # lands LEFT of the bracket (rejected below), which would waste
+        # every early trip on bisection; the phi_est-anchored model is
+        # only first-order but lands essentially at the root in one trip
+        # whenever the root hugs the pole (near-singular v)
+        rat2 = _secular_model_root(phi_est, g_safe * (mu - phi_est) ** 2, z)
         newton = mu - f / df
-        inside = (newton > lo) & (newton < hi)
-        cand = jnp.where(pd & inside, newton, (lo + hi) / 2)
+        # acceptance bounds are NON-strict: at convergence the bracket
+        # update sets lo (or hi) to mu itself and the candidate re-lands
+        # on it — a strict test would discard the converged point for a
+        # bisection midpoint on the final trip
+        cand = jnp.where(
+            rat_ok & (rat >= lo) & (rat <= hi),
+            rat,
+            jnp.where(
+                rat_ok & (rat2 >= lo) & (rat2 <= hi),
+                rat2,
+                jnp.where(
+                    pd & (newton >= lo) & (newton <= hi), newton, (lo + hi) / 2
+                ),
+            ),
+        )
         conv = conv | (pd & (jnp.abs(f) <= tol * (jnp.abs(z) + jnp.abs(mu) + 1.0)))
         mu = jnp.where(conv, mu, cand)
 
-    # top-eigenvector estimate for the singular (v = 0) branch: normalized
-    # squared-power iteration (x <- E^2 x, renormalized; component decay
-    # (phi_2/phi_1)^2 per application). The direction is documented-arbitrary
-    # up to phase even in the eigh path — the reference indexes a row of the
-    # eigenvector matrix (see lqpqm2_sc) — but the Rayleigh quotient must
-    # approach phi_max tightly: the branch's step norm sqrt((phi_max - z)/
-    # phi_max) is sensitive near phi_max ~ z.
-    x = x2
-    for _ in range(12):
-        x = x / jnp.maximum(
-            jnp.sqrt(jnp.sum(x * x, axis=-1)), tiny
-        )[..., None]
-        x = jnp.einsum("...ij,...j->...i", E, x)
-        x = jnp.einsum("...ij,...j->...i", E, x)
-    nrm = jnp.sqrt(jnp.sum(x * x, axis=-1))
-    top = x / jnp.maximum(nrm, tiny)[..., None]
-    Et = jnp.einsum("...ij,...j->...i", E, top)
-    phi_est = jnp.sum(top * Et, axis=-1)
+    # an exhausted trip budget must still return a point in the certified
+    # bracket: left of max(lo, phi_est) the pencil can be indefinite and
+    # the caller's resolvent solve would be garbage (hi always upper-
+    # bounds the root: it is only ever tightened at PD points with f < 0).
+    mu = jnp.clip(mu, jnp.maximum(lo, phi_est), hi)
     return mu, (phi_est, top)
 
 
@@ -1377,8 +1484,12 @@ def lqpqm2_sc(
         lamb, (phi_max, top) = _secular_root_solve_sc(
             Hr, Hi, vr, vi, z, trips=secular_trips
         )
-        # keep a representable margin above the pole for the resolvent solve
+        # keep a representable margin above the pole for the resolvent
+        # solve, and clamp above the phi_max estimate like the eigh path
+        # (an unconverged root left of the pole would make the solve
+        # indefinite)
         lamb = lamb * (1 + gap) + jnp.finfo(Hr.dtype).tiny
+        lamb = jnp.maximum(lamb, phi_max * (1 + gap))
         sig_max = top
     else:
         flooring_fn = _functools.partial(max_flooring, eps=eps)
@@ -3132,7 +3243,7 @@ def _top_eigvec_shift_invert_sc(Ar, Ai, bisect_trips=12, inv_iters=3, tiny=1e-30
     eye2 = jnp.eye(2 * M, dtype=Ar.dtype)
 
     gersh = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
-    x = jnp.diagonal(E, axis1=-2, axis2=-1)  # nonnegative probe (PSD diag)
+    x = _psd_power_probe(E, tiny=tiny)
     for _ in range(2):
         x = x / jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=-1)), tiny)[..., None]
         x = jnp.einsum("...ij,...j->...i", E, x)

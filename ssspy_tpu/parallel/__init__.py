@@ -157,6 +157,24 @@ def _pad_to_multiple(a, axis: int, mult: int):
     return jnp.pad(a, widths)
 
 
+def _identity_pad(leaf, axis: int, pad: int, planar: bool = True):
+    """Extend a demixing-filter leaf by ``pad`` identity filters along its
+    bin ``axis`` so padded bins stay well-posed (their updates are garbage
+    but are sliced away and, being per-bin, never couple into real bins).
+
+    ``planar=True`` for split-complex leaves (plane axis at position 1:
+    the real plane gets the identity); ``False`` for complex leaves.
+    """
+    n_rows = leaf.shape[-2]
+    eye = jnp.zeros(leaf.shape[:axis] + (pad,) + leaf.shape[axis + 1 :], leaf.dtype)
+    ident = jnp.eye(n_rows, eye.shape[-1], dtype=leaf.dtype)
+    if planar:
+        eye = eye.at[:, 0].add(ident)
+    else:
+        eye = eye + ident
+    return jnp.concatenate([leaf, eye], axis=axis)
+
+
 def _slice_axis(a, axis: int, size: int):
     if a.shape[axis] == size:
         return a
@@ -209,16 +227,7 @@ def shard_batched_run(
         Wp = jnp.asarray(W)
         pad = Xp.shape[x_bin_axis] - n_bins
         if pad:
-            n_rows = Wp.shape[-2]
-            eye = jnp.zeros(
-                Wp.shape[:w_bin_axis] + (pad,) + Wp.shape[w_bin_axis + 1 :],
-                Wp.dtype,
-            )
-            if ndim == 5:  # split-complex: real plane gets the identity
-                eye = eye.at[:, 0].add(jnp.eye(n_rows, eye.shape[-1], dtype=Wp.dtype))
-            else:
-                eye = eye + jnp.eye(n_rows, eye.shape[-1], dtype=Wp.dtype)
-            Wp = jnp.concatenate([Wp, eye], axis=w_bin_axis)
+            Wp = _identity_pad(Wp, w_bin_axis, pad, planar=ndim == 5)
         W_out = jitted(Xp, Wp, n_iter)
         return _slice_axis(W_out, w_bin_axis, n_bins)
 
@@ -365,17 +374,11 @@ def _pad_carry_leaves(leaves, axes_list, mult, identity_leaves=()):
         leaf = jnp.asarray(leaf)
         if axis is not None:
             before = leaf.shape[axis]
-            leaf = _pad_to_multiple(leaf, axis, mult)
-            if idx in identity_leaves and leaf.shape[axis] != before:
-                pad = leaf.shape[axis] - before
-                n_rows = leaf.shape[-2]
-                eye = jnp.zeros(
-                    leaf.shape[:axis] + (pad,) + leaf.shape[axis + 1 :], leaf.dtype
-                )
-                eye = eye.at[:, 0].add(
-                    jnp.eye(n_rows, eye.shape[-1], dtype=leaf.dtype)
-                )
-                leaf = lax.dynamic_update_slice_in_dim(leaf, eye, before, axis)
+            pad = (-before) % mult
+            if idx in identity_leaves and pad:
+                leaf = _identity_pad(leaf, axis, pad)
+            else:
+                leaf = _pad_to_multiple(leaf, axis, mult)
         out.append(leaf)
     return out
 
@@ -593,7 +596,9 @@ def shard_pytree_run(
 
     def run_padded(X, carry, n_iter):
         n_bins = X.shape[x_bin_axis] if x_bin_axis is not None else None
-        Xp = _pad_to_multiple(jnp.asarray(X), x_bin_axis, n_bin_shards)
+        Xp = jnp.asarray(X)
+        if x_bin_axis is not None:
+            Xp = _pad_to_multiple(Xp, x_bin_axis, n_bin_shards)
         leaves = spec_treedef.flatten_up_to(carry)
         leaves = _pad_carry_leaves(leaves, axes_list, n_bin_shards, identity_leaves)
         out = jitted(Xp, jax.tree.unflatten(spec_treedef, leaves), n_iter)
@@ -927,10 +932,7 @@ def make_batched_hva_runner_sc(
         W, Y = (jnp.asarray(a) for a in carry)
         pad = Xp.shape[3] - n_bins
         if pad:
-            n_rows = W.shape[-2]
-            eye = jnp.zeros(W.shape[:2] + (pad,) + W.shape[3:], W.dtype)
-            eye = eye.at[:, 0].add(jnp.eye(n_rows, eye.shape[-1], dtype=W.dtype))
-            W = jnp.concatenate([W, eye], axis=2)
+            W = _identity_pad(W, 2, pad)
             Y = _pad_to_multiple(Y, 3, n_bin_shards)
         outW, outY = jitted(Xp, (W, Y), n_iter, n_bins)
         return _slice_axis(outW, 2, n_bins), _slice_axis(outY, 3, n_bins)

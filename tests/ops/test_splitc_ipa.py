@@ -315,3 +315,72 @@ class TestSecularSolve:
         q_solve, q_eigh = quality(run("solve")), quality(run("eigh"))
         assert np.isfinite(q_solve)
         assert q_solve > q_eigh - 0.05, (q_solve, q_eigh)
+
+    def test_adversarial_regimes(self):
+        """Root accuracy in the regimes that broke the plain bracketed
+        Newton scheme (review-driven rework; see CLAUDE.md):
+
+        - near-singular ``v`` (root hugging the pole): Newton left the
+          root unconverged after 8 trips, sometimes LEFT of ``phi_max``
+          (indefinite resolvent);
+        - near-degenerate top pair: squared-power ``phi_est`` landed
+          O(1e-2) low and poisoned the bracket seed and pole anchor;
+        - ``z > phi_max`` far regime: the (since-removed) fixed-point
+          inner model solve 2-cycled and stalled O(1) wrong.
+        """
+        from ssspy_tpu.ops.splitc import _secular_root_solve_sc
+
+        rng = np.random.default_rng(11)
+        cases = []
+        for vscale, z, degenerate in [
+            (1e-4, 1e-3, False),
+            (1e-4, 0.5, False),
+            (1e-3, 1e-3, True),
+            (1e-4, 1e-4, True),
+            (1.0, 10.0, False),  # z right of the spectrum
+            (1e-3, 10.0, False),
+        ]:
+            K = 7
+            A = rng.standard_normal((K, K)) + 1j * rng.standard_normal((K, K))
+            Q = np.linalg.qr(A)[0]
+            phi = np.sort(rng.uniform(0.05, 2.0, K))
+            if degenerate:
+                phi[-2] = phi[-1] * (1 - 1e-4)
+            H = (Q * phi) @ Q.conj().T
+            v = vscale * (rng.standard_normal(K) + 1j * rng.standard_normal(K))
+            cases.append((H, v, float(z)))
+
+        Hr = jnp.asarray(np.stack([c[0].real for c in cases]))
+        Hi = jnp.asarray(np.stack([c[0].imag for c in cases]))
+        vr = jnp.asarray(np.stack([c[1].real for c in cases]))
+        vi = jnp.asarray(np.stack([c[1].imag for c in cases]))
+        zz = jnp.asarray(np.array([c[2] for c in cases]))
+        lamb = np.asarray(_secular_root_solve_sc(Hr, Hi, vr, vi, zz)[0])
+
+        for i, (H, v, z) in enumerate(cases):
+            phi, sig = np.linalg.eigh(H)
+            vt = sig.conj().T @ v
+            assert lamb[i] > phi[-1], (i, lamb[i], phi[-1])
+            f = (
+                lamb[i] ** 2
+                * np.sum(np.abs(vt) ** 2 * phi / (lamb[i] - phi) ** 2)
+                - lamb[i] + z
+            )
+            # relative secular residual: the old scheme failed these at
+            # O(1); the rework holds ~1e-9 (f64) across all regimes
+            assert abs(f) / (abs(z) + lamb[i]) < 1e-6, (i, f)
+
+    def test_shift_invert_orthogonal_diag_probe(self):
+        """A = vv^H with v = (1,-1)/sqrt(2) has a CONSTANT diagonal — the
+        old diagonal-only probe never rotated and returned a zero vector;
+        the golden-angle-blended probe must recover the eigenvector."""
+        from ssspy_tpu.ops.splitc import _top_eigvec_shift_invert_sc
+
+        v = np.array([1.0, -1.0]) / np.sqrt(2)
+        H = np.outer(v, v)
+        vr, vi = _top_eigvec_shift_invert_sc(
+            jnp.asarray(H)[None], jnp.zeros((1, 2, 2))
+        )
+        got = np.asarray(vr[0]) + 1j * np.asarray(vi[0])
+        assert abs(np.linalg.norm(got) - 1.0) < 1e-6
+        assert abs(np.vdot(got, v)) > 1 - 1e-6
