@@ -1359,7 +1359,9 @@ def _secular_root_solve_sc(Hr, Hi, vr, vi, z, trips=8, tiny=1e-30):
     # but the Rayleigh quotient must approach phi_max tightly: the
     # singular branch's step norm sqrt((phi_max - z)/phi_max) is
     # sensitive near phi_max ~ z.
-    tr, ti = _top_eigvec_shift_invert_sc(Hr, Hi)
+    # bisect_trips=8 measured equal to the default 12 on the 598-case
+    # stress sweep (both dtypes); 6 degrades the worst case 4 orders
+    tr, ti = _top_eigvec_shift_invert_sc(Hr, Hi, bisect_trips=8)
     top = jnp.concatenate([tr, ti], axis=-1)
     Et = jnp.einsum("...ij,...j->...i", E, top)
     phi_est = jnp.sum(top * Et, axis=-1)
