@@ -595,19 +595,26 @@ def shard_pytree_run(
     )
 
     def run_padded(X, carry, n_iter):
-        n_bins = X.shape[x_bin_axis] if x_bin_axis is not None else None
         Xp = jnp.asarray(X)
         if x_bin_axis is not None:
             Xp = _pad_to_multiple(Xp, x_bin_axis, n_bin_shards)
         leaves = spec_treedef.flatten_up_to(carry)
+        # slice-back keys on each leaf's OWN pre-pad size: X may carry no
+        # bin axis at all (bin-replicated layouts) while the carry shards
+        orig_sizes = [
+            None if axis is None else jnp.asarray(leaf).shape[axis]
+            for leaf, axis in zip(leaves, axes_list)
+        ]
         leaves = _pad_carry_leaves(leaves, axes_list, n_bin_shards, identity_leaves)
         out = jitted(Xp, jax.tree.unflatten(spec_treedef, leaves), n_iter)
-        if n_bins is None or Xp.shape[x_bin_axis] == n_bins:
+        if all(
+            size is None or (size % n_bin_shards) == 0 for size in orig_sizes
+        ):
             return out
         out_leaves = spec_treedef.flatten_up_to(out)
         out_leaves = [
-            leaf if axis is None else _slice_axis(leaf, axis, n_bins)
-            for leaf, axis in zip(out_leaves, axes_list)
+            leaf if axis is None else _slice_axis(leaf, axis, size)
+            for leaf, axis, size in zip(out_leaves, axes_list, orig_sizes)
         ]
         return jax.tree.unflatten(spec_treedef, out_leaves)
 

@@ -807,3 +807,37 @@ def test_batched_ica_runner_matches_class(variant):
         ica = cls(record_loss=False)
         ica(X[b], n_iter=4)
         np.testing.assert_allclose(out[b], np.asarray(ica.demix_filter), atol=1e-10)
+
+
+def test_shard_pytree_run_bin_replicated_x():
+    """An x_spec with NO bin-sharded axis must not crash run_padded
+    (regression: _pad_to_multiple was called with axis=None)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ssspy_tpu.parallel import shard_pytree_run
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    dp, b = mesh.axis_names
+
+    # X replicated along bin; carry (W) sharded over its bin axis
+    def step(X, carry):
+        (W,) = carry
+        return (W + 0.5 * jnp.tanh(W) * jnp.mean(X**2),)
+
+    run = shard_pytree_run(
+        mesh,
+        step,
+        x_spec=P(dp, None, None),
+        carry_specs=(P(dp, None, b, None, None),),
+        identity_leaves=(),
+    )
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((2, 3, 16)).astype(np.float32)
+    W = rng.standard_normal((2, 2, 7, 3, 3)).astype(np.float32)  # 7 bins: uneven
+    (out,) = run(X, (jnp.asarray(W),), 3)
+    assert out.shape == W.shape
+
+    ref = (jnp.asarray(W),)
+    for _ in range(3):
+        ref = step(jnp.asarray(X), ref)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]), atol=1e-6)
