@@ -93,6 +93,79 @@ def profile_mnmf():
     )
     print(f"mnmf full step: {full:.2f} ms/iter ({1e3/full:.1f} it/s)")
 
+    from ssspy_tpu.ops.pallas_kernels import prepare_xx_lanes
+
+    lanes = jax.device_put(
+        tuple(np.asarray(a) for a in prepare_xx_lanes(XXs[0], XXs[1]))
+    )
+    hoisted = chain(
+        lambda c: sc.gauss_mnmf_step_sc(XXs, *c, XX_lanes=lanes),
+        (Tm, Vm, Hs),
+        lambda c: c[0],
+    )
+    print(f"mnmf step, hoisted lanes: {hoisted:.2f} ms/iter ({1e3/hoisted:.1f} it/s)")
+
+    unfused = chain(
+        lambda c: sc.gauss_mnmf_step_sc(XXs, *c, fuse="off"),
+        (Tm, Vm, Hs),
+        lambda c: c[0],
+    )
+    print(f"mnmf step, fuse=off: {unfused:.2f} ms/iter ({1e3/unfused:.1f} it/s)")
+
+    # fused kernel standalone (data-dependent chaining through T)
+    from ssspy_tpu.ops.pallas_kernels import planar_model_traces_sc
+
+    def ktrace_step(c):
+        (T_,) = c
+        Lamb = T_ @ Vm
+        t1, t2, Pr, Pi, Qr, Qi = planar_model_traces_sc(
+            Lamb, Hs[0], Hs[1], XXs[0], XXs[1], eps=1e-10, impl="pallas",
+            xx_lanes=lanes,
+        )
+        return (T_ + 0.0 * (t1.sum() + t2.sum() + Pr.sum() + Qr.sum()),)
+
+    kt = chain(ktrace_step, (Tm,), lambda c: c[0], n=30)
+    print(f"fused kernel standalone: {kt:.2f} ms/call (x3 per iter = {3*kt:.2f} ms)")
+
+    # spatial tail standalone: HQH congruence + ridge projections + gmean
+    def spatial_tail(c):
+        Pr_, Pi_ = c
+        HQHr, HQHi = sc._cmatmul(*sc._cmatmul(Hs[0], Hs[1], Pr_, Pi_), Hs[0], Hs[1])
+        Pr2, Pi2 = sc._psd_project_sc(Pr_, Pi_, 1e-10, "ridge")
+        HQHr, HQHi = sc._psd_project_sc(HQHr, HQHi, 1e-10, "ridge")
+        Gr, Gi = sc.gmean2_sc(Pr2, Pi2, HQHr, HQHi, impl="chol")
+        Gr, Gi = sc._psd_project_sc(Gr, Gi, 1e-10, "ridge")
+        return (Pr_ + 0.0 * Gr, Pi_ + 0.0 * Gi)
+
+    P0 = (Hs[0] + 0.3 * np.eye(M, dtype=np.float32), Hs[1])
+    st = chain(spatial_tail, P0, lambda c: c[0], n=30)
+    print(f"spatial tail standalone: {st:.2f} ms/iter")
+
+    def gmean_only(c):
+        Pr_, Pi_ = c
+        Gr, Gi = sc.gmean2_sc(Pr_, Pi_, Hs[0], Hs[1], impl="chol")
+        return (Pr_ + 0.0 * Gr, Pi_ + 0.0 * Gi)
+
+    gm = chain(gmean_only, P0, lambda c: c[0], n=30)
+    print(f"gmean chol standalone: {gm:.2f} ms/call")
+
+    # T/V multiplicative-update tail (einsums on the trace outputs)
+    num0 = jax.device_put((rng.random((M, I, T)) + 0.1).astype(np.float32))
+
+    def tv_tail(c):
+        (T_,) = c
+        n_ = jnp.einsum("nkt,nit->nik", Vm, num0)
+        d_ = jnp.einsum("nkt,nit->nik", Vm, num0 + 0.1)
+        T2 = jnp.maximum(T_ * jnp.sqrt(n_ / d_), 1e-10)
+        n2 = jnp.einsum("nik,nit->nkt", T2, num0)
+        d2 = jnp.einsum("nik,nit->nkt", T2, num0 + 0.1)
+        V2 = jnp.maximum(Vm * jnp.sqrt(n2 / d2), 1e-10)
+        Lamb = T2 @ V2
+        return (T2 + 0.0 * Lamb[:, :, :K],)
+
+    tv = chain(tv_tail, (Tm,), lambda c: c[0], n=30)
+    print(f"T/V einsum tail standalone: {tv:.2f} ms/iter")
+
     # stage: one traces() pass == model + inv_sandwich + 2 trace einsums.
     # Approximate by timing the step with normalization off vs on, and
     # the sandwich kernel standalone:

@@ -839,7 +839,8 @@ def fast_gauss_mnmf_dense(
     device in split-complex form; the multichannel Wiener separation
     runs on the host. Returns ``(separated, (T, V, H))``.
     """
-    from .ops.splitc import gauss_mnmf_step_sc, instant_covariance_sc
+    from .ops.pallas_kernels import prepare_xx_lanes
+    from .ops.splitc import _on_tpu_backend, gauss_mnmf_step_sc, instant_covariance_sc
 
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
@@ -856,12 +857,17 @@ def fast_gauss_mnmf_dense(
 
     Xs = jax.device_put(to_split(X))
 
+    # the fused TPU path wants the covariances in lanes layout; compute
+    # the relayout ONCE outside the scan (per-iteration it costs ~25%)
+    fused = _on_tpu_backend()
+
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n):
         XXs = instant_covariance_sc(Xs)
+        lanes = prepare_xx_lanes(XXs[0], XXs[1]) if fused else None
 
         def body(c, _):
-            return gauss_mnmf_step_sc(XXs, *c), None
+            return gauss_mnmf_step_sc(XXs, *c, XX_lanes=lanes), None
 
         return lax.scan(body, carry, None, length=n)[0]
 

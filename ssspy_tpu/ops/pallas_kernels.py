@@ -20,7 +20,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["weighted_covariance_sc", "planar_inverse_sc", "planar_inv_sandwich_sc", "iss1_sweep_pallas"]
+__all__ = [
+    "weighted_covariance_sc",
+    "planar_inverse_sc",
+    "planar_inv_sandwich_sc",
+    "planar_model_traces_sc",
+    "prepare_xx_lanes",
+    "iss1_sweep_pallas",
+]
 
 # beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
 # f32 plus weights/outputs) approach the ~16 MB/core VMEM budget; the
@@ -160,22 +167,23 @@ def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
 # one read of the operand pair, one write of the inverse pair.
 
 
-def _pinv_kernel(rr_ref, ri_ref, or_ref, oi_ref, aug_ref, *, m, tiny):
-    # rr/ri: (m, m, Bt) planar Hermitian tiles, batch last (lanes);
-    # aug: (2m, 3m, Bt) scratch holding the embedded augmented system.
+def _gj_inverse_lanes(aug_ref, Rr, Ri, m, tiny):
+    # Rr/Ri: (m, m, Bt) planar Hermitian values, batch last (lanes);
+    # aug_ref: (2m, 3m, Bt) scratch holding the embedded augmented system.
     # E(A) = [[Ar, -Ai], [Ai, Ar]] is real-SPD for Hermitian PD A, and
     # E(A)^{-1} [I; 0] = [Br; Bi] with B = A^{-1} — only m RHS columns.
+    # Returns the (Br, Bi) planar inverse pair as values.
     two_m = 2 * m
-    aug_ref[:m, :m, :] = rr_ref[:]
-    aug_ref[:m, m:two_m, :] = -ri_ref[:]
-    aug_ref[m:two_m, :m, :] = ri_ref[:]
-    aug_ref[m:two_m, m:two_m, :] = rr_ref[:]
+    aug_ref[:m, :m, :] = Rr
+    aug_ref[:m, m:two_m, :] = -Ri
+    aug_ref[m:two_m, :m, :] = Ri
+    aug_ref[m:two_m, m:two_m, :] = Rr
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (two_m, m), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (two_m, m), 1)
-    eye_cols = (row_ids == col_ids).astype(rr_ref.dtype)
+    eye_cols = (row_ids == col_ids).astype(Rr.dtype)
     aug_ref[:, two_m:, :] = jnp.broadcast_to(
-        eye_cols[:, :, None], (two_m, m, rr_ref.shape[-1])
+        eye_cols[:, :, None], (two_m, m, Rr.shape[-1])
     )
 
     # pivot-free Gauss-Jordan, statically unrolled: every op is an
@@ -193,8 +201,13 @@ def _pinv_kernel(rr_ref, ri_ref, or_ref, oi_ref, aug_ref, *, m, tiny):
         aug_ref[:] = aug_ref[:] - factor * row[None, :, :]
         aug_ref[k] = row
 
-    or_ref[:] = aug_ref[:m, two_m:, :]
-    oi_ref[:] = aug_ref[m:two_m, two_m:, :]
+    return aug_ref[:m, two_m:, :], aug_ref[m:two_m, two_m:, :]
+
+
+def _pinv_kernel(rr_ref, ri_ref, or_ref, oi_ref, aug_ref, *, m, tiny):
+    Br, Bi = _gj_inverse_lanes(aug_ref, rr_ref[:], ri_ref[:], m, tiny)
+    or_ref[:] = Br
+    oi_ref[:] = Bi
 
 
 def _pinv_pallas(Rr, Ri, block_b: int = 1024, interpret: bool = False, tiny=1e-20):
@@ -368,6 +381,229 @@ def planar_inv_sandwich_sc(
 
     Or_l, Oi_l, Sr_l, Si_l = outs
     return back(Or_l), back(Oi_l), back(Sr_l), back(Si_l)
+
+
+# ---- fused dense-MNMF model pass ---------------------------------------------
+#
+# One Wiener/trace pass of dense GaussMNMF needs, per (bin, frame):
+# the model covariance R = sum_n Lamb[n] H[n] (+ ridge), its inverse,
+# the sandwich M = R^-1 XX R^-1, the per-source traces tr(M H_n) and
+# tr(R^-1 H_n), and the Lamb-weighted frame reductions P_n = sum_t
+# Lamb R^-1 and Q_n = sum_t Lamb M. Composed from XLA ops this ships
+# R, R^-1 and M (~41 MB per plane each) through HBM once per stage —
+# the step is HBM-bound even with the Pallas inverse. This kernel
+# builds R in VMEM from (Lamb, H), inverts it with the same unrolled
+# Gauss-Jordan chain, sandwiches, and reduces to the traces and P/Q in
+# registers: HBM sees XX once and the (N, I, Tf) traces once; no
+# (I, Tf, m, m) intermediate exists at all. Every contraction is an
+# MXU matmul over the flattened (m*m) axis; the grid is one program
+# per frequency bin with the whole frame axis in lanes.
+
+
+def _model_traces_kernel(
+    lamb_ref,
+    htr_ref,
+    hti_ref,
+    hfr_ref,
+    hfi_ref,
+    xr_ref,
+    xi_ref,
+    t1_ref,
+    t2_ref,
+    pr_ref,
+    pi_ref,
+    qr_ref,
+    qi_ref,
+    aug_ref,
+    *,
+    m,
+    eps,
+    tiny,
+):
+    # lamb: (1, N, B); ht (1, mm, N) = flattened H^T per source (build
+    # layout); hf (1, N, mm) (trace layout); x: (1, mm, B) flattened XX.
+    # All H inputs are hermitized. Outputs: t1/t2 (1, N, B) traces,
+    # p/q (1, N, mm) flattened frame reductions.
+    mm = m * m
+    f32 = jnp.float32
+    lamb = lamb_ref[0]  # (N, B)
+
+    # R_flat[pq, b] = sum_n H[n, pq] lamb[n, b]  (MXU matmul)
+    Rr_flat = jnp.dot(htr_ref[0], lamb, preferred_element_type=f32)  # (mm, B)
+    Ri_flat = jnp.dot(hti_ref[0], lamb, preferred_element_type=f32)
+    # ridge: + eps on the diagonal (flat positions p*(m+1))
+    pq_ids = jax.lax.broadcasted_iota(jnp.int32, Rr_flat.shape, 0)
+    Rr_flat = Rr_flat + jnp.where(pq_ids % (m + 1) == 0, eps, 0.0).astype(f32)
+
+    B = Rr_flat.shape[-1]
+    Br, Bi = _gj_inverse_lanes(
+        aug_ref, Rr_flat.reshape(m, m, B), Ri_flat.reshape(m, m, B), m, tiny
+    )
+    M1r, M1i = _lane_cmatmul(Br, Bi, xr_ref[0].reshape(m, m, B), xi_ref[0].reshape(m, m, B), m)
+    Mr, Mi = _lane_cmatmul(M1r, M1i, Br, Bi, m)
+
+    Br_flat, Bi_flat = Br.reshape(mm, B), Bi.reshape(mm, B)
+    Mr_flat, Mi_flat = Mr.reshape(mm, B), Mi.reshape(mm, B)
+
+    # tr(M H_n) = sum_pq M[pq] H_n[pq] (H Hermitian): one matmul per plane
+    hfr, hfi = hfr_ref[0], hfi_ref[0]  # (N, mm)
+    t1_ref[0] = jnp.dot(hfr, Mr_flat, preferred_element_type=f32) + jnp.dot(
+        hfi, Mi_flat, preferred_element_type=f32
+    )
+    t2_ref[0] = jnp.dot(hfr, Br_flat, preferred_element_type=f32) + jnp.dot(
+        hfi, Bi_flat, preferred_element_type=f32
+    )
+
+    # P_n = sum_b lamb[n, b] R^-1[:, :, b]; Q_n likewise with M —
+    # contractions over the lane axis as dot_general (padded lanes
+    # carry lamb = 0, so they are exactly neutral)
+    dims = (((1,), (1,)), ((), ()))
+    pr_ref[0] = jax.lax.dot_general(lamb, Br_flat, dims, preferred_element_type=f32)
+    pi_ref[0] = jax.lax.dot_general(lamb, Bi_flat, dims, preferred_element_type=f32)
+    qr_ref[0] = jax.lax.dot_general(lamb, Mr_flat, dims, preferred_element_type=f32)
+    qi_ref[0] = jax.lax.dot_general(lamb, Mi_flat, dims, preferred_element_type=f32)
+
+
+def prepare_xx_lanes(XXr, XXi):
+    """Relayout instant covariances for :func:`planar_model_traces_sc`.
+
+    ``(I, Tf, m, m)`` planar pair -> ``(I, m*m, Tfp)`` with the frame
+    axis zero-padded to a lane multiple. The relayout ships the full
+    ~160 MB covariance tensor through HBM, so callers iterating the
+    dense-MNMF step MUST do it once outside the iteration scan and pass
+    the result as ``xx_lanes`` (three kernel calls per iteration would
+    otherwise each pay it again).
+    """
+    n_bins, Tf, m, _ = XXr.shape
+    pad_t = (-Tf) % 128
+    xx_r = jnp.transpose(XXr, (0, 2, 3, 1)).reshape(n_bins, m * m, Tf)
+    xx_i = jnp.transpose(XXi, (0, 2, 3, 1)).reshape(n_bins, m * m, Tf)
+    if pad_t:
+        xx_r = jnp.pad(xx_r, ((0, 0), (0, 0), (0, pad_t)))
+        xx_i = jnp.pad(xx_i, ((0, 0), (0, 0), (0, pad_t)))
+    return xx_r, xx_i
+
+
+def planar_model_traces_sc(
+    Lamb,
+    Hr,
+    Hi,
+    XXr,
+    XXi,
+    eps=1e-10,
+    impl: str = "auto",
+    tiny=1e-20,
+    xx_lanes=None,
+):
+    """Fused dense-MNMF model pass: traces + Lamb-weighted reductions.
+
+    Evaluates, without materializing any ``(I, Tf, m, m)`` intermediate,
+
+    - ``t1[n,i,t] = tr(R^-1 XX R^-1 H_n)`` and ``t2 = tr(R^-1 H_n)``,
+    - ``P[n,i] = sum_t Lamb[n,i,t] R^-1`` and ``Q[n,i] = sum_t Lamb M``,
+
+    where ``R = hermitize(sum_n Lamb[n] H_n) + eps I`` per (bin, frame)
+    (the ``psd_impl="ridge"`` model of :func:`gauss_mnmf_step_sc`;
+    reference math ssspy/bss/mnmf.py:836-1016). ``Lamb``: ``(N, I, Tf)``;
+    ``Hr/Hi``: ``(N, I, m, m)``; ``XXr/XXi``: ``(I, Tf, m, m)``. Returns
+    ``(t1, t2, Pr, Pi, Qr, Qi)``.
+
+    ``impl="pallas"``/``"interpret"``: the fused VMEM kernel (H is
+    hermitized first — a no-op for the algorithm's PSD-projected
+    covariances). ``"gj"``: the unfused XLA composition, numerically
+    identical to the pre-fusion step code. ``"auto"``: pallas on TPU f32
+    when the frame axis fits VMEM, gj elsewhere.
+
+    ``xx_lanes``: optional precomputed :func:`prepare_xx_lanes` output;
+    iterating callers pass it to hoist the (I, Tf, m, m) -> lanes
+    relayout out of the loop (it costs ~25% of a dense-MNMF iteration
+    when repeated per call). ``XXr/XXi`` are still required for the gj
+    path (pass them regardless).
+    """
+    n_src, n_bins, Tf = Lamb.shape
+    m = Hr.shape[-1]
+    if impl == "auto":
+        from .splitc import _on_tpu_backend
+
+        fits = Tf <= 4096 and Lamb.dtype == jnp.float32
+        impl = "pallas" if (_on_tpu_backend() and fits) else "gj"
+
+    if impl == "gj":
+        from .splitc import _cinv, _cmatmul
+
+        Rr = jnp.einsum("nit,nipq->itpq", Lamb, Hr)
+        Ri = jnp.einsum("nit,nipq->itpq", Lamb, Hi)
+        Rr = (Rr + jnp.swapaxes(Rr, -1, -2)) / 2
+        Ri = (Ri - jnp.swapaxes(Ri, -1, -2)) / 2
+        Rr = Rr + eps * jnp.eye(m, dtype=Rr.dtype)
+        Br, Bi = _cinv(Rr, Ri)
+        M1r, M1i = _cmatmul(Br, Bi, XXr, XXi)
+        Mr, Mi = _cmatmul(M1r, M1i, Br, Bi)
+        t1 = jnp.einsum("itab,niba->nit", Mr, Hr) - jnp.einsum(
+            "itab,niba->nit", Mi, Hi
+        )
+        t2 = jnp.einsum("itab,niba->nit", Br, Hr) - jnp.einsum(
+            "itab,niba->nit", Bi, Hi
+        )
+        Pr = jnp.einsum("nit,itpq->nipq", Lamb, Br)
+        Pi = jnp.einsum("nit,itpq->nipq", Lamb, Bi)
+        Qr = jnp.einsum("nit,itpq->nipq", Lamb, Mr)
+        Qi = jnp.einsum("nit,itpq->nipq", Lamb, Mi)
+        return t1, t2, Pr, Pi, Qr, Qi
+
+    interpret = impl == "interpret"
+    mm = m * m
+    # hermitize H (exact for the algorithm's PSD-projected covariances)
+    Hhr = (Hr + jnp.swapaxes(Hr, -1, -2)) / 2
+    Hhi = (Hi - jnp.swapaxes(Hi, -1, -2)) / 2
+    # build layout (I, mm, N) and trace layout (I, N, mm)
+    hf_r = jnp.transpose(Hhr, (1, 0, 2, 3)).reshape(n_bins, n_src, mm)
+    hf_i = jnp.transpose(Hhi, (1, 0, 2, 3)).reshape(n_bins, n_src, mm)
+    ht_r = jnp.swapaxes(hf_r, -1, -2)
+    ht_i = jnp.swapaxes(hf_i, -1, -2)
+
+    pad_t = (-Tf) % 128
+    Tfp = Tf + pad_t
+    lamb_l = jnp.transpose(Lamb, (1, 0, 2))  # (I, N, Tf)
+    if xx_lanes is None:
+        xx_r, xx_i = prepare_xx_lanes(XXr, XXi)
+    else:
+        xx_r, xx_i = xx_lanes
+    if pad_t:
+        # zero-padded frames see R = eps I (finite inverse), XX = 0 and
+        # lamb = 0 — exactly neutral in every output
+        lamb_l = jnp.pad(lamb_l, ((0, 0), (0, 0), (0, pad_t)))
+
+    kernel = functools.partial(_model_traces_kernel, m=m, eps=eps, tiny=tiny)
+    spec_lamb = pl.BlockSpec((1, n_src, Tfp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_ht = pl.BlockSpec((1, mm, n_src), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_hf = pl.BlockSpec((1, n_src, mm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_xx = pl.BlockSpec((1, mm, Tfp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    f32 = Lamb.dtype
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_bins, n_src, Tfp), f32),  # t1
+        jax.ShapeDtypeStruct((n_bins, n_src, Tfp), f32),  # t2
+        jax.ShapeDtypeStruct((n_bins, n_src, mm), f32),  # Pr
+        jax.ShapeDtypeStruct((n_bins, n_src, mm), f32),  # Pi
+        jax.ShapeDtypeStruct((n_bins, n_src, mm), f32),  # Qr
+        jax.ShapeDtypeStruct((n_bins, n_src, mm), f32),  # Qi
+    ]
+    out_specs = [spec_lamb, spec_lamb, spec_hf, spec_hf, spec_hf, spec_hf]
+
+    t1, t2, Pr, Pi, Qr, Qi = pl.pallas_call(
+        kernel,
+        grid=(n_bins,),
+        in_specs=[spec_lamb, spec_ht, spec_ht, spec_hf, spec_hf, spec_xx, spec_xx],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((2 * m, 3 * m, Tfp), f32)],
+        interpret=interpret,
+    )(lamb_l, ht_r, ht_i, hf_r, hf_i, xx_r, xx_i)
+
+    t1 = jnp.transpose(t1[..., :Tf], (1, 0, 2))
+    t2 = jnp.transpose(t2[..., :Tf], (1, 0, 2))
+    back = lambda a: jnp.transpose(a.reshape(n_bins, n_src, m, m), (1, 0, 2, 3))
+    return t1, t2, back(Pr), back(Pi), back(Qr), back(Qi)
 
 
 # ---- fused ISS1 sweep --------------------------------------------------------

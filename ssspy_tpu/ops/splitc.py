@@ -2356,6 +2356,8 @@ def gauss_mnmf_step_sc(
     inv_impl: str = "auto",
     gmean_impl: str = "auto",
     bin_mask=None,
+    fuse: str = "auto",
+    XX_lanes=None,
 ):
     """One GaussMNMF iteration in split-complex form.
 
@@ -2369,8 +2371,17 @@ def gauss_mnmf_step_sc(
     or None. ``psd_impl`` as in :func:`ipsdta_vcd_step_sc`; ``inv_impl``
     selects the backend for the (bins x frames)-batched model inverse —
     the dominant cost of the dense iteration (see
-    :func:`ssspy_tpu.ops.pallas_kernels.planar_inverse_sc`). Returns
-    ``(T, V, Hs[, Z])``.
+    :func:`ssspy_tpu.ops.pallas_kernels.planar_inverse_sc`). ``fuse``:
+    ``"pallas"`` routes every model/inverse/sandwich/trace pass through
+    the fully fused VMEM kernel
+    (:func:`ssspy_tpu.ops.pallas_kernels.planar_model_traces_sc` — no
+    ``(I, Tf, m, m)`` intermediate ever reaches HBM), ``"off"`` keeps
+    the stage-wise composition, ``"auto"`` picks pallas on f32 TPU
+    ridge-model runs. ``XX_lanes``: optional precomputed
+    :func:`ssspy_tpu.ops.pallas_kernels.prepare_xx_lanes` relayout of
+    ``XXs`` — iterating callers compute it once outside the scan so the
+    three fused passes per iteration skip the ~160 MB relayout.
+    Returns ``(T, V, Hs[, Z])``.
 
     ``bin_mask`` (optional, ``(I,)`` bool): bins marked False are inert
     padding — their Wiener-trace statistics are zeroed before the
@@ -2382,7 +2393,7 @@ def gauss_mnmf_step_sc(
     a padded-zero basis row, whose ``tr(R^-1 H)`` then pollutes the
     activation denominator at O(1).
     """
-    from .pallas_kernels import planar_inv_sandwich_sc
+    from .pallas_kernels import planar_inv_sandwich_sc, planar_model_traces_sc
 
     XXr, XXi = XXs[0], XXs[1]
     Hr, Hi = Hs[0], Hs[1]
@@ -2391,6 +2402,19 @@ def gauss_mnmf_step_sc(
         psd_impl = "ridge" if (on_tpu and XXr.dtype != jnp.float64) else "eigh"
     if gmean_impl == "auto":
         gmean_impl = "chol" if (on_tpu and XXr.dtype != jnp.float64) else "eigh2"
+    if fuse == "auto":
+        # the fused kernel evaluates the ridge model only; the eigh
+        # (parity) model keeps the unfused composition
+        fuse = (
+            "pallas"
+            if (
+                on_tpu
+                and psd_impl == "ridge"
+                and XXr.dtype == jnp.float32
+                and XXr.shape[1] <= 4096
+            )
+            else "off"
+        )
 
     def lamb_of(T, V, Z):
         if Z is None:
@@ -2412,21 +2436,27 @@ def gauss_mnmf_step_sc(
         broadcast Gauss-Jordan solve (the dominant cost of the MM
         updates at (bins x frames) batch sizes).
         """
-        Rr, Ri = model(T, V, Z)
-        # fused (R^-1, R^-1 XX R^-1): the two congruence matmuls are
-        # evaluated inside the inverse kernel on TPU (see
-        # planar_inv_sandwich_sc — the XLA batched small-matmul form is
-        # the dominant cost of the dense step)
-        Rinv_r, Rinv_i, Mr, Mi = planar_inv_sandwich_sc(
-            Rr, Ri, XXr, XXi, impl=inv_impl
-        )
-        # tr(R^-1 XX R^-1 H) = sum_ab (R^-1 XX R^-1)[a,b] H[b,a]
-        tr_RXXRH = jnp.einsum("itab,niba->nit", Mr, Hr) - jnp.einsum(
-            "itab,niba->nit", Mi, Hi
-        )
-        tr_RH = jnp.einsum("itab,niba->nit", Rinv_r, Hr) - jnp.einsum(
-            "itab,niba->nit", Rinv_i, Hi
-        )
+        if fuse != "off":
+            tr_RXXRH, tr_RH, *_ = planar_model_traces_sc(
+                lamb_of(T, V, Z), Hr, Hi, XXr, XXi, eps=eps, impl=fuse,
+                xx_lanes=XX_lanes,
+            )
+        else:
+            Rr, Ri = model(T, V, Z)
+            # fused (R^-1, R^-1 XX R^-1): the two congruence matmuls are
+            # evaluated inside the inverse kernel on TPU (see
+            # planar_inv_sandwich_sc — the XLA batched small-matmul form
+            # is the dominant cost of the dense step)
+            Rinv_r, Rinv_i, Mr, Mi = planar_inv_sandwich_sc(
+                Rr, Ri, XXr, XXi, impl=inv_impl
+            )
+            # tr(R^-1 XX R^-1 H) = sum_ab (R^-1 XX R^-1)[a,b] H[b,a]
+            tr_RXXRH = jnp.einsum("itab,niba->nit", Mr, Hr) - jnp.einsum(
+                "itab,niba->nit", Mi, Hi
+            )
+            tr_RH = jnp.einsum("itab,niba->nit", Rinv_r, Hr) - jnp.einsum(
+                "itab,niba->nit", Rinv_i, Hi
+            )
         if bin_mask is not None:
             # inert padded bins: zero their statistics BEFORE any
             # bin-reducing contraction (jnp.where, not multiply — the
@@ -2460,15 +2490,21 @@ def gauss_mnmf_step_sc(
     V = jnp.maximum(V * jnp.sqrt(n_ / d_), eps)
 
     # ---- spatial update H <- P^{-1} # HQH (mnmf.py:970-1016) ------------------
-    Lamb = lamb_of(T, V, Z)
-    Rr, Ri = model(T, V, Z)
-    Rinv_r, Rinv_i, RXXRr, RXXRi = planar_inv_sandwich_sc(
-        Rr, Ri, XXr, XXi, impl=inv_impl
-    )
-    Pr = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_r)
-    Pi = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_i)
-    Qr = jnp.einsum("nit,itpq->nipq", Lamb, RXXRr)
-    Qi = jnp.einsum("nit,itpq->nipq", Lamb, RXXRi)
+    if fuse != "off":
+        _, _, Pr, Pi, Qr, Qi = planar_model_traces_sc(
+            lamb_of(T, V, Z), Hr, Hi, XXr, XXi, eps=eps, impl=fuse,
+            xx_lanes=XX_lanes,
+        )
+    else:
+        Lamb = lamb_of(T, V, Z)
+        Rr, Ri = model(T, V, Z)
+        Rinv_r, Rinv_i, RXXRr, RXXRi = planar_inv_sandwich_sc(
+            Rr, Ri, XXr, XXi, impl=inv_impl
+        )
+        Pr = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_r)
+        Pi = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_i)
+        Qr = jnp.einsum("nit,itpq->nipq", Lamb, RXXRr)
+        Qi = jnp.einsum("nit,itpq->nipq", Lamb, RXXRi)
     HQHr, HQHi = _cmatmul(*_cmatmul(Hr, Hi, Qr, Qi), Hr, Hi)
     Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
     HQHr, HQHi = _psd_project_sc(HQHr, HQHi, eps, psd_impl)
