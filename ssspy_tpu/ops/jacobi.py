@@ -23,16 +23,11 @@ __all__ = ["jacobi_eigh"]
 
 
 @functools.lru_cache(maxsize=None)
-def _schedule(n: int):
-    """Round-robin tournament pairings + one-hot rotation masks.
-
-    Returns ``(M_cc, M_ss)`` of shape ``(n_rounds, n_pairs, n, n)`` for
-    assembling each round's rotation ``J = sum_k c_k Mcc_k + s_k Mss_k``
-    (plus the identity residue for the odd player when n is odd), the
-    identity residue ``I_res`` per round, and the pair-extraction masks.
-    """
+def _round_pairs(n: int):
+    """Round-robin tournament pairings: a list of rounds, each a list of
+    disjoint ``(p, q)`` index pairs (``p < q``) that together cover every
+    off-diagonal position once per cycle."""
     players = list(range(n))
-    bye = None
     if n % 2 == 1:
         players = players + [n]  # virtual bye player
     m = len(players)
@@ -46,6 +41,19 @@ def _schedule(n: int):
                 pairs.append((min(p, q), max(p, q)))
         rounds.append(pairs)
         arr = [arr[0]] + [arr[-1]] + arr[1:-1]
+    return tuple(tuple(r) for r in rounds)
+
+
+@functools.lru_cache(maxsize=None)
+def _schedule(n: int):
+    """Round-robin tournament pairings + one-hot rotation masks.
+
+    Returns ``(M_cc, M_ss)`` of shape ``(n_rounds, n_pairs, n, n)`` for
+    assembling each round's rotation ``J = sum_k c_k Mcc_k + s_k Mss_k``
+    (plus the identity residue for the odd player when n is odd), the
+    identity residue ``I_res`` per round, and the pair-extraction masks.
+    """
+    rounds = _round_pairs(n)
 
     n_rounds = len(rounds)
     n_pairs = max(len(p) for p in rounds)
@@ -73,7 +81,9 @@ def _schedule(n: int):
     return Mcc, Mss, Ires, Epq, Epp, Eqq
 
 
-def jacobi_eigh(A, sweeps: Optional[int] = None, tiny: float = 1e-30):
+def jacobi_eigh(
+    A, sweeps: Optional[int] = None, tiny: float = 1e-30, impl: str = "auto"
+):
     """Eigendecomposition of real symmetric ``(..., n, n)`` matrices.
 
     Drop-in for ``jnp.linalg.eigh`` on small n: returns ``(lamb, V)``
@@ -82,10 +92,43 @@ def jacobi_eigh(A, sweeps: Optional[int] = None, tiny: float = 1e-30):
     n — measured on f32 PSD batches incl. ill-conditioned members:
     6 sweeps is converged (bit-identical to 12) through n=32, n=64/128
     need 8 (6 leaves ~1e-4 relative error there).
+
+    ``impl``: ``"xla"`` applies each round's disjoint rotations as one
+    dense similarity built from one-hot masks (three batched matmuls per
+    round); ``"lanes"`` runs the VMEM-resident Pallas kernel
+    (:func:`ssspy_tpu.ops.pallas_kernels.jacobi_eigh_lanes`) where each
+    rotation is an elementwise row/column FMA in batch-in-lanes layout —
+    the batched ``(B, n, n)`` matmuls of the xla form lower
+    pathologically on the TPU backend at small ``n`` (measured ~11x for
+    the prox Gram eighs). ``"lanes_interpret"`` is the Pallas
+    interpreter (CPU parity tests); ``"auto"`` picks lanes on f32 TPU
+    backends for ``n <= 32`` with a large enough batch.
     """
     n = A.shape[-1]
     if sweeps is None:
         sweeps = 6 if n <= 32 else 8
+    if impl == "auto":
+        from .splitc import _on_tpu_backend
+
+        n_batch = 1
+        for d in A.shape[:-2]:
+            n_batch *= d
+        impl = (
+            "lanes"
+            if (
+                _on_tpu_backend()
+                and A.dtype == jnp.float32
+                and 2 <= n <= 32
+                and n_batch >= 64
+            )
+            else "xla"
+        )
+    if impl in ("lanes", "lanes_interpret"):
+        from .pallas_kernels import jacobi_eigh_lanes
+
+        return jacobi_eigh_lanes(
+            A, sweeps=sweeps, tiny=tiny, interpret=(impl == "lanes_interpret")
+        )
     dtype = A.dtype
     Mcc, Mss, Ires, Epq, Epp, Eqq = (
         jnp.asarray(m, dtype) for m in _schedule(n)

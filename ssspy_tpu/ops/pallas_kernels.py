@@ -27,6 +27,7 @@ __all__ = [
     "planar_model_traces_sc",
     "prepare_xx_lanes",
     "iss1_sweep_pallas",
+    "jacobi_eigh_lanes",
 ]
 
 # beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
@@ -686,3 +687,138 @@ def iss1_sweep_pallas(
         out_shape=[out_shape, out_shape],
         interpret=interpret,
     )(Yr, Yi, varphi)
+
+
+# ---- batched small-matrix symmetric eigh (parallel Jacobi, lanes) -----------
+#
+# jacobi_eigh's XLA form applies each round's disjoint rotations as a dense
+# similarity: three batched (B, n, n) matmuls per round, ~270 of them per
+# eigh. At the n <= 32 sizes the split-complex kernels need, those batched
+# small matmuls hit the backend's pathological lowering (the dense-MNMF
+# finding) and the eigh costs ~1 ms at (257, 16, 16) — the entire prox /
+# PSD-projection budget of the PDS/ADMM/HVA and MNMF-family steps. Here the
+# whole decomposition runs VMEM-resident in batch-in-lanes layout (n, n, B):
+# a Givens rotation touches two rows and two columns, so each round is two
+# elementwise FMA passes (rows, then columns) against a statically-permuted
+# copy of A built from static slices — no matmuls, no gathers, one HBM round
+# trip for the whole eigh.
+
+
+def _jacobi_lanes_kernel(a_ref, lamb_ref, v_ref, *, n, sweeps, tiny):
+    from .jacobi import _round_pairs
+
+    dtype = a_ref.dtype
+    B = a_ref.shape[-1]
+    rounds = _round_pairs(n)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (row_ids == col_ids).astype(dtype)
+    V0 = jnp.broadcast_to(eye[:, :, None], (n, n, B))
+    A0 = a_ref[:]
+
+    ones = jnp.ones((1, 1, B), dtype)
+    zeros = jnp.zeros((1, 1, B), dtype)
+
+    def one_round(A, V, pairs):
+        partner = list(range(n))
+        cpiece = [ones] * n
+        spiece = [zeros] * n
+        for p, q in pairs:
+            partner[p], partner[q] = q, p
+            app = A[p, p, :]
+            aqq = A[q, q, :]
+            # symmetrized read: the two-sided FMA updates keep A
+            # symmetric only up to roundoff and there is no cheap
+            # transpose in this layout
+            apq = (A[p, q, :] + A[q, p, :]) * 0.5
+            safe_apq = jnp.where(jnp.abs(apq) < tiny, tiny, apq)
+            tau = (aqq - app) / (2 * safe_apq)
+            # Golub-Van Loan convention: sgn(0) = +1 (see jacobi_eigh)
+            sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(dtype)
+            t = sgn / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
+            t = jnp.where(jnp.abs(apq) < tiny, 0.0, t)
+            c = 1.0 / jnp.sqrt(1 + t * t)
+            s = t * c
+            c = c.reshape(1, 1, B)
+            s = s.reshape(1, 1, B)
+            # J^T A: row p <- c A[p] - s A[q]; row q <- s A[p] + c A[q]
+            # (A J on columns has the same coefficients)
+            cpiece[p], cpiece[q] = c, c
+            spiece[p], spiece[q] = -s, s
+
+        Crow = jnp.concatenate(cpiece, axis=0)  # (n, 1, B)
+        Srow = jnp.concatenate(spiece, axis=0)
+        Ccol = jnp.concatenate(cpiece, axis=1)  # (1, n, B)
+        Scol = jnp.concatenate(spiece, axis=1)
+
+        Aperm = jnp.concatenate([A[j : j + 1] for j in partner], axis=0)
+        A = Crow * A + Srow * Aperm
+        Aperm = jnp.concatenate([A[:, j : j + 1, :] for j in partner], axis=1)
+        A = Ccol * A + Scol * Aperm
+        Vperm = jnp.concatenate([V[:, j : j + 1, :] for j in partner], axis=1)
+        V = Ccol * V + Scol * Vperm
+        return A, V
+
+    def one_sweep(_, AV):
+        A, V = AV
+        for pairs in rounds:
+            A, V = one_round(A, V, pairs)
+        return A, V
+
+    A, V = jax.lax.fori_loop(0, sweeps, one_sweep, (A0, V0))
+
+    lamb_ref[:] = jnp.concatenate([A[i, i : i + 1, :] for i in range(n)], axis=0)
+    v_ref[:] = V
+
+
+def jacobi_eigh_lanes(
+    A, sweeps: int = 6, tiny: float = 1e-30, block_b: int = None, interpret=False
+):
+    """Batched symmetric eigh ``(..., n, n) -> (lamb, V)`` — Pallas path.
+
+    Same fixed-sweep parallel-cyclic-Jacobi iteration as
+    :func:`ssspy_tpu.ops.jacobi.jacobi_eigh` (ascending eigenvalues,
+    orthonormal columns); rotations applied as VMEM-resident lane FMAs
+    instead of batched small matmuls. Numerics differ from the xla form
+    only by FMA association order.
+    """
+    batch_shape = A.shape[:-2]
+    n = A.shape[-1]
+    if block_b is None:
+        block_b = 512 if n <= 16 else 128
+    if interpret:
+        block_b = min(block_b, 128)
+    A2 = A.reshape(-1, n, n)
+    n_batch = A2.shape[0]
+    pad = (-n_batch) % block_b
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), (pad, n, n))
+        A2 = jnp.concatenate([A2, eye], axis=0)
+    total = A2.shape[0]
+    A_l = jnp.transpose(A2, (1, 2, 0))  # (n, n, B): batch in lanes
+
+    kernel = functools.partial(_jacobi_lanes_kernel, n=n, sweeps=sweeps, tiny=tiny)
+    mat_spec = pl.BlockSpec(
+        (n, n, block_b), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+    )
+    vec_spec = pl.BlockSpec((n, block_b), lambda b: (0, b), memory_space=pltpu.VMEM)
+
+    lamb_l, V_l = pl.pallas_call(
+        kernel,
+        grid=(total // block_b,),
+        in_specs=[mat_spec],
+        out_specs=[vec_spec, mat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, total), A.dtype),
+            jax.ShapeDtypeStruct((n, n, total), A.dtype),
+        ],
+        interpret=interpret,
+    )(A_l)
+
+    lamb = jnp.transpose(lamb_l, (1, 0))[:n_batch]  # (batch, n)
+    V = jnp.transpose(V_l, (2, 0, 1))[:n_batch]  # (batch, n, n)
+    order = jnp.argsort(lamb, axis=-1)
+    lamb = jnp.take_along_axis(lamb, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return lamb.reshape(*batch_shape, n), V.reshape(*batch_shape, n, n)

@@ -2154,17 +2154,28 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     G2 = block_embed(Gr, Gi)  # E(G), (.., 2M, 2M)
     SR = jnp.swapaxes(G2, -1, -2) @ G2
     SR = (SR + jnp.swapaxes(SR, -1, -2)) / 2
-    lamb, V2 = _eigh(SR)  # sigma^2, doubled, ascending
-    sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
-    shrunk = neg_log(sigma, step_size=step_size)
 
     if not lift_null:
+        lamb, V2 = _eigh(SR)  # sigma^2, doubled, ascending
+        sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
+        shrunk = neg_log(sigma, step_size=step_size)
         divisor = jnp.maximum(sigma, rel * sigma[..., -1:])
         ratio = shrunk / divisor
         W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
         Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
         Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
         return Wr, Wi
+
+    # the left Gram shares SR's spectrum, so both eighs ride ONE batched
+    # solver call (the batch axis is close to free on the latency-bound
+    # kernel; sigma is read from the right Gram's copy as before)
+    SL = G2 @ jnp.swapaxes(G2, -1, -2)
+    SL = (SL + jnp.swapaxes(SL, -1, -2)) / 2
+    lamb_both, P_both = _eigh(jnp.stack([SR, SL], axis=0))
+    lamb, V2 = lamb_both[0], P_both[0]
+    U2 = P_both[1]
+    sigma = jnp.sqrt(jnp.maximum(lamb, 0.0))
+    shrunk = neg_log(sigma, step_size=step_size)
 
     # per-PAIR classification: the two embedded copies of one complex
     # sigma differ only by eigh roundoff and must classify together (a
@@ -2177,8 +2188,6 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     divisor = jnp.maximum(sigma, rel * sigma[..., -1:])
     ratio = jnp.where(big, shrunk / divisor, 0.0)
     W2 = G2 @ ((V2 * ratio[..., None, :]) @ jnp.swapaxes(V2, -1, -2))
-    Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
-    Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
 
     # Null-space lift, built in COMPLEX space so it is E-structured by
     # construction: the left Gram's eigh supplies a left null basis, and
@@ -2189,30 +2198,35 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     # G = 0 both eighs return the identity and the lift is sqrt(step) I,
     # LAPACK's svd(0) convention; complex null spaces of dimension >= 2
     # may mix directions, which is within the minimizer set's freedom).
-    SL = G2 @ jnp.swapaxes(G2, -1, -2)
-    SL = (SL + jnp.swapaxes(SL, -1, -2)) / 2
-    _, U2 = _eigh(SL)
-    U2r, U2i = U2[..., :n, :], U2[..., n:, :]
-    V2r, V2i = V2[..., :n, :], V2[..., n:, :]
-    # per-column complex outer products u_j v_j^H of the two bases
-    Tr = jnp.einsum("...mj,...nj->...jmn", U2r, V2r) + jnp.einsum(
-        "...mj,...nj->...jmn", U2i, V2i
-    )
-    Ti = jnp.einsum("...mj,...nj->...jmn", U2i, V2r) - jnp.einsum(
-        "...mj,...nj->...jmn", U2r, V2i
-    )
-    # each complex null direction appears as an adjacent embedded pair
-    # whose two outer products are +-equal up to the (independent)
+    #
+    # Each complex null direction appears as an adjacent embedded column
+    # pair whose two outer products are +-equal up to the (independent)
     # intra-pair orientations of the two eighs — align the sign before
-    # averaging, or the pair can cancel to zero
-    T1r, T1i = Tr[..., 0::2, :, :], Ti[..., 0::2, :, :]
-    T2r, T2i = Tr[..., 1::2, :, :], Ti[..., 1::2, :, :]
-    align = jnp.sum(T1r * T2r + T1i * T2i, axis=(-1, -2))  # Re<T1, T2>_F
-    s = jnp.where(align >= 0, 1.0, -1.0)[..., None, None]
-    wp = jnp.where(~pair_big, jnp.sqrt(step_size), 0.0)[..., None, None]
-    Lr = jnp.sum(wp * (T1r + s * T2r) / 2, axis=-3)
-    Li = jnp.sum(wp * (T1i + s * T2i) / 2, axis=-3)
-    return Wr + Lr, Wi + Li
+    # averaging, or the pair can cancel to zero. The per-pair Frobenius
+    # alignment reduces to scalars: Re<u1 v1^H, u2 v2^H>_F =
+    # Re((u1^H u2)(v2^H v1)). The summed lift is then ONE embedded
+    # matmul U2 diag(w') V2^T with the interleaved per-column weights
+    # w' = (wp, wp*s): a single embedded column outer extracts to HALF
+    # the complex outer product, which supplies exactly the /2 pair
+    # average (this replaced per-column (batch, 2M, M, M) outer-product
+    # tensors — ~30 MB of HBM traffic per prox at the PDS/ADMM shapes).
+    u1r, u1i = U2[..., :n, 0::2], U2[..., n:, 0::2]
+    u2r, u2i = U2[..., :n, 1::2], U2[..., n:, 1::2]
+    v1r, v1i = V2[..., :n, 0::2], V2[..., n:, 0::2]
+    v2r, v2i = V2[..., :n, 1::2], V2[..., n:, 1::2]
+    ar = jnp.sum(u1r * u2r + u1i * u2i, axis=-2)  # Re(u1^H u2), (batch, n)
+    ai = jnp.sum(u1r * u2i - u1i * u2r, axis=-2)
+    br = jnp.sum(v2r * v1r + v2i * v1i, axis=-2)  # Re(v2^H v1)
+    bi = jnp.sum(v2r * v1i - v2i * v1r, axis=-2)
+    align = ar * br - ai * bi
+    s = jnp.where(align >= 0, 1.0, -1.0)
+    wp = jnp.where(~pair_big, jnp.sqrt(step_size), 0.0)  # (batch, n)
+    wcols = jnp.stack([wp, wp * s], axis=-1).reshape(*wp.shape[:-1], 2 * n)
+    W2 = W2 + (U2 * wcols[..., None, :]) @ jnp.swapaxes(V2, -1, -2)
+
+    Wr = (W2[..., :n, :n] + W2[..., n:, n:]) / 2
+    Wi = (W2[..., n:, :n] - W2[..., :n, n:]) / 2
+    return Wr, Wi
 
 
 def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10,
