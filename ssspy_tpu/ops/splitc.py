@@ -1738,13 +1738,24 @@ def ipa_sweep_sc(
         q_r = qc_r / a_sqrt - b_r / a_n
         q_i = qc_i / a_sqrt - b_i / a_n
 
-        # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair
+        # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair — built by a
+        # static stack (oth is trace-time constant) instead of N-1
+        # scatter updates: one op each instead of 2(N-1)
         n_bins = Yr.shape[1]
-        qt_r = jnp.zeros((n_bins, n_sources), Yr.dtype).at[:, n].set(1.0)
-        qt_i = jnp.zeros((n_bins, n_sources), Yr.dtype)
-        for k, s in enumerate(oth):
-            qt_r = qt_r.at[:, s].set(-q_r[:, k])
-            qt_i = qt_i.at[:, s].set(q_i[:, k])
+        one = jnp.ones((n_bins,), Yr.dtype)
+        zero = jnp.zeros((n_bins,), Yr.dtype)
+        cols_r, cols_i = [], []
+        k = 0
+        for s in range(n_sources):
+            if s == n:
+                cols_r.append(one)
+                cols_i.append(zero)
+            else:
+                cols_r.append(-q_r[:, k])
+                cols_i.append(q_i[:, k])
+                k += 1
+        qt_r = jnp.stack(cols_r, axis=-1)
+        qt_i = jnp.stack(cols_i, axis=-1)
 
         Uq_r, Uq_i = csolve(Un_r, Un_i, qt_r, qt_i)
         qUq = jnp.sum(qt_r * Uq_r + qt_i * Uq_i, axis=-1)
@@ -1756,12 +1767,22 @@ def ipa_sweep_sc(
         PY_r = jnp.einsum("is,sit->it", p_r, Yr) + jnp.einsum("is,sit->it", p_i, Yi)
         PY_i = jnp.einsum("is,sit->it", p_r, Yi) - jnp.einsum("is,sit->it", p_i, Yr)
 
+        # Y_s += conj(q_s) Y_n for all s != n as ONE batched outer-product
+        # add (q zero-padded at position n) instead of N-1 per-source
+        # multiply/scatter rounds: ~6 large fused ops replace ~6(N-1)
+        # small ones — the sweep is op-dispatch-latency-bound (see
+        # BENCHMARKS.md roofline), so fewer, larger ops is the lever.
         Ynr, Yni = Yr[n], Yi[n]
-        for k, s in enumerate(oth):
-            add_r = q_r[:, k, None] * Ynr + q_i[:, k, None] * Yni
-            add_i = q_r[:, k, None] * Yni - q_i[:, k, None] * Ynr
-            Yr = Yr.at[s].add(add_r)
-            Yi = Yi.at[s].add(add_i)
+        qf_r = jnp.stack(
+            [zero if s == n else q_r[:, oth.index(s)] for s in range(n_sources)],
+            axis=0,
+        )  # (N, I), row n = 0
+        qf_i = jnp.stack(
+            [zero if s == n else q_i[:, oth.index(s)] for s in range(n_sources)],
+            axis=0,
+        )
+        Yr = Yr + (qf_r[:, :, None] * Ynr[None] + qf_i[:, :, None] * Yni[None])
+        Yi = Yi + (qf_r[:, :, None] * Yni[None] - qf_i[:, :, None] * Ynr[None])
         Yr = Yr.at[n].set(PY_r)
         Yi = Yi.at[n].set(PY_i)
 
