@@ -372,8 +372,8 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
             rng,
         )
 
-        assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithms}."
-        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithms}."
+        assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithm}."
+        assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
 
         self.source_algorithm = source_algorithm
         self.spatial_algorithm = spatial_algorithm
@@ -388,6 +388,13 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
         super()._reset(**kwargs)
         if self.spatial_algorithm == "FPI":
             raise NotImplementedError("the FPI spatial update of IPSDTA is not implemented; use VCD.")
+        if self.source_algorithm != "MM":
+            # The reference raises when the EM source update is reached
+            # (ssspy/bss/ipsdta.py:860-863); fail fast at reset instead of
+            # silently running the MM update.
+            raise NotImplementedError(
+                f"the {self.source_algorithm} source update of IPSDTA is not implemented; use MM."
+            )
 
     def make_step(self):
         outer = self
@@ -529,6 +536,19 @@ class TIPSDTA(BlockDecompositionIPSDTABase):
         self.dof = dof
         self.source_algorithm = source_algorithm
         self.spatial_algorithm = spatial_algorithm
+
+    def _reset(self, **kwargs) -> None:
+        super()._reset(**kwargs)
+        if self.spatial_algorithm != "VCD":
+            # parity: ssspy/bss/ipsdta.py:1652-1655 raises for non-VCD.
+            raise NotImplementedError(
+                f"the {self.spatial_algorithm} spatial update of IPSDTA is not implemented; use VCD."
+            )
+        if self.source_algorithm != "MM":
+            # parity: ssspy/bss/ipsdta.py:1374-1377 raises for non-MM.
+            raise NotImplementedError(
+                f"the {self.source_algorithm} source update of IPSDTA is not implemented; use MM."
+            )
 
     def __repr__(self) -> str:
         keys = ["n_basis", "n_blocks", "dof", "source_algorithm", "spatial_algorithm", "source_normalization", "scale_restoration", "record_loss"]

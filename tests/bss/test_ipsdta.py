@@ -59,6 +59,22 @@ def test_ipsdta_repr_and_validation():
     with pytest.raises(NotImplementedError):
         GaussIPSDTA(n_basis=2, n_blocks=4, spatial_algorithm="FPI")(X, n_iter=1)
 
+    # The EM source update is listed but unimplemented; it must fail loudly
+    # (reference raises at update time, ssspy/bss/ipsdta.py:860-863,1374-1377)
+    # rather than silently running the MM update.
+    with pytest.raises(NotImplementedError, match="EM"):
+        GaussIPSDTA(n_basis=2, n_blocks=4, source_algorithm="EM")(X, n_iter=1)
+    with pytest.raises(NotImplementedError, match="EM"):
+        TIPSDTA(n_basis=2, n_blocks=4, dof=10, source_algorithm="EM")(X, n_iter=1)
+    with pytest.raises(NotImplementedError, match="FPI"):
+        TIPSDTA(n_basis=2, n_blocks=4, dof=10, spatial_algorithm="FPI")(X, n_iter=1)
+
+    # Constructor rejection messages must name the offending value.
+    with pytest.raises(AssertionError, match="NOPE"):
+        GaussIPSDTA(n_basis=2, n_blocks=4, source_algorithm="NOPE")
+    with pytest.raises(AssertionError, match="NOPE"):
+        TIPSDTA(n_basis=2, n_blocks=4, dof=10, spatial_algorithm="NOPE")
+
 
 def test_ipsdta_no_source_normalization():
     X = _mixture()

@@ -33,7 +33,7 @@ def test_step_with_interpret_covariance_matches_einsum():
     rng = np.random.default_rng(1)
     M, I, T = 3, 16, 40
     Xs = jnp.asarray(rng.standard_normal((2, M, I, T)), jnp.float32)
-    Ws = jnp.zeros((2, I, M, M), jnp.float32).at[0].set(jnp.eye(M))
+    Ws = jnp.zeros((2, I, M, M), jnp.float32).at[0].set(jnp.eye(M, dtype=jnp.float32))
 
     W_e = auxiva_ip1_step_sc(Xs, Ws, covariance_impl="einsum")
     W_p = auxiva_ip1_step_sc(Xs, Ws, covariance_impl="interpret")
