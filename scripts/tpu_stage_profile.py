@@ -194,9 +194,200 @@ def profile_mnmf():
     print(f"model einsum standalone: {md:.2f} ms/call (x3 per iter = {3*md:.2f} ms)")
 
 
+def profile_ipa():
+    """Stage decomposition of the post-secular IPA sweep (AuxIVA-IPA).
+
+    The sweep (ops/splitc.py ipa_sweep_sc, tikhonov + solve impls) loops
+    over N sources; per source the stages are (1) the varphi-weighted
+    covariance einsums, (2) the ridged planar inverse of U_n, (3) the
+    LQPQM reduction incl. the resolvent-secular solve, (4) the solve +
+    rank-1 Y-update tail. Each stage is timed standalone as its own
+    chained-scan program at the per-source shapes; multiply by N=8 to
+    compare against the full step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ssspy_tpu.ops import splitc as sc
+
+    rng = np.random.default_rng(0)
+    N, I, T = 8, 257, 627
+    Y0 = rng.standard_normal((2, N, I, T)).astype(np.float32)
+    Ys = jax.device_put(jnp.asarray(Y0))
+
+    full = chain(lambda c: sc.auxiva_ipa_step_sc(c), Ys, lambda c: c)
+    print(f"ipa full step: {full:.2f} ms/iter ({1e3/full:.1f} it/s)")
+
+    # stage 1: covariance einsums for ONE source (x8 per sweep)
+    def cov_stage(c):
+        Yr, Yi = c[0], c[1]
+        norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))
+        varphi = 1.0 / jnp.maximum(norm, 1e-10)
+        vp = varphi[0]
+        Un_r = (
+            jnp.einsum("t,ait,bit->iab", vp, Yr, Yr)
+            + jnp.einsum("t,ait,bit->iab", vp, Yi, Yi)
+        ) / T
+        Un_i = (
+            jnp.einsum("t,ait,bit->iab", vp, Yi, Yr)
+            - jnp.einsum("t,ait,bit->iab", vp, Yr, Yi)
+        ) / T
+        sumY2 = jnp.sum(Yr**2 + Yi**2, axis=0)
+        lam = jnp.einsum("st,it->is", varphi, sumY2)
+        Y2n = Yr[0] ** 2 + Yi[0] ** 2
+        a_all = jnp.einsum("st,it->is", varphi, Y2n)
+        prod_r = Yr[0][None] * Yr + Yi[0][None] * Yi
+        prod_i = Yi[0][None] * Yr - Yr[0][None] * Yi
+        b_r = jnp.einsum("st,sit->is", varphi, prod_r)
+        b_i = jnp.einsum("st,sit->is", varphi, prod_i)
+        pert = 1e-20 * (
+            jnp.sum(Un_r) + jnp.sum(Un_i) + jnp.sum(lam)
+            + jnp.sum(a_all) + jnp.sum(b_r) + jnp.sum(b_i)
+        )
+        return c + pert
+
+    cov = chain(cov_stage, Ys, lambda c: c)
+    print(f"ipa cov stage (1 source): {cov:.3f} ms  (x8 = {8*cov:.2f} ms)")
+
+    # stage 2: ridged planar inverse of U_n, (I, N, N) -> embedded 2Nx2N GJ
+    Uc = rng.standard_normal((I, N, T)) + 1j * rng.standard_normal((I, N, T))
+    U = (Uc @ Uc.conj().swapaxes(-1, -2)) / T + 0.1 * np.eye(N)
+    Ur0 = jax.device_put(U.real.astype(np.float32))
+    Ui0 = jax.device_put(U.imag.astype(np.float32))
+    E = jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32), Ur0.shape)
+
+    def inv_stage(c):
+        Vr, Vi = sc.csolve_matrix(c[0], c[1], E, jnp.zeros_like(E))
+        return (c[0] + 1e-20 * jnp.sum(Vr), c[1] + 1e-20 * jnp.sum(Vi))
+
+    inv = chain(inv_stage, (Ur0, Ui0), lambda c: c[0])
+    print(f"ipa inverse stage (1 source): {inv:.3f} ms  (x8 = {8*inv:.2f} ms)")
+
+    # stage 3: LQPQM reduction incl. resolvent-secular solve, (I, N-1)
+    K = N - 1
+    Hc = rng.standard_normal((I, K, T)) + 1j * rng.standard_normal((I, K, T))
+    H = (Hc @ Hc.conj().swapaxes(-1, -2)) / T
+    tr = np.trace(H, axis1=-2, axis2=-1).real
+    H = H / tr[:, None, None]
+    Hr0 = jax.device_put(H.real.astype(np.float32))
+    Hi0 = jax.device_put(H.imag.astype(np.float32))
+    z0 = jax.device_put((rng.random(I) + 0.5).astype(np.float32))
+    vr0 = jax.device_put(rng.standard_normal((I, K)).astype(np.float32))
+    vi0 = jax.device_put(rng.standard_normal((I, K)).astype(np.float32))
+
+    def lq_stage(c):
+        qr, qi = sc.lqpqm2_sc(
+            Hr0, Hi0, c[0], c[1], z0, eps=1e-10, max_iter=1, secular_impl="solve"
+        )
+        return (c[0] + 1e-20 * jnp.sum(qr), c[1] + 1e-20 * jnp.sum(qi))
+
+    lq = chain(lq_stage, (vr0, vi0), lambda c: c[0])
+    print(f"ipa lqpqm stage (1 source): {lq:.3f} ms  (x8 = {8*lq:.2f} ms)")
+
+    # stage 4: the two small csolves + rank-1 Y update tail
+    qfr0 = jax.device_put(rng.standard_normal((N, I)).astype(np.float32) * 0.1)
+    qfi0 = jax.device_put(rng.standard_normal((N, I)).astype(np.float32) * 0.1)
+
+    def tail_stage(c):
+        Yr, Yi = c[0], c[1]
+        dr = vr0
+        di = vi0
+        Cd_r, Cd_i = sc.csolve(Hr0, Hi0, dr, di)
+        qt_r = jnp.concatenate([jnp.ones((I, 1), jnp.float32), Cd_r], axis=-1)
+        qt_i = jnp.concatenate([jnp.zeros((I, 1), jnp.float32), Cd_i], axis=-1)
+        Uq_r, Uq_i = sc.csolve(Ur0, Ui0, qt_r, qt_i)
+        qUq = jnp.sum(qt_r * Uq_r + qt_i * Uq_i, axis=-1)
+        denom = jnp.maximum(jnp.sqrt(jnp.maximum(qUq, 0.0)), 1e-10)[:, None]
+        p_r, p_i = Uq_r / denom, Uq_i / denom
+        PY_r = jnp.einsum("is,sit->it", p_r, Yr) + jnp.einsum("is,sit->it", p_i, Yi)
+        PY_i = jnp.einsum("is,sit->it", p_r, Yi) - jnp.einsum("is,sit->it", p_i, Yr)
+        Ynr, Yni = Yr[0], Yi[0]
+        Yr = Yr + (qfr0[:, :, None] * Ynr[None] + qfi0[:, :, None] * Yni[None])
+        Yi = Yi + (qfr0[:, :, None] * Yni[None] - qfi0[:, :, None] * Ynr[None])
+        Yr = Yr.at[0].set(PY_r)
+        Yi = Yi.at[0].set(PY_i)
+        return jnp.stack([0.999 * Yr, 0.999 * Yi], axis=0)
+
+    tail = chain(tail_stage, Ys, lambda c: c)
+    print(f"ipa Y-tail stage (1 source): {tail:.3f} ms  (x8 = {8*tail:.2f} ms)")
+
+
+def profile_admm():
+    """ADMMIVA vs PDSIVA stage decomposition (VERDICT r3 weak #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssspy_tpu.ops import splitc as sc
+
+    rng = np.random.default_rng(0)
+    M, I, T = 8, 257, 627
+    Xc = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+    Xs = jax.device_put(jnp.asarray(np.stack([Xc.real, Xc.imag]).astype(np.float32)))
+    zf = jnp.zeros((2, I, M, M), jnp.float32)
+    zs = jnp.zeros((2, M, I, T), jnp.float32)
+
+    def admm_step(c):
+        _, V, Vt, Y, Yt = sc.admm_iva_step_sc(Xs, c[0], c[1], c[2], c[3])
+        return (V, Vt, Y, Yt)
+
+    full = chain(admm_step, (zf, zs, zf, zs), lambda c: c[0])
+    print(f"admm full step: {full:.2f} ms/iter ({1e3/full:.1f} it/s)")
+
+    def pds_step(c):
+        W, Y = sc.pds_iva_step_sc(Xs, c[0], c[1])
+        return (W, Y)
+
+    pds = chain(pds_step, (zf, zs), lambda c: c[0])
+    print(f"pds full step: {pds:.2f} ms/iter ({1e3/pds:.1f} it/s)")
+
+    # stage: the per-iteration XX einsum + (XX+I) solve (both constant in X!)
+    def xx_solve_stage(c):
+        Xr, Xi = Xs[0], Xs[1]
+        XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
+        XXi = jnp.einsum("mit,pit->imp", Xr, Xi) - jnp.einsum("mit,pit->imp", Xi, Xr)
+        E = jnp.eye(M, dtype=jnp.float32)
+        Wr, Wi = sc.csolve_matrix(XXr + E, XXi, c[0][0], c[0][1])
+        return ((c[0][0] + 1e-20 * jnp.sum(Wr), c[0][1] + 1e-20 * jnp.sum(Wi)),)
+
+    B0 = (jnp.asarray(rng.standard_normal((I, M, M)).astype(np.float32)),
+          jnp.asarray(rng.standard_normal((I, M, M)).astype(np.float32)))
+    xxs = chain(xx_solve_stage, (B0,), lambda c: c[0][0])
+    print(f"admm XX+solve stage: {xxs:.3f} ms/iter")
+
+    # stage: prox_neg_logdet with vs without the null lift (ADMM needs lift)
+    G0 = (jnp.asarray((rng.standard_normal((I, M, M)) * 0.3).astype(np.float32)),
+          jnp.asarray((rng.standard_normal((I, M, M)) * 0.3).astype(np.float32)))
+
+    def prox_stage(lift):
+        def f(c):
+            Wr, Wi = sc.prox_neg_logdet_sc(c[0], c[1], lift_null=lift)
+            return (0.5 * c[0] + 0.5 * Wr, 0.5 * c[1] + 0.5 * Wi)
+        return f
+
+    p_lift = chain(prox_stage(True), G0, lambda c: c[0])
+    p_noli = chain(prox_stage(False), G0, lambda c: c[0])
+    print(f"prox_neg_logdet lift_null=True: {p_lift:.3f} ms  False: {p_noli:.3f} ms")
+
+    # stage: the XVY einsums + _csep (per-iteration intrinsic)
+    def einsum_stage(c):
+        Xr, Xi = Xs[0], Xs[1]
+        VTr, VTi = c[0], c[1]
+        XVYr = jnp.einsum("mit,nit->imn", Xr, VTr) + jnp.einsum("mit,nit->imn", Xi, VTi)
+        XVYi = jnp.einsum("mit,nit->imn", Xr, VTi) - jnp.einsum("mit,nit->imn", Xi, VTr)
+        XWr, XWi = sc._csep(XVYr, XVYi, Xr, Xi)
+        return (0.999 * c[0] + 1e-20 * jnp.sum(XWr), 0.999 * c[1] + 1e-20 * jnp.sum(XWi))
+
+    es = chain(einsum_stage, (zs[0] + 0.1, zs[1]), lambda c: c[0])
+    print(f"admm XVY+csep einsum stage: {es:.3f} ms/iter")
+
+
 if __name__ == "__main__":
     targets = sys.argv[1:] or ["ipsdta", "mnmf"]
     if "ipsdta" in targets:
         profile_ipsdta()
     if "mnmf" in targets:
         profile_mnmf()
+    if "ipa" in targets:
+        profile_ipa()
+    if "admm" in targets:
+        profile_admm()

@@ -13,6 +13,7 @@ The complex M x M solve becomes one real 2M x 2M solve via the
 standard block embedding ``[[Ar, -Ai], [Ai, Ar]] [xr; xi] = [br; bi]``.
 """
 
+import os
 from typing import Optional
 
 import jax
@@ -63,11 +64,27 @@ __all__ = [
 def _on_tpu_backend() -> bool:
     """True on TPU-class backends (incl. the axon remote runtime).
 
-    One shared probe: every kernel that swaps an eigenvalue-floored exact
-    path for an eigh-free substitute (Gauss-Jordan solves, Tikhonov
-    ridges, Cholesky logdet, Jacobi eigh) keys off this plus the dtype.
+    Hardware truth — Pallas kernel dispatch keys off this (Mosaic
+    kernels cannot lower on other backends).
     """
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _tpu_impl_selection() -> bool:
+    """True when kernels should pick their TPU-tuned XLA implementations.
+
+    Every kernel that swaps an eigenvalue-floored exact path for an
+    eigh-free substitute (pivot-free Gauss-Jordan, Tikhonov ridges,
+    Cholesky logdet, Jacobi eigh) keys off this plus the dtype. Unlike
+    :func:`_on_tpu_backend` these substitutes are plain XLA programs
+    that compile anywhere, so ``SSSPY_TPU_FORCE_TPU_IMPL=1`` forces the
+    TPU selection on any backend — used by the HLO-collective tests to
+    compile the TPU-representative program (no LU pivot scatters) on
+    the virtual CPU mesh.
+    """
+    if os.environ.get("SSSPY_TPU_FORCE_TPU_IMPL") == "1":
+        return True
+    return _on_tpu_backend()
 
 
 def to_split(x):
@@ -188,7 +205,7 @@ def csolve(Ar, Ai, br, bi, impl: str = "auto"):
     if impl == "auto":
         # vectorized Gauss-Jordan pays off on TPU targets; CPUs/GPUs have
         # fast native batched LU
-        impl = "gjnp" if _on_tpu_backend() else "lu"
+        impl = "gjnp" if _tpu_impl_selection() else "lu"
     if impl == "gjnp":
         x2 = gauss_jordan_solve_nopivot(A2, b2)
     elif impl == "gjnp_loop":
@@ -770,7 +787,7 @@ def csolve_matrix(Ar, Ai, Br, Bi, impl: str = "auto"):
     A2 = block_embed(Ar, Ai)
     B2 = jnp.concatenate([Br, Bi], axis=-2)  # (..., 2M, K)
     if impl == "auto":
-        impl = "gjnp" if _on_tpu_backend() else "lu"
+        impl = "gjnp" if _tpu_impl_selection() else "lu"
     if impl == "lu":
         X2 = jnp.linalg.solve(A2, B2)
     else:
@@ -929,16 +946,21 @@ def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
         return g11, g12r, g12i, g22
 
     # both per-pair systems solved in ONE Gauss-Jordan chain (stacked on
-    # the batch axis): halves the sequential elimination depth per pair
+    # a NEW leading batch axis): halves the sequential elimination depth
+    # per pair. Stacking must NOT concatenate along the bin axis — bins
+    # are the sharded axis in the (dp, bin) mesh runners, and a
+    # sharded-axis concatenate forces GSPMD to all-gather the whole
+    # solve (6 all-gathers + 8 collective-permutes per iteration were
+    # measured in the compiled HLO before this fix).
     Amr, Ami = P_of(Umr, Umi)
     Anr, Ani = P_of(Unr, Uni)
-    Ar2 = jnp.concatenate([Amr, Anr], axis=0)
-    Ai2 = jnp.concatenate([Ami, Ani], axis=0)
-    Er2 = jnp.concatenate([Er, Er], axis=0)
-    Ei2 = jnp.concatenate([Ei, Ei], axis=0)
-    Pr2, Pi2 = csolve_matrix(Ar2, Ai2, Er2, Ei2)  # (2I, M, 2) pair
-    Pm = (Pr2[:n_bins], Pi2[:n_bins])
-    Pn = (Pr2[n_bins:], Pi2[n_bins:])
+    Ar2 = jnp.stack([Amr, Anr], axis=0)  # (2, I, M, M)
+    Ai2 = jnp.stack([Ami, Ani], axis=0)
+    Er2 = jnp.broadcast_to(Er, (2, *Er.shape))
+    Ei2 = jnp.zeros_like(Er2)
+    Pr2, Pi2 = csolve_matrix(Ar2, Ai2, Er2, Ei2)  # (2, I, M, 2) pair
+    Pm = (Pr2[0], Pi2[0])
+    Pn = (Pr2[1], Pi2[1])
     Gm = pencil(*Pm, Umr, Umi)
     Gn = pencil(*Pn, Unr, Uni)
 
@@ -1168,7 +1190,7 @@ def _herm_eigh_embed(Ar, Ai, impl: str = "auto"):
     S = block_embed(Ar, Ai)
     S = (S + jnp.swapaxes(S, -1, -2)) / 2
     if impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         impl = "jacobi" if (on_tpu and S.dtype != jnp.float64) else "lapack"
     if impl == "jacobi":
         from .jacobi import jacobi_eigh
@@ -1182,7 +1204,7 @@ def _real_symm_eigh(S, impl: str = "auto"):
     :func:`_herm_eigh_embed`: batched parallel-Jacobi on f32 TPU
     backends, LAPACK elsewhere."""
     if impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         impl = "jacobi" if (on_tpu and S.dtype != jnp.float64) else "lapack"
     if impl == "jacobi":
         from .jacobi import jacobi_eigh
@@ -1612,10 +1634,10 @@ def ipa_sweep_sc(
     if rel is None:
         rel = 0.0 if Yr.dtype == jnp.float64 else 1e-6
     if psd_impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         psd_impl = "tikhonov" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
     if secular_impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         secular_impl = "solve" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
 
     for n in range(n_sources):
@@ -2021,7 +2043,7 @@ def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10, impl: str = "auto"):
     """
     n_channels = Zr.shape[0]
     if impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         impl = "chol" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
     if impl == "chol":
@@ -2080,7 +2102,7 @@ def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True, impl: str = "au
     Br, Bi = Bs[0], Bs[1]
     n_channels = Zr.shape[0]
     if impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         impl = "chol" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
     log_gamma, ZBZ = _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=eps, impl=impl)
@@ -2166,7 +2188,7 @@ def prox_neg_logdet_sc(Gr, Gi, step_size: float = 1.0, rel=None, lift_null: bool
     rel_null = max(rel, 1e-7 if Gr.dtype == jnp.float64 else 1e-3)
 
     n = Gr.shape[-1]
-    on_tpu = _on_tpu_backend()
+    on_tpu = _tpu_impl_selection()
     if on_tpu and Gr.dtype != jnp.float64:
         from .jacobi import jacobi_eigh as _eigh
     else:
@@ -2276,12 +2298,12 @@ def harmonic_mask_sc(Zr, Zi, attenuation, mask_iter: int = 1, eps=1e-10,
         n_real = n_bins
     n_fft = 2 * (n_real - 1)
     Ct, _ = _idft_matrices(n_fft, dtype=Zr.dtype)  # (n_real, n_fft), 1/n_fft scale
-    C = Ct[:, :n_real]  # keep the first n_real output samples
+    C = Ct[:, :n_real]  # keep the first n_real output samples (NumPy slice)
 
     y = jnp.maximum(jnp.sqrt(Zr**2 + Zi**2), eps)
     zeta = jnp.log(y)  # (N, I, T)
     if n_real != n_bins:
-        C = jnp.pad(C, ((0, n_bins - n_real), (0, n_bins - n_real)))
+        C = np.pad(C, ((0, n_bins - n_real), (0, n_bins - n_real)))
         valid = (jnp.arange(n_bins) < n_real)[None, :, None]
         zeta = jnp.where(valid, zeta, 0.0)
         zeta_mean = zeta.sum(axis=1, keepdims=True) / n_real
@@ -2372,7 +2394,7 @@ def instant_covariance_sc(Xs, eps=1e-10, psd_impl: str = "auto"):
     """
     Xr, Xi = Xs[0], Xs[1]
     if psd_impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
     XXr = jnp.einsum("pit,qit->itpq", Xr, Xr) + jnp.einsum("pit,qit->itpq", Xi, Xi)
     XXi = jnp.einsum("pit,qit->itpq", Xi, Xr) - jnp.einsum("pit,qit->itpq", Xr, Xi)
@@ -2432,18 +2454,19 @@ def gauss_mnmf_step_sc(
 
     XXr, XXi = XXs[0], XXs[1]
     Hr, Hi = Hs[0], Hs[1]
-    on_tpu = _on_tpu_backend()
+    on_tpu = _tpu_impl_selection()
     if psd_impl == "auto":
         psd_impl = "ridge" if (on_tpu and XXr.dtype != jnp.float64) else "eigh"
     if gmean_impl == "auto":
         gmean_impl = "chol" if (on_tpu and XXr.dtype != jnp.float64) else "eigh2"
     if fuse == "auto":
         # the fused kernel evaluates the ridge model only; the eigh
-        # (parity) model keeps the unfused composition
+        # (parity) model keeps the unfused composition. Pallas needs the
+        # REAL hardware probe (Mosaic cannot lower off-TPU).
         fuse = (
             "pallas"
             if (
-                on_tpu
+                _on_tpu_backend()
                 and psd_impl == "ridge"
                 and XXr.dtype == jnp.float32
                 and XXr.shape[1] <= 4096
@@ -2786,15 +2809,20 @@ def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
             if n_sources == U_inr.shape[-1]:
                 # stack the two independent solves (eta vs W U, eta_hat
                 # vs U) into ONE Gauss-Jordan chain over a doubled batch
-                # — the IP2 stacked-pair-solve win (2.3x there)
+                # — the IP2 stacked-pair-solve win (2.3x there). Stack on
+                # a NEW leading axis, not along the block axis: blocks
+                # are the sharded axis in the IPSDTA mesh runner, and a
+                # sharded-axis concatenate makes GSPMD all-gather the
+                # whole solve chain (measured ~42 all-gathers + 48
+                # collective-permutes per iteration before this fix).
                 sr, si = csolve(
-                    jnp.concatenate([WUr, U_inr], axis=0),
-                    jnp.concatenate([WUi, U_ini], axis=0),
-                    jnp.concatenate([e_n, gr], axis=0),
-                    jnp.concatenate([jnp.zeros_like(e_n), gi], axis=0),
+                    jnp.stack([WUr, U_inr], axis=0),
+                    jnp.stack([WUi, U_ini], axis=0),
+                    jnp.stack([e_n, gr], axis=0),
+                    jnp.stack([jnp.zeros_like(e_n), gi], axis=0),
                 )
-                etar, ehr = sr[:n_blocks_p], sr[n_blocks_p:]
-                etai, ehi = si[:n_blocks_p], si[n_blocks_p:]
+                etar, ehr = sr[0], sr[1]
+                etai, ehi = si[0], si[1]
             else:
                 etar, etai = csolve(WUr, WUi, e_n, jnp.zeros_like(e_n))
                 ehr, ehi = csolve(U_inr, U_ini, gr, gi)
@@ -2872,7 +2900,7 @@ def ipsdta_vcd_step_sc(
     Wr, Wi = Ws[0], Ws[1]
     n_frames = Xr.shape[-1]
     n_bins = Xr.shape[1]
-    on_tpu = _on_tpu_backend()
+    on_tpu = _tpu_impl_selection()
     if psd_impl == "auto":
         psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
     if gmean_impl == "auto":
@@ -3218,7 +3246,7 @@ def _polar_sc(Wr, Wi, tiny=1e-20, impl: str = "auto"):
     FastIVA/FasterIVA steps), eigh elsewhere.
     """
     if impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         impl = "qdwh" if (on_tpu and Wr.dtype != jnp.float64) else "eigh"
 
     if impl == "qdwh":
@@ -3376,7 +3404,7 @@ def faster_iva_step_sc(Zs, Ws, eps=1e-10, eig_impl: str = "auto"):
     M = Zr.shape[0]
 
     if eig_impl == "auto":
-        on_tpu = _on_tpu_backend()
+        on_tpu = _tpu_impl_selection()
         eig_impl = "solve" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
     Yr, Yi = _csep(Wr, Wi, Zr, Zi)

@@ -194,7 +194,11 @@ def shard_batched_run(
     ``step_fn(X, W) -> W`` must be batched over a leading utterance axis.
     Returns a runner executing ``n_iter`` steps as one ``lax.scan`` XLA
     program; per-bin independence means the scan body issues no
-    collectives. ``ndim`` is the rank of both batched arrays (4 for
+    resharding collectives — only the intrinsic cross-bin reductions
+    (e.g. IVA's ``(N, T)`` contrast norm) compile to small all-reduces,
+    with exact per-runner counts pinned in
+    ``tests/parallel/test_hlo_collectives.py``. ``ndim`` is the rank of
+    both batched arrays (4 for
     complex layouts, 5 for split-complex). Bin counts that do not divide
     the ``bin`` mesh axis (e.g. the canonical 257 = n_fft/2 + 1) are
     zero-padded up to the next multiple and sliced back after the run —
@@ -231,6 +235,7 @@ def shard_batched_run(
         W_out = jitted(Xp, Wp, n_iter)
         return _slice_axis(W_out, w_bin_axis, n_bins)
 
+    run_padded.jitted = jitted
     return run_padded
 
 
@@ -317,8 +322,9 @@ def shard_state_run(mesh: Mesh, step_fn: Callable, *, y_bin_axis: int = 3, ndim:
     The ISS family carries no demixing matrix (reference
     ssspy/bss/iva.py:1687-1697): the separated spectrogram itself is the
     scan carry, sharded ``(dp, -, -, bin, -)``. The ISS rank-1 updates
-    are per-bin independent, so the scan body still issues no
-    collectives.
+    are per-bin independent; the only collective in the scan body is
+    the intrinsic ``(N, T)`` all-reduce of IVA's cross-bin contrast
+    norm (pinned in ``tests/parallel/test_hlo_collectives.py``).
     """
     y_sharding = NamedSharding(mesh, batch_spec(mesh, bin_axis=y_bin_axis, ndim=ndim))
     n_bin_shards = mesh.devices.shape[1]
@@ -340,6 +346,7 @@ def shard_state_run(mesh: Mesh, step_fn: Callable, *, y_bin_axis: int = 3, ndim:
         out = jitted(Yp, n_iter)
         return _slice_axis(out, y_bin_axis, n_bins)
 
+    run_padded.jitted = jitted
     return run_padded
 
 
@@ -618,6 +625,7 @@ def shard_pytree_run(
         ]
         return jax.tree.unflatten(spec_treedef, out_leaves)
 
+    run_padded.jitted = jitted
     return run_padded
 
 
@@ -944,6 +952,7 @@ def make_batched_hva_runner_sc(
         outW, outY = jitted(Xp, (W, Y), n_iter, n_bins)
         return _slice_axis(outW, 2, n_bins), _slice_axis(outY, 3, n_bins)
 
+    run_padded.jitted = jitted
     return run_padded
 
 
@@ -1032,6 +1041,7 @@ def make_batched_gauss_mnmf_runner_sc(
             _slice_axis(out[2], h_axis, n_bins),
         ) + tuple(out[3:])
 
+    run_padded.jitted = jitted
     return run_padded
 
 

@@ -152,7 +152,11 @@ def _idft_matrices(n_fft: int, dtype=np.float32):
         w[-1] = 1.0
     Ct = (w * np.cos(angle) / n_fft).astype(dtype)
     St = (-w * np.sin(angle) / n_fft).astype(dtype)
-    return jnp.asarray(Ct), jnp.asarray(St)
+    # returned as NumPy so callers can slice/pad at trace time: a jnp
+    # constant sliced inside a sharded program makes GSPMD shard the
+    # constant and permute the slice (2 collective-permutes/iteration
+    # were measured in the HVA runner's scan body)
+    return Ct, St
 
 
 def _frame(x, n_fft: int, hop_length: int, center: bool):
