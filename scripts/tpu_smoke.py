@@ -124,6 +124,41 @@ def main():
 
     smoke("ica_natural_grad_class_path", ica_cls)
 
+    # class-API SC delegation: AuxIVA/GaussILRMA through the reference-
+    # style single-call UX (ssspy/bss/iva.py:1637-1672), auto-routed to
+    # the split-complex engine on this complex-rejecting backend. Not
+    # wrapped in jax.jit: the class engine jits its own scan and commits
+    # host NumPy attributes between calls.
+    def smoke_host(name, fn):
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            ok = bool(np.all(np.isfinite(out)))
+            results[name] = {"ok": ok, "secs": round(time.perf_counter() - t0, 2)}
+        except Exception as exc:
+            results[name] = {"ok": False, "error": repr(exc)[:300]}
+        print(name, results[name], flush=True)
+
+    Xc = X[0] + 1j * X[1]
+
+    def auxiva_cls():
+        from ssspy_tpu.bss.iva import AuxLaplaceIVA
+
+        iva = AuxLaplaceIVA(spatial_algorithm="IP1")
+        Y = iva(Xc, n_iter=3)
+        assert iva.loss[-1] <= iva.loss[0], "class-API loss must not increase"
+        return np.abs(Y)
+
+    smoke_host("auxiva_class_path", auxiva_cls)
+
+    def ilrma_cls():
+        from ssspy_tpu.bss.ilrma import GaussILRMA
+
+        il = GaussILRMA(2, spatial_algorithm="IP1", rng=np.random.default_rng(5))
+        return np.abs(il(Xc, n_iter=3))
+
+    smoke_host("gauss_ilrma_class_path", ilrma_cls)
+
     # the standalone eigh embedding (IPA's workhorse) at production size
     H = rng.standard_normal((257, 7, 7)).astype(np.float32)
     H = H @ H.swapaxes(-1, -2) + np.eye(7, dtype=np.float32)

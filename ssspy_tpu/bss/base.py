@@ -78,6 +78,30 @@ class IterativeMethodBase:
         """Write state back to reference-compatible attributes."""
         raise NotImplementedError("Implement 'commit_state' method.")
 
+    # ---- optional split-complex engine (complex-free TPU runtimes) --------
+    #
+    # Subclasses that can express their update on the planar split-complex
+    # kernels (ssspy_tpu.ops.splitc) implement this second trio; __call__
+    # then routes through it when the backend rejects complex dtypes (or
+    # the user forces ``impl="fast"``). Same driver, same scan fusion —
+    # only the state encoding differs ([real, imag] f32 planes).
+
+    def init_state_sc(self):
+        """Build the initial split-complex state pytree."""
+        raise NotImplementedError("this class has no split-complex engine.")
+
+    def make_step_sc(self) -> Callable:
+        """Return the split-complex per-iteration update."""
+        raise NotImplementedError("this class has no split-complex engine.")
+
+    def make_loss_sc(self) -> Callable:
+        """Return the split-complex loss function."""
+        raise NotImplementedError("this class has no split-complex engine.")
+
+    def commit_state_sc(self, state) -> None:
+        """Write split-complex state back to host complex attributes."""
+        raise NotImplementedError("this class has no split-complex engine.")
+
     # ---- reference-compatible imperative API -------------------------------
 
     def update_once(self) -> None:
@@ -122,9 +146,12 @@ class IterativeMethodBase:
             self._jit_cache[key] = fn
         return fn
 
-    def _build_runner(self):
-        step_fn = self.make_step()
-        loss_fn = self.make_loss() if self.record_loss else None
+    def _build_runner(self, sc: bool = False):
+        step_fn = self.make_step_sc() if sc else self.make_step()
+        if self.record_loss:
+            loss_fn = self.make_loss_sc() if sc else self.make_loss()
+        else:
+            loss_fn = None
 
         def run(state, n_iter: int, initial_call: bool):
             def body(state, _):
@@ -139,46 +166,60 @@ class IterativeMethodBase:
 
         return jax.jit(run, static_argnames=("n_iter", "initial_call"))
 
-    def _iterate(self, n_iter: int, initial_call: bool) -> None:
-        """Run ``n_iter`` updates on ``self._state`` (scan or callback mode)."""
+    def _iterate(self, n_iter: int, initial_call: bool, sc: bool = False) -> None:
+        """Run ``n_iter`` updates on ``self._state`` (scan or callback mode).
+
+        ``sc=True`` drives the split-complex engine (``*_sc`` trio)
+        instead of the complex one — same scan fusion, same callback
+        semantics, complex-free programs throughout.
+        """
         state = self._state
 
         # Complex-free TPU runtimes cannot execute the complex64 class API;
         # fail fast with the fast-path alternative instead of an opaque
         # backend UNIMPLEMENTED mid-trace.
-        if any(jnp.iscomplexobj(leaf) for leaf in jax.tree.leaves(state)):
+        if not sc and any(jnp.iscomplexobj(leaf) for leaf in jax.tree.leaves(state)):
             from ..utils.backend import require_complex_support
 
             require_complex_support(type(self).__name__)
 
+        commit = self.commit_state_sc if sc else self.commit_state
         if self.callbacks is not None:
-            step = self._cached_jit("step", self.make_step)
+            step = self._cached_jit(
+                "step_sc" if sc else "step", self.make_step_sc if sc else self.make_step
+            )
             loss_fn = (
-                self._cached_jit("loss", self.make_loss) if self.record_loss else None
+                self._cached_jit(
+                    "loss_sc" if sc else "loss",
+                    self.make_loss_sc if sc else self.make_loss,
+                )
+                if self.record_loss
+                else None
             )
             if initial_call:
                 if self.record_loss:
                     self.loss.append(float(loss_fn(state)))
-                self.commit_state(state)
+                commit(state)
                 for callback in self.callbacks:
                     callback(self)
             for _ in range(n_iter):
                 state = step(state)
                 if self.record_loss:
                     self.loss.append(float(loss_fn(state)))
-                self.commit_state(state)
+                commit(state)
                 for callback in self.callbacks:
                     callback(self)
         else:
             self._check_cache_valid()
-            runner = self._jit_cache.get("runner")
+            runner_key = "runner_sc" if sc else "runner"
+            runner = self._jit_cache.get(runner_key)
             if runner is None:
-                runner = self._build_runner()
-                self._jit_cache["runner"] = runner
+                runner = self._build_runner(sc=sc)
+                self._jit_cache[runner_key] = runner
             state, losses = runner(state, n_iter, initial_call)
             if self.record_loss:
                 self.loss.extend(float(v) for v in np.asarray(losses))
-            self.commit_state(state)
+            commit(state)
 
         self._state = state
 

@@ -18,6 +18,7 @@ matmuls that XLA tiles onto the MXU.
 import functools
 from typing import Callable, Iterable, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +36,12 @@ from ._update_spatial_model import (
     update_by_ipa,
     update_by_iss1,
     update_by_iss2,
+)
+from ._sc_engine import (
+    resolve_engine,
+    restore_scale_host,
+    sc_flooring_eps,
+    separate_host,
 )
 from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
@@ -72,6 +79,7 @@ class ILRMABase(IterativeMethodBase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
@@ -85,9 +93,13 @@ class ILRMABase(IterativeMethodBase):
             raise ValueError("scale_restoration=True needs a reference_id channel.")
         self.reference_id = reference_id
 
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
         self.rng = np.random.default_rng() if rng is None else rng
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
@@ -319,6 +331,292 @@ class ILRMABase(IterativeMethodBase):
             self.output = Y_scaled
             self.demix_filter = _ls_demix(Y_scaled, X)
 
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Same init/step/loss/commit contract, delegated to the planar f32
+    # kernels (ssspy_tpu.ops.splitc generic ILRMA engine), so
+    # ``GaussILRMA(...)(spectrogram)`` keeps the reference's single-call
+    # UX on backends that reject complex dtypes. ``impl="fast"`` forces
+    # this engine anywhere (matches ssspy_tpu.fast.fast_gauss_ilrma /
+    # fast_t_ilrma / fast_ggd_ilrma exactly given the same rng);
+    # ``impl="auto"`` selects it only when the complex path cannot run.
+    # All complex arrays stay host-side NumPy.
+
+    def _sc_model_params(self) -> Optional[dict]:
+        """Generic-SC-kernel parameters (model/dof/shape/me); None = no SC engine."""
+        return None
+
+    def _sc_engine_blockers(self) -> List[str]:
+        params = self._sc_model_params()
+        if params is None:
+            return ["no split-complex kernels for this class"]
+        blockers = []
+        normalization = self.normalization
+        if not (normalization is True or normalization == "power"):
+            blockers.append(
+                "normalization other than 'power' (the SC kernels fuse power normalization)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        if (
+            self.spatial_algorithm in ("IP2", "ISS2")
+            and self.pair_selector is not sequential_pair_selector
+        ):
+            blockers.append(
+                "custom pair_selector (the kernels use the sequential pair schedule)"
+            )
+        if self.spatial_algorithm == "IPA":
+            if self.partitioning:
+                blockers.append("IPA with partitioning (no partitioned IPA kernel)")
+            if params.get("me"):
+                blockers.append("IPA with the ME source update")
+            if params.get("model") != "gauss":
+                blockers.append("IPA on a non-Gauss source model")
+        return blockers
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        if self.scale_restoration:
+            restore_scale_host(self)
+        return self.output
+
+    def _reset_sc(self, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` — no complex array touches the device."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = None if self.demix_filter is None else np.asarray(self.demix_filter)
+        self.demix_filter = W
+        if W is not None or not hasattr(self, "output"):
+            self.output = None if W is None else separate_host(X, W)
+
+        self._init_nmf_sc()
+
+        if self.spatial_algorithm in ["ISS", "ISS1", "ISS2", "IPA"]:
+            if self.demix_filter is not None:
+                self.output = separate_host(X, self.demix_filter)
+            self.demix_filter = None
+
+    def _init_nmf_sc(self) -> None:
+        """f32 NumPy mirror of ``_init_nmf``.
+
+        Same rng draw order and dtype handling as the fast paths
+        (:func:`ssspy_tpu.fast.fast_gauss_ilrma` and friends), so a
+        seeded class run matches the corresponding ``fast_*`` call
+        bit-for-bit. The partitioned factors floor at 1e-10 like the
+        class path; the non-partitioned draws are cast straight to f32
+        (the 1e-10 floor is a measure-zero event on uniform draws).
+        """
+        n_basis = self.n_basis
+        n_sources, n_bins, n_frames = self.n_sources, self.n_bins, self.n_frames
+        rng = self.rng
+
+        if self.partitioning:
+            if not hasattr(self, "latent"):
+                Z = rng.random((n_sources, n_basis))
+                Z = np.maximum(Z / Z.sum(axis=0), 1e-10).astype(np.float32)
+            else:
+                Z = np.asarray(self.latent, dtype=np.float32)
+            if not hasattr(self, "basis"):
+                T = np.maximum(rng.random((n_bins, n_basis)), 1e-10).astype(np.float32)
+            else:
+                T = np.asarray(self.basis, dtype=np.float32)
+            if not hasattr(self, "activation"):
+                V = np.maximum(rng.random((n_basis, n_frames)), 1e-10).astype(np.float32)
+            else:
+                V = np.asarray(self.activation, dtype=np.float32)
+            self.latent = Z
+            self.basis, self.activation = T, V
+        else:
+            if not hasattr(self, "basis"):
+                T = rng.random((n_sources, n_bins, n_basis)).astype(np.float32)
+            else:
+                T = np.asarray(self.basis, dtype=np.float32)
+            if not hasattr(self, "activation"):
+                V = rng.random((n_sources, n_basis, n_frames)).astype(np.float32)
+            else:
+                V = np.asarray(self.activation, dtype=np.float32)
+            self.basis, self.activation = T, V
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        state = {
+            "X": Xs,
+            "T": jax.device_put(self.basis),
+            "V": jax.device_put(self.activation),
+        }
+        if self.partitioning:
+            state["Z"] = jax.device_put(self.latent)
+        if self._uses_demix_filter:
+            state["W"] = jax.device_put(
+                np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+            )
+        else:
+            assert self.output is not None, "demix-free SC state needs an output spectrogram."
+            state["Y"] = jax.device_put(
+                np.asarray(to_split(np.asarray(self.output)), dtype=np.float32)
+            )
+        return state
+
+    def make_step_sc(self):
+        from ..ops import splitc as sc_ops
+
+        params = dict(self._sc_model_params())
+        model = params.get("model")
+        me = params.get("me", False)
+        dof = params.get("dof")
+        shape = params.get("shape")
+        algo = self.spatial_algorithm
+        spatial = {"IP": "IP1", "ISS": "ISS1"}.get(algo, algo)
+        domain = float(self.domain)
+        eps = sc_flooring_eps(self.flooring_fn, EPS, f32_floor=True)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        partitioning = self.partitioning
+        # the specialized Gauss kernels and the generic engine compute the
+        # same update; dispatch like ssspy_tpu.fast does so seeded class
+        # runs match the fast paths bit-for-bit
+        plain_gauss = model == "gauss" and not me and not partitioning
+
+        if spatial == "IPA":
+            normalization = self.lqpqm_normalization
+            newton_iter = self.newton_iter
+
+            def step(state):
+                Ys, T, V = sc_ops.gauss_ilrma_ipa_step_sc(
+                    state["Y"],
+                    state["T"],
+                    state["V"],
+                    domain=domain,
+                    eps=eps,
+                    lqpqm_normalization=normalization,
+                    newton_iter=newton_iter,
+                )
+                return {**state, "Y": Ys, "T": T, "V": V}
+
+            return step
+
+        if spatial in ("IP1", "IP2"):
+            if plain_gauss:
+                kernel = {
+                    "IP1": sc_ops.gauss_ilrma_ip1_step_sc,
+                    "IP2": sc_ops.gauss_ilrma_ip2_step_sc,
+                }[spatial]
+
+                def step(state):
+                    Ws, T, V = kernel(
+                        state["X"], state["W"], state["T"], state["V"],
+                        domain=domain, eps=eps,
+                    )
+                    return {**state, "W": Ws, "T": T, "V": V}
+            elif partitioning:
+                def step(state):
+                    Ws, T, V, Z = sc_ops.ilrma_ip_step_sc(
+                        state["X"], state["W"], state["T"], state["V"], state["Z"],
+                        model=model, spatial=spatial, domain=domain, eps=eps,
+                        dof=dof, shape=shape, me=me,
+                    )
+                    return {**state, "W": Ws, "T": T, "V": V, "Z": Z}
+            else:
+                def step(state):
+                    Ws, T, V = sc_ops.ilrma_ip_step_sc(
+                        state["X"], state["W"], state["T"], state["V"],
+                        model=model, spatial=spatial, domain=domain, eps=eps,
+                        dof=dof, shape=shape, me=me,
+                    )
+                    return {**state, "W": Ws, "T": T, "V": V}
+
+            return step
+
+        # ISS1 / ISS2 (demix-free)
+        if plain_gauss:
+            kernel = {
+                "ISS1": sc_ops.gauss_ilrma_iss1_step_sc,
+                "ISS2": sc_ops.gauss_ilrma_iss2_step_sc,
+            }[spatial]
+
+            def step(state):
+                Ys, T, V = kernel(
+                    state["Y"], state["T"], state["V"], domain=domain, eps=eps
+                )
+                return {**state, "Y": Ys, "T": T, "V": V}
+        elif partitioning:
+            def step(state):
+                Ys, T, V, Z = sc_ops.ilrma_iss_step_sc(
+                    state["Y"], state["T"], state["V"], state["Z"],
+                    model=model, spatial=spatial, domain=domain, eps=eps,
+                    dof=dof, shape=shape, me=me,
+                )
+                return {**state, "Y": Ys, "T": T, "V": V, "Z": Z}
+        else:
+            def step(state):
+                Ys, T, V = sc_ops.ilrma_iss_step_sc(
+                    state["Y"], state["T"], state["V"],
+                    model=model, spatial=spatial, domain=domain, eps=eps,
+                    dof=dof, shape=shape, me=me,
+                )
+                return {**state, "Y": Ys, "T": T, "V": V}
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import ilrma_loss_sc
+
+        params = dict(self._sc_model_params())
+        model = params.get("model")
+        dof = params.get("dof")
+        shape = params.get("shape")
+        domain = float(self.domain)
+        eps = sc_flooring_eps(self.flooring_fn, EPS, f32_floor=True)
+
+        def loss(state):
+            return ilrma_loss_sc(
+                state["X"],
+                state["T"],
+                state["V"],
+                Z=state.get("Z"),
+                Ws=state.get("W"),
+                Ys=state.get("Y"),
+                model=model,
+                domain=domain,
+                dof=dof,
+                shape=shape,
+                eps=eps,
+            )
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        self.basis = np.asarray(state["T"])
+        self.activation = np.asarray(state["V"])
+        if self.partitioning:
+            self.latent = np.asarray(state["Z"])
+        if "W" in state:
+            Ws = np.asarray(state["W"])
+            self.demix_filter = Ws[0] + 1j * Ws[1]
+            self.output = separate_host(self.input, self.demix_filter)
+        else:
+            Ys = np.asarray(state["Y"])
+            self.output = Ys[0] + 1j * Ys[1]
+
     # ---- shared multiplicative-update engine --------------------------------
     #
     # All three distributions share the same contraction structure; only the
@@ -469,6 +767,7 @@ class GaussILRMA(ILRMABase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
         **kwargs,
     ) -> None:
         super().__init__(
@@ -480,6 +779,7 @@ class GaussILRMA(ILRMABase):
             record_loss=record_loss,
             reference_id=reference_id,
             rng=rng,
+            impl=impl,
         )
 
         assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
@@ -519,6 +819,9 @@ class GaussILRMA(ILRMABase):
         if self.scale_restoration:
             keys += ["reference_id"]
         return config_repr(self, "GaussILRMA", keys)
+
+    def _sc_model_params(self) -> Optional[dict]:
+        return {"model": "gauss", "me": self.source_algorithm == "ME"}
 
     def _mm_weights(self, Y, R_model):
         p = self.domain
@@ -575,6 +878,7 @@ class TILRMA(ILRMABase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             n_basis=n_basis,
@@ -585,6 +889,7 @@ class TILRMA(ILRMABase):
             record_loss=record_loss,
             reference_id=reference_id,
             rng=rng,
+            impl=impl,
         )
 
         assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
@@ -613,6 +918,9 @@ class TILRMA(ILRMABase):
         if self.scale_restoration:
             keys += ["reference_id"]
         return config_repr(self, "TILRMA", keys)
+
+    def _sc_model_params(self) -> Optional[dict]:
+        return {"model": "t", "dof": float(self.dof), "me": self.source_algorithm == "ME"}
 
     def _mm_weights(self, Y, R_model):
         p = self.domain
@@ -681,6 +989,7 @@ class GGDILRMA(ILRMABase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             n_basis=n_basis,
@@ -691,6 +1000,7 @@ class GGDILRMA(ILRMABase):
             record_loss=record_loss,
             reference_id=reference_id,
             rng=rng,
+            impl=impl,
         )
 
         assert 0 < beta < 2, f"Shape parameter {beta} shoule be chosen from (0, 2)."
@@ -718,6 +1028,9 @@ class GGDILRMA(ILRMABase):
         if self.scale_restoration:
             keys += ["reference_id"]
         return config_repr(self, "GGDILRMA", keys)
+
+    def _sc_model_params(self) -> Optional[dict]:
+        return {"model": "ggd", "shape": float(self.beta)}
 
     def _mm_weights(self, Y, R_model):
         p = self.domain

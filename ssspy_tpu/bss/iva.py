@@ -16,7 +16,9 @@ XLA maps onto the MXU.
 import functools
 from typing import Callable, Iterable, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..algorithm import (
     MINIMAL_DISTORTION_PRINCIPLE_KEYWORDS,
@@ -28,6 +30,12 @@ from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spe
 from ..transform import whiten
 from ..utils.flooring import choose_flooring_fn
 from ..utils.select_pair import sequential_pair_selector
+from ._sc_engine import (
+    resolve_engine,
+    restore_scale_host,
+    sc_flooring_eps,
+    separate_host,
+)
 from ._update_spatial_model import (
     update_by_ip1,
     update_by_ip2_one_pair,
@@ -570,6 +578,7 @@ class AuxIVA(AuxIVABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
         **kwargs,
     ) -> None:
         super().__init__(
@@ -583,7 +592,9 @@ class AuxIVA(AuxIVABase):
         )
 
         assert spatial_algorithm in spatial_algorithms, f"unsupported option: {spatial_algorithm}."
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
         self.spatial_algorithm = spatial_algorithm
+        self.impl = impl
 
         if pair_selector is None:
             if spatial_algorithm in ["IP2", "ISS2"]:
@@ -724,6 +735,151 @@ class AuxIVA(AuxIVABase):
             return jnp.sum(jnp.mean(G, axis=1)) - 2 * jnp.sum(logdet)
 
         return loss
+
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Delegates the same init/step/loss/commit contract to the planar f32
+    # kernels in ssspy_tpu.ops.splitc, so ``AuxIVA(...)(spectrogram)``
+    # keeps the reference's single-call UX (ssspy/bss/iva.py:1637-1672)
+    # on backends that reject complex dtypes. ``impl="fast"`` forces this
+    # engine anywhere (it matches ssspy_tpu.fast.fast_auxiva exactly);
+    # ``impl="auto"`` selects it only when the backend cannot run the
+    # complex path. All complex arrays (input, committed output and
+    # demixing filters, scale restoration) stay host-side NumPy.
+
+    def _sc_engine_blockers(self) -> List[str]:
+        """Config knobs that keep this instance off the SC engine ([] = eligible)."""
+        blockers = []
+        if not (
+            self.contrast_fn is _laplace_contrast
+            and self.d_contrast_fn is _laplace_d_contrast
+        ):
+            blockers.append(
+                "non-Laplace contrast functions (the split-complex kernels "
+                "implement the Laplace prior)"
+            )
+        if (
+            self.spatial_algorithm in ("IP2", "ISS2")
+            and self.pair_selector is not sequential_pair_selector
+        ):
+            blockers.append(
+                "custom pair_selector (the kernels use the sequential pair schedule)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        if self.scale_restoration:
+            restore_scale_host(self)
+        return self.output
+
+    def _reset_sc(self, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` — no complex array touches the device."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = None if self.demix_filter is None else np.asarray(self.demix_filter)
+        self.demix_filter = W
+        if W is not None or not hasattr(self, "output"):
+            self.output = None if W is None else separate_host(X, W)
+        if not self._uses_demix_filter:
+            if self.demix_filter is not None and self.output is None:
+                self.output = separate_host(X, self.demix_filter)
+            self.demix_filter = None
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        if self._uses_demix_filter:
+            Ws = jax.device_put(
+                np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+            )
+            return {"X": Xs, "W": Ws}
+        assert self.output is not None, "demix-free SC state needs an output spectrogram."
+        Ys = jax.device_put(np.asarray(to_split(np.asarray(self.output)), dtype=np.float32))
+        return {"X": Xs, "Y": Ys}
+
+    def make_step_sc(self):
+        from ..ops import splitc as sc_ops
+
+        algo = self.spatial_algorithm
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+
+        if algo in ("IP", "IP1"):
+            def step(state):
+                return {**state, "W": sc_ops.auxiva_ip1_step_sc(state["X"], state["W"], eps=eps)}
+        elif algo == "IP2":
+            def step(state):
+                return {**state, "W": sc_ops.auxiva_ip2_step_sc(state["X"], state["W"], eps=eps)}
+        elif algo in ("ISS", "ISS1"):
+            def step(state):
+                return {**state, "Y": sc_ops.auxiva_iss1_step_sc(state["Y"], eps=eps)}
+        elif algo == "ISS2":
+            def step(state):
+                return {**state, "Y": sc_ops.auxiva_iss2_step_sc(state["Y"], eps=eps)}
+        else:  # IPA
+            normalization = self.lqpqm_normalization
+            max_iter = self.newton_iter
+
+            def step(state):
+                return {
+                    **state,
+                    "Y": sc_ops.auxiva_ipa_step_sc(
+                        state["Y"],
+                        eps=eps,
+                        lqpqm_normalization=normalization,
+                        newton_iter=max_iter,
+                    ),
+                }
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import iva_laplace_loss_sc
+
+        if self._uses_demix_filter:
+            def loss(state):
+                return iva_laplace_loss_sc(state["X"], Ws=state["W"])
+        else:
+            def loss(state):
+                return iva_laplace_loss_sc(state["X"], Ys=state["Y"])
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        if self._uses_demix_filter:
+            Ws = np.asarray(state["W"])
+            self.demix_filter = Ws[0] + 1j * Ws[1]
+            self.output = separate_host(self.input, self.demix_filter)
+        else:
+            Ys = np.asarray(state["Y"])
+            self.output = Ys[0] + 1j * Ys[1]
+
+    def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
+        return super().__call__(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
 
     # ---- scale restoration (output-based for demix-free algorithms) --------
 

@@ -58,6 +58,10 @@ __all__ = [
     "hva_pds_step_sc",
     "grad_laplace_iva_step_sc",
     "grad_laplace_fdica_step_sc",
+    "clogabsdet_sc",
+    "ls_demix_sc",
+    "iva_laplace_loss_sc",
+    "ilrma_loss_sc",
 ]
 
 
@@ -3532,3 +3536,127 @@ def grad_laplace_fdica_step_sc(
         dWi = Dr @ Zi + Di @ Zr
 
     return jnp.stack([Wr - step_size * dWr, Wi - step_size * dWi], axis=0)
+
+
+# ---- loss kernels for the class API's split-complex engine ----------------
+#
+# The class API (ssspy_tpu.bss) records a per-iteration loss trace by
+# default (reference ssspy/bss/base.py:60-88). When a class delegates to
+# the split-complex engine (complex-free TPU runtimes), these kernels
+# supply the same loss functions without any complex dtype.
+
+
+def clogabsdet_sc(Wr, Wi, tiny=1e-30):
+    """``log|det W|`` of batched planar complex square matrices.
+
+    ``|det W|^2 = det(W W^H)`` with the Gram Hermitian PSD, so its logdet
+    comes from the statically-unrolled Cholesky of the 2Nx2N embedding
+    (``logdet(A) = sum log diag(L_E)``, same identity as the cACGMM chol
+    path above). Gram squaring halves the usable precision (f32: ~1e-3
+    relative) — fine for the loss *trace* this feeds; parity-grade
+    logdet lives on the complex path (``jnp.linalg.slogdet``).
+
+    ``Wr, Wi``: ``(..., N, N)``. Returns ``(...,)``.
+    """
+    WrT = jnp.swapaxes(Wr, -1, -2)
+    WiT = jnp.swapaxes(Wi, -1, -2)
+    Gr = Wr @ WrT + Wi @ WiT
+    Gi = Wi @ WrT - Wr @ WiT
+    E = block_embed(Gr, Gi)
+    E = (E + jnp.swapaxes(E, -1, -2)) / 2
+    L = _chol_unrolled(E, tiny=tiny)
+    return 0.5 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def ls_demix_sc(Yr, Yi, Xr, Xi):
+    """Least-squares demixing filter ``W = Y X^H (X X^H)^{-1}`` per bin.
+
+    Recovers the implicit demixing matrix of the demix-free (ISS/IPA)
+    state for the loss's logdet term (reference ssspy/bss/iva.py
+    2177-2193: ``W = Y X^+``). ``Y``: ``(N, I, T)`` planar pair,
+    ``X``: ``(M, I, T)`` planar pair. Returns ``(I, N, M)`` planar pair.
+    """
+    YXr = jnp.einsum("nit,mit->inm", Yr, Xr) + jnp.einsum("nit,mit->inm", Yi, Xi)
+    YXi = jnp.einsum("nit,mit->inm", Yi, Xr) - jnp.einsum("nit,mit->inm", Yr, Xi)
+    XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
+    XXi = jnp.einsum("mit,pit->imp", Xi, Xr) - jnp.einsum("mit,pit->imp", Xr, Xi)
+    # W = YX @ (XX)^{-1}; XX is Hermitian, so solve XX^T Z = YX^T and
+    # transpose back: XX^T = conj(XX) -> planar (XXr, -XXi)
+    Zr, Zi = csolve_matrix(
+        XXr, -XXi, jnp.swapaxes(YXr, -1, -2), jnp.swapaxes(YXi, -1, -2)
+    )
+    return jnp.swapaxes(Zr, -1, -2), jnp.swapaxes(Zi, -1, -2)
+
+
+def iva_laplace_loss_sc(Xs, Ws=None, Ys=None):
+    """AuxLaplaceIVA negative log-likelihood on planar operands.
+
+    ``sum_n mean_t 2 ||y_n(., t)|| - 2 sum_i log|det W_i|`` (reference
+    ssspy/bss/iva.py loss with the Laplace contrast ``2 ||y||``). Pass
+    ``Ws`` for the demix-filter state (IP variants); pass ``Ys`` for the
+    demix-free state (ISS/IPA), where ``W`` is recovered by least
+    squares like the reference (ssspy/bss/iva.py:2177-2193).
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    if Ws is not None:
+        Wr, Wi = Ws[0], Ws[1]
+        Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+    else:
+        Yr, Yi = Ys[0], Ys[1]
+        Wr, Wi = ls_demix_sc(Yr, Yi, Xr, Xi)
+    G = 2 * jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    return jnp.sum(jnp.mean(G, axis=-1)) - 2 * jnp.sum(clogabsdet_sc(Wr, Wi))
+
+
+def ilrma_loss_sc(
+    Xs,
+    T,
+    V,
+    Z=None,
+    Ws=None,
+    Ys=None,
+    model: str = "gauss",
+    domain: float = 2.0,
+    dof: float = None,
+    shape: float = None,
+    eps=1e-6,
+):
+    """ILRMA negative log-likelihood on planar operands (all 3 models).
+
+    ``sum_i [ sum_n mean_t value_nit - 2 log|det W_i| ]`` with the NMF
+    power model ``R = T V`` (or the latent-partitioned ``Z T V``) and
+    the per-model integrand (class-path twins are the ``make_loss`` of
+    GaussILRMA / TILRMA / GGDILRMA; reference ssspy/bss/ilrma.py Gauss
+    :945-963, t :2593-2616, GGD :3906-3929):
+
+    - gauss: ``|y|^2 / R^{2/p} + (2/p) log R``
+    - t:     ``(1 + nu/2) log(1 + (2/nu) |y|^2 / R^{2/p}) + (2/p) log R``
+    - ggd:   ``|y|^beta / R^{beta/p} + (2/p) log R``
+
+    Pass ``Ws`` for demix-filter states, ``Ys`` for demix-free ones
+    (``W`` recovered by least squares like the class path).
+    """
+    p = domain
+    Xr, Xi = Xs[0], Xs[1]
+    if Ws is not None:
+        Wr, Wi = Ws[0], Ws[1]
+        Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+    else:
+        Yr, Yi = Ys[0], Ys[1]
+        Wr, Wi = ls_demix_sc(Yr, Yi, Xr, Xi)
+    Y2 = Yr**2 + Yi**2
+    if Z is None:
+        R_model = jnp.maximum(T @ V, eps)
+    else:
+        R_model = jnp.maximum(jnp.einsum("nk,ik,kt->nit", Z, T, V), eps)
+    log_term = (2 / p) * jnp.log(R_model)
+    if model == "gauss":
+        value = Y2 / (R_model ** (2 / p)) + log_term
+    elif model == "t":
+        value = (1 + dof / 2) * jnp.log1p((2 / dof) * Y2 / (R_model ** (2 / p))) + log_term
+    elif model == "ggd":
+        value = Y2 ** (shape / 2) / (R_model ** (shape / p)) + log_term
+    else:
+        raise ValueError(f"unsupported option: {model}.")
+    per_bin = jnp.sum(jnp.mean(value, axis=-1), axis=0)  # (I,)
+    return jnp.sum(per_bin - 2 * clogabsdet_sc(Wr, Wi))
