@@ -205,9 +205,11 @@ def main():
     def admm_iva():
         zf = jax.device_put(np.zeros((2, I, M, M), dtype=np.float32))
         zs = jax.device_put(np.zeros((2, M, I, T), dtype=np.float32))
+        # loop-invariant quadratic inverse, hoisted like fast_admm_iva
+        quad = jax.jit(sc.admm_quad_inv_sc)(Xs)
 
         def step(c):
-            _, V, Vt, Y, Yt = sc.admm_iva_step_sc(Xs, *c)
+            _, V, Vt, Y, Yt = sc.admm_iva_step_sc(Xs, *c, quad_inv=quad)
             return (V, Vt, Y, Yt)
 
         return _time_scan(step, (zf, zs, zf, zs), lambda c: c[0])

@@ -1212,7 +1212,7 @@ def fast_admm_iva(
     in split-complex form; projection back runs on the host. Returns
     ``(separated, demix_filter)``.
     """
-    from .ops.splitc import admm_iva_step_sc
+    from .ops.splitc import admm_iva_step_sc, admm_quad_inv_sc
 
     X = np.asarray(spectrogram)
     n_channels, n_bins, n_frames = X.shape
@@ -1223,14 +1223,22 @@ def fast_admm_iva(
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n):
+        # the quadratic operator (X X^H + I)^{-1} is loop-invariant;
+        # computing it once outside the scan removes two spectrogram
+        # passes + a Gauss-Jordan solve from every iteration
+        quad_inv = admm_quad_inv_sc(Xs)
+
         def body(c, _):
             _, V, Vt, Y, Yt = admm_iva_step_sc(
-                Xs, c[0], c[1], c[2], c[3], rho=rho, relaxation=relaxation
+                Xs, c[0], c[1], c[2], c[3],
+                rho=rho, relaxation=relaxation, quad_inv=quad_inv,
             )
             return (V, Vt, Y, Yt), None
 
         (V, Vt, Y, Yt), _ = lax.scan(body, carry, None, length=n - 1)
-        return admm_iva_step_sc(Xs, V, Vt, Y, Yt, rho=rho, relaxation=relaxation)[0]
+        return admm_iva_step_sc(
+            Xs, V, Vt, Y, Yt, rho=rho, relaxation=relaxation, quad_inv=quad_inv
+        )[0]
 
     carry0 = tuple(jax.device_put(a) for a in (zf, zs, zf, zs))
     assert n_iter >= 1, "n_iter must be at least 1."

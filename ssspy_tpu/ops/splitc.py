@@ -1589,6 +1589,104 @@ def lqpqm2_sc(
     )
 
 
+def _ipa_qp_sc(
+    Un_r,
+    Un_i,
+    Vr,
+    Vi,
+    a_n,
+    b_r,
+    b_i,
+    n,
+    oth,
+    eps=1e-10,
+    lqpqm_normalization=True,
+    newton_iter=1,
+    secular_impl="eigh",
+    secular_trips=None,
+):
+    """Per-source LQPQM reduction of the IPA sweep (parity:
+    ssspy/bss/_update_spatial_model.py:398-513, the C/d extraction
+    through the normalized ``p``/``q`` vectors).
+
+    ``Un``: source ``n``'s (ridged/floored) covariance pair ``(I, N, N)``;
+    ``Vr, Vi``: its inverse; ``a_n, b_r, b_i``: the other sources'
+    scalar statistics ``(I, N-1)``. Returns ``(q_r, q_i, p_r, p_i)`` —
+    the rank-1 coefficients (``(I, N-1)``) and the new row-``n`` filter
+    (``(I, N)``). Shared by both statistics paths of
+    :func:`ipa_sweep_sc` (direct recompute and congruence-updated)."""
+    n_sources = Un_r.shape[-1]
+
+    # C = rows/cols `oth` of conj(U_n^{-1}); d = its column n
+    Cr = jnp.stack(
+        [jnp.stack([Vr[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
+    )  # (I, N-1, N-1)
+    Ci = -jnp.stack(
+        [jnp.stack([Vi[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
+    )
+    dr = jnp.stack([Vr[:, s, n] for s in oth], axis=-1)  # (I, N-1)
+    di = -jnp.stack([Vi[:, s, n] for s in oth], axis=-1)
+
+    Cd_r, Cd_i = csolve(Cr, Ci, dr, di)
+    dCd = jnp.sum(dr * Cd_r + di * Cd_i, axis=-1)  # Re(d^H C^{-1} d)
+    eUe = Vr[:, n, n]
+    z_n = eUe - dCd
+
+    a_sqrt = jnp.sqrt(a_n)
+    aa = a_sqrt[:, :, None] * a_sqrt[:, None, :]
+    Hr, Hi = Cr / aa, Ci / aa
+    v_r = -b_r / a_sqrt - a_sqrt * Cd_r
+    v_i = -b_i / a_sqrt - a_sqrt * Cd_i
+
+    if lqpqm_normalization:
+        trace = jnp.sum(jnp.diagonal(Hr, axis1=-2, axis2=-1), axis=-1)
+        Hr = Hr / trace[..., None, None]
+        Hi = Hi / trace[..., None, None]
+        z_n = z_n / trace
+
+    qc_r, qc_i = lqpqm2_sc(
+        Hr,
+        Hi,
+        v_r,
+        v_i,
+        z_n,
+        eps=eps,
+        max_iter=newton_iter,
+        secular_impl=secular_impl,
+        secular_trips=secular_trips,
+    )
+
+    q_r = qc_r / a_sqrt - b_r / a_n
+    q_i = qc_i / a_sqrt - b_i / a_n
+
+    # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair — built by a
+    # static stack (oth is trace-time constant) instead of N-1
+    # scatter updates: one op each instead of 2(N-1)
+    n_bins = Un_r.shape[0]
+    one = jnp.ones((n_bins,), Un_r.dtype)
+    zero = jnp.zeros((n_bins,), Un_r.dtype)
+    cols_r, cols_i = [], []
+    k = 0
+    for s in range(n_sources):
+        if s == n:
+            cols_r.append(one)
+            cols_i.append(zero)
+        else:
+            cols_r.append(-q_r[:, k])
+            cols_i.append(q_i[:, k])
+            k += 1
+    qt_r = jnp.stack(cols_r, axis=-1)
+    qt_i = jnp.stack(cols_i, axis=-1)
+
+    Uq_r, Uq_i = csolve(Un_r, Un_i, qt_r, qt_i)
+    qUq = jnp.sum(qt_r * Uq_r + qt_i * Uq_i, axis=-1)
+    denom = jnp.maximum(jnp.sqrt(jnp.maximum(qUq, 0.0)), eps)[:, None]
+    p_r = Uq_r / denom
+    p_i = Uq_i / denom  # (I, N)
+
+    return q_r, q_i, p_r, p_i
+
+
 def ipa_sweep_sc(
     Yr,
     Yi,
@@ -1600,6 +1698,7 @@ def ipa_sweep_sc(
     psd_impl: str = "auto",
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
+    stats_impl: str = "auto",
 ):
     """IPA source sweep on planar operands (parity:
     ssspy/bss/_update_spatial_model.py:398-513 via
@@ -1632,17 +1731,77 @@ def ipa_sweep_sc(
     eigendecomposition anywhere in the sweep. ``"auto"``: solve on f32
     TPU backends (where the pencil eigh is ~80% of the step), eigh
     elsewhere.
+
+    ``stats_impl``: ``"direct"`` recomputes source ``n``'s weighted
+    covariance from the updated spectrogram each sub-step (reference
+    data flow); ``"congruence"`` computes the FULL per-source stack once
+    per sweep, then pushes each source's per-bin linear update ``Y <- T
+    Y`` through the stack as the congruence ``U[s] <- T U[s] T^H`` and
+    defers the spectrogram update to ONE final transform ``Y <- G Y``
+    (``G`` the accumulated product) — algebraically identical (the
+    weights are fixed for the whole sweep), but every per-source pass
+    over the ``(N, I, T)`` spectrogram disappears; the round-4 stage
+    profile (BENCHMARKS.md) shows those passes, not the LQPQM chain,
+    bound the post-secular step. Requires the tikhonov ridge (implies
+    ``psd_impl="tikhonov"``). ``"auto"``: congruence on f32 TPU
+    backends, direct elsewhere (reference-exact trajectory).
     """
     n_sources = Yr.shape[0]
     n_frames = Yr.shape[-1]
     if rel is None:
         rel = 0.0 if Yr.dtype == jnp.float64 else 1e-6
+    on_tpu = _tpu_impl_selection()
     if psd_impl == "auto":
-        on_tpu = _tpu_impl_selection()
         psd_impl = "tikhonov" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
     if secular_impl == "auto":
-        on_tpu = _tpu_impl_selection()
         secular_impl = "solve" if (on_tpu and Yr.dtype != jnp.float64) else "eigh"
+        if secular_impl == "solve" and secular_trips is None:
+            # sweep-level trip budget, tighter than the standalone
+            # solver's f32 default (12): the 12-trip budget targets
+            # worst-case ROOT accuracy on the adversarial stress sweep,
+            # but the IPA iteration is a fixed-point map — measured
+            # end-to-end SI-SDR is identical to 4 decimals at 4/6/12
+            # trips (tests/ops/test_splitc_ipa.py::TestSweepTripBudget),
+            # the residual root error lives in near-silent bins, and the
+            # final bracket clamp keeps every iterate valid. Each trip
+            # costs ~0.16 ms at the BASELINE shapes: 12 -> 6 trips takes
+            # the step 205.9 -> 254.8 it/s (v5e, round 4). Explicit
+            # ``secular_impl="solve"`` keeps the solver's own default.
+            secular_trips = 6
+    if stats_impl == "auto":
+        # measured (round 4, v5e): congruence takes ILRMA-IPA's per-bin
+        # (3-D varphi) step 161 -> 213 it/s (the direct path's six
+        # 3-D-weighted einsums + two (N, I, T) product temporaries per
+        # source dominate); with scalar 2-D weights (AuxIVA-IPA) the two
+        # paths are equal within tunnel noise (197.0 vs 192.5) — keep
+        # the reference data flow there
+        stats_impl = (
+            "congruence"
+            if (
+                on_tpu
+                and Yr.dtype != jnp.float64
+                and psd_impl == "tikhonov"
+                and varphi.ndim == 3
+            )
+            else "direct"
+        )
+    assert stats_impl in ("direct", "congruence"), f"unsupported option: {stats_impl}."
+    if stats_impl == "congruence":
+        assert psd_impl == "tikhonov", (
+            "stats_impl='congruence' uses the tikhonov ridge; it cannot "
+            "reproduce the eigenvalue-floored PSD projection of psd_impl='eigh'."
+        )
+        return _ipa_sweep_congruence_sc(
+            Yr,
+            Yi,
+            varphi,
+            eps=eps,
+            lqpqm_normalization=lqpqm_normalization,
+            newton_iter=newton_iter,
+            rel=rel,
+            secular_impl=secular_impl,
+            secular_trips=secular_trips,
+        )
 
     for n in range(n_sources):
         oth = tuple(k for k in range(n_sources) if k != n)
@@ -1722,72 +1881,26 @@ def ipa_sweep_sc(
             b_r = jnp.stack([Ur[:, s, n, s] for s in oth], axis=-1)
             b_i = jnp.stack([Ui[:, s, n, s] for s in oth], axis=-1)
 
-        # C = rows/cols `oth` of conj(U_n^{-1}); d = its column n
-        Cr = jnp.stack(
-            [jnp.stack([Vr[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
-        )  # (I, N-1, N-1)
-        Ci = -jnp.stack(
-            [jnp.stack([Vi[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
-        )
-        dr = jnp.stack([Vr[:, s, n] for s in oth], axis=-1)  # (I, N-1)
-        di = -jnp.stack([Vi[:, s, n] for s in oth], axis=-1)
-
-        Cd_r, Cd_i = csolve(Cr, Ci, dr, di)
-        dCd = jnp.sum(dr * Cd_r + di * Cd_i, axis=-1)  # Re(d^H C^{-1} d)
-        eUe = Vr[:, n, n]
-        z_n = eUe - dCd
-
-        a_sqrt = jnp.sqrt(a_n)
-        aa = a_sqrt[:, :, None] * a_sqrt[:, None, :]
-        Hr, Hi = Cr / aa, Ci / aa
-        v_r = -b_r / a_sqrt - a_sqrt * Cd_r
-        v_i = -b_i / a_sqrt - a_sqrt * Cd_i
-
-        if lqpqm_normalization:
-            trace = jnp.sum(jnp.diagonal(Hr, axis1=-2, axis2=-1), axis=-1)
-            Hr = Hr / trace[..., None, None]
-            Hi = Hi / trace[..., None, None]
-            z_n = z_n / trace
-
-        qc_r, qc_i = lqpqm2_sc(
-            Hr,
-            Hi,
-            v_r,
-            v_i,
-            z_n,
+        q_r, q_i, p_r, p_i = _ipa_qp_sc(
+            Un_r,
+            Un_i,
+            Vr,
+            Vi,
+            a_n,
+            b_r,
+            b_i,
+            n,
+            oth,
             eps=eps,
-            max_iter=newton_iter,
+            lqpqm_normalization=lqpqm_normalization,
+            newton_iter=newton_iter,
             secular_impl=secular_impl,
             secular_trips=secular_trips,
         )
 
-        q_r = qc_r / a_sqrt - b_r / a_n
-        q_i = qc_i / a_sqrt - b_i / a_n
-
-        # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair — built by a
-        # static stack (oth is trace-time constant) instead of N-1
-        # scatter updates: one op each instead of 2(N-1)
         n_bins = Yr.shape[1]
         one = jnp.ones((n_bins,), Yr.dtype)
         zero = jnp.zeros((n_bins,), Yr.dtype)
-        cols_r, cols_i = [], []
-        k = 0
-        for s in range(n_sources):
-            if s == n:
-                cols_r.append(one)
-                cols_i.append(zero)
-            else:
-                cols_r.append(-q_r[:, k])
-                cols_i.append(q_i[:, k])
-                k += 1
-        qt_r = jnp.stack(cols_r, axis=-1)
-        qt_i = jnp.stack(cols_i, axis=-1)
-
-        Uq_r, Uq_i = csolve(Un_r, Un_i, qt_r, qt_i)
-        qUq = jnp.sum(qt_r * Uq_r + qt_i * Uq_i, axis=-1)
-        denom = jnp.maximum(jnp.sqrt(jnp.maximum(qUq, 0.0)), eps)[:, None]
-        p_r = Uq_r / denom
-        p_i = Uq_i / denom  # (I, N)
 
         # row n <- sum_s conj(p_s) Y_s; row s <- Y_s + conj(q_s) Y_n
         PY_r = jnp.einsum("is,sit->it", p_r, Yr) + jnp.einsum("is,sit->it", p_i, Yi)
@@ -1815,6 +1928,133 @@ def ipa_sweep_sc(
     return Yr, Yi
 
 
+def _ipa_sweep_congruence_sc(
+    Yr,
+    Yi,
+    varphi,
+    eps=1e-10,
+    lqpqm_normalization=True,
+    newton_iter=1,
+    rel=1e-6,
+    secular_impl="solve",
+    secular_trips=None,
+):
+    """IPA sweep with congruence-updated statistics (see
+    :func:`ipa_sweep_sc` ``stats_impl="congruence"``).
+
+    Each source's update is the per-bin linear map ``Y <- T_n Y`` with
+    ``T_n = (I - e_n e_n^T) + q~ e_n^T + e_n conj(p)^T`` (rows ``s != n``
+    gain ``conj(q_s) Y_n``, row ``n`` becomes ``conj(p)^H Y``), and the
+    sweep's weights are FIXED, so the next source's statistics follow
+    exactly as ``U[s] <- T_n U[s] T_n^H`` — no pass over the
+    spectrogram. The spectrogram itself is transformed once at the end
+    by the accumulated ``G = T_{N-1} ... T_0``. Algebraically identical
+    to the direct path (same updates, reassociated); f32 trajectories
+    differ at rounding level, and the stack is rebuilt fresh from ``Y``
+    every sweep so no drift accumulates across iterations.
+    """
+    n_sources = Yr.shape[0]
+    n_bins = Yr.shape[1]
+    n_frames = Yr.shape[-1]
+    dt = Yr.dtype
+
+    # full weighted-covariance stack, ONCE per sweep:
+    # U[i, s, a, b] = mean_t varphi[s, (i,) t] Y[a, i, t] conj(Y[b, i, t])
+    eq = "st,ait,bit->isab" if varphi.ndim == 2 else "sit,ait,bit->isab"
+    Ur = (jnp.einsum(eq, varphi, Yr, Yr) + jnp.einsum(eq, varphi, Yi, Yi)) / n_frames
+    Ui = (jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)) / n_frames
+    Ur = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
+    Ui = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
+
+    eye = jnp.eye(n_sources, dtype=dt)
+    Gr = jnp.broadcast_to(eye, (n_bins, n_sources, n_sources))
+    Gi = jnp.zeros((n_bins, n_sources, n_sources), dt)
+    one = jnp.ones((n_bins,), dt)
+    zero = jnp.zeros((n_bins,), dt)
+
+    for n in range(n_sources):
+        oth = tuple(k for k in range(n_sources) if k != n)
+
+        # ridge per source from the stack's own trace — identical to the
+        # direct path's mean-diagonal ridge (lam recomputed per source
+        # from the CURRENT statistics, like the direct recompute does)
+        lam = eps + rel * jnp.einsum("isaa->is", Ur) / n_sources  # (I, S)
+        Un_r = Ur[:, n] + lam[:, n, None, None] * eye
+        Un_i = Ui[:, n]
+
+        # the scalar stats are ENTRIES of the stack (the direct path
+        # recomputes them with two more T-length einsums + two (N, I, T)
+        # product temporaries — all gone here)
+        a_n = jnp.stack([Ur[:, s, n, n] + lam[:, s] for s in oth], axis=-1)
+        b_r = jnp.stack([Ur[:, s, n, s] for s in oth], axis=-1)
+        b_i = jnp.stack([Ui[:, s, n, s] for s in oth], axis=-1)
+
+        E = jnp.broadcast_to(eye, Un_r.shape)
+        Vr, Vi = csolve_matrix(Un_r, Un_i, E, jnp.zeros_like(E))
+
+        q_r, q_i, p_r, p_i = _ipa_qp_sc(
+            Un_r,
+            Un_i,
+            Vr,
+            Vi,
+            a_n,
+            b_r,
+            b_i,
+            n,
+            oth,
+            eps=eps,
+            lqpqm_normalization=lqpqm_normalization,
+            newton_iter=newton_iter,
+            secular_impl=secular_impl,
+            secular_trips=secular_trips,
+        )
+
+        # T_n rows: s != n -> e_s + conj(q_s) e_n ; row n -> conj(p)^T
+        rows_r, rows_i = [], []
+        for s in range(n_sources):
+            if s == n:
+                rows_r.append(p_r)
+                rows_i.append(-p_i)
+            else:
+                k = oth.index(s)
+                cols_r = [one if t == s else zero for t in range(n_sources)]
+                cols_i = [zero for _ in range(n_sources)]
+                cols_r[n] = q_r[:, k]
+                cols_i[n] = -q_i[:, k]
+                rows_r.append(jnp.stack(cols_r, axis=-1))
+                rows_i.append(jnp.stack(cols_i, axis=-1))
+        Tr = jnp.stack(rows_r, axis=-2)  # (I, N, N)
+        Ti = jnp.stack(rows_i, axis=-2)
+
+        # U[s] <- T U[s] T^H (planar congruence), then re-hermitize to
+        # keep eigh-free inverses well-posed against rounding drift
+        TUr = jnp.einsum("inm,ismp->isnp", Tr, Ur) - jnp.einsum(
+            "inm,ismp->isnp", Ti, Ui
+        )
+        TUi = jnp.einsum("inm,ismp->isnp", Tr, Ui) + jnp.einsum(
+            "inm,ismp->isnp", Ti, Ur
+        )
+        Ur = jnp.einsum("isnp,iqp->isnq", TUr, Tr) + jnp.einsum(
+            "isnp,iqp->isnq", TUi, Ti
+        )
+        Ui = jnp.einsum("isnp,iqp->isnq", TUi, Tr) - jnp.einsum(
+            "isnp,iqp->isnq", TUr, Ti
+        )
+        Ur = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
+        Ui = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
+
+        # G <- T G
+        Gr, Gi = (
+            jnp.einsum("inm,imp->inp", Tr, Gr) - jnp.einsum("inm,imp->inp", Ti, Gi),
+            jnp.einsum("inm,imp->inp", Tr, Gi) + jnp.einsum("inm,imp->inp", Ti, Gr),
+        )
+
+    # ONE spectrogram transform instead of N rank-1 + row-replacement passes
+    Yr_out = jnp.einsum("inm,mit->nit", Gr, Yr) - jnp.einsum("inm,mit->nit", Gi, Yi)
+    Yi_out = jnp.einsum("inm,mit->nit", Gr, Yi) + jnp.einsum("inm,mit->nit", Gi, Yr)
+    return Yr_out, Yi_out
+
+
 def auxiva_ipa_step_sc(
     Ys,
     eps=1e-10,
@@ -1823,6 +2063,7 @@ def auxiva_ipa_step_sc(
     psd_impl: str = "auto",
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
+    stats_impl: str = "auto",
 ):
     """One AuxIVA-IPA iteration in split-complex form (parity:
     ssspy/bss/iva.py AuxIVA IPA dispatch; demix-free Y state)."""
@@ -1839,6 +2080,7 @@ def auxiva_ipa_step_sc(
         psd_impl=psd_impl,
         secular_impl=secular_impl,
         secular_trips=secular_trips,
+        stats_impl=stats_impl,
     )
     return jnp.stack([Yr, Yi], axis=0)
 
@@ -1854,6 +2096,7 @@ def gauss_ilrma_ipa_step_sc(
     psd_impl: str = "auto",
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
+    stats_impl: str = "auto",
 ):
     """One GaussILRMA MM+IPA iteration in split-complex form (parity:
     ssspy/bss/ilrma.py:1794+ IPA dispatch; demix-free, power normalization)."""
@@ -1873,6 +2116,7 @@ def gauss_ilrma_ipa_step_sc(
         psd_impl=psd_impl,
         secular_impl=secular_impl,
         secular_trips=secular_trips,
+        stats_impl=stats_impl,
     )
 
     psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
@@ -3096,15 +3340,43 @@ def pds_iva_step_sc(Xs, Ws, Ys, mu1: float = 1.0, mu2: float = 1.0, relaxation: 
     Pr, Pi = prox_l21_sc(Zr, Zi, step_size=1 / mu2)
     Yt_r, Yt_i = Zr - Pr, Zi - Pi
 
-    a = relaxation
-    Wr = a * Wt_r + (1 - a) * Wr
-    Wi = a * Wt_i + (1 - a) * Wi
-    Yr = a * Yt_r + (1 - a) * Yr
-    Yi = a * Yt_i + (1 - a) * Yi
+    if relaxation == 1:
+        # identity blend at the default relaxation: skip two full
+        # (N, I, T) passes (the step is pass-count-bound on this backend)
+        Wr, Wi, Yr, Yi = Wt_r, Wt_i, Yt_r, Yt_i
+    else:
+        a = relaxation
+        Wr = a * Wt_r + (1 - a) * Wr
+        Wi = a * Wt_i + (1 - a) * Wi
+        Yr = a * Yt_r + (1 - a) * Yr
+        Yi = a * Yt_i + (1 - a) * Yi
     return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
 
 
-def admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float = 1.0):
+def admm_quad_inv_sc(Xs):
+    """Planar inverse of the ADMM quadratic operator ``X X^H + I``.
+
+    The quadratic subproblem's matrix depends only on the (fixed) input,
+    so its inverse is loop-invariant; precompute it once and pass it to
+    :func:`admm_iva_step_sc` — XLA's loop-invariant code motion does NOT
+    hoist the Gram einsums out of the fused scan body (measured: they
+    re-run every iteration), and they are two full passes over the
+    ``(M, I, T)`` spectrogram each. Returns ``(2, I, M, M)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    n_channels = Xr.shape[0]
+    XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
+    XXi = jnp.einsum("mit,pit->imp", Xr, Xi) - jnp.einsum("mit,pit->imp", Xi, Xr)
+    E = jnp.eye(n_channels, dtype=Xr.dtype)
+    Ar = XXr + E
+    Er = jnp.broadcast_to(E, Ar.shape)
+    Qr, Qi = csolve_matrix(Ar, XXi, Er, jnp.zeros_like(Er))
+    return jnp.stack([Qr, Qi], axis=0)
+
+
+def admm_iva_step_sc(
+    Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float = 1.0, quad_inv=None
+):
     """One ADMMIVA iteration in split-complex form.
 
     ADMM with two auxiliary/dual pairs and the L21 penalty (parity:
@@ -3114,6 +3386,13 @@ def admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float =
     spectrogram-shaped auxiliary/dual ``(2, N, I, T)``. Returns
     ``(Ws, Vs, Vts, Ys, Yts)`` — the demixing filter is recomputed from
     the quadratic subproblem each iteration.
+
+    ``quad_inv``: optional precomputed :func:`admm_quad_inv_sc` result.
+    Passing it removes the two loop-invariant Gram einsums (two passes
+    over the spectrogram per iteration) and replaces the per-iteration
+    Gauss-Jordan solve with one small batched matmul — the bound of the
+    ADMM-vs-PDS gap (BENCHMARKS.md round-4 profile). Same result to
+    solver roundoff.
     """
     Xr, Xi = Xs[0], Xs[1]
     Vr, Vi = Vs[0], Vs[1]
@@ -3121,11 +3400,6 @@ def admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float =
     Yr, Yi = Ys[0], Ys[1]
     Ytr, Yti = Yts[0], Yts[1]
     n_channels = Xr.shape[0]
-
-    # XX[i, m, p] = sum_t conj(X[m, i, t]) X[p, i, t]
-    XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
-    XXi = jnp.einsum("mit,pit->imp", Xr, Xi) - jnp.einsum("mit,pit->imp", Xi, Xr)
-    E = jnp.eye(n_channels, dtype=Xr.dtype)
 
     VYr, VYi = Vr - Yr, Vi - Yi  # (I, N, M)
     VTr, VTi = Vtr - Ytr, Vti - Yti  # (N, I, T)
@@ -3135,12 +3409,27 @@ def admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho: float = 1.0, relaxation: float =
 
     Br = VYr + jnp.swapaxes(XVYr, -2, -1)
     Bi = VYi + jnp.swapaxes(XVYi, -2, -1)
-    Wr, Wi = csolve_matrix(XXr + E, XXi, Br, Bi)
+    if quad_inv is None:
+        # XX[i, m, p] = sum_t conj(X[m, i, t]) X[p, i, t]
+        XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
+        XXi = jnp.einsum("mit,pit->imp", Xr, Xi) - jnp.einsum("mit,pit->imp", Xi, Xr)
+        E = jnp.eye(n_channels, dtype=Xr.dtype)
+        Wr, Wi = csolve_matrix(XXr + E, XXi, Br, Bi)
+    else:
+        Qr, Qi = quad_inv[0], quad_inv[1]
+        # W = (XX + I)^{-1} B = Q B, as planar einsums
+        Wr = jnp.einsum("inm,imp->inp", Qr, Br) - jnp.einsum("inm,imp->inp", Qi, Bi)
+        Wi = jnp.einsum("inm,imp->inp", Qr, Bi) + jnp.einsum("inm,imp->inp", Qi, Br)
     XWr, XWi = _csep(Wr, Wi, Xr, Xi)  # (N, I, T)
 
-    a = relaxation
-    Ur, Ui = a * Wr + (1 - a) * Vr, a * Wi + (1 - a) * Vi
-    Utr, Uti = a * XWr + (1 - a) * Vtr, a * XWi + (1 - a) * Vti
+    if relaxation == 1:
+        # the blend is the identity at the default relaxation — skip four
+        # full (N, I, T) passes (the step is pass-count-bound)
+        Ur, Ui, Utr, Uti = Wr, Wi, XWr, XWi
+    else:
+        a = relaxation
+        Ur, Ui = a * Wr + (1 - a) * Vr, a * Wi + (1 - a) * Vi
+        Utr, Uti = a * XWr + (1 - a) * Vtr, a * XWi + (1 - a) * Vti
 
     Vr, Vi = prox_neg_logdet_sc(Ur + Yr, Ui + Yi, step_size=1 / rho, lift_null=True)
     Vtr, Vti = prox_l21_sc(Utr + Ytr, Uti + Yti, step_size=1 / rho)

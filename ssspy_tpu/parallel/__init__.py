@@ -556,6 +556,7 @@ def shard_pytree_run(
     x_spec: P,
     carry_specs,
     identity_leaves=(0,),
+    precompute_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build ``run(X, carry, n_iter)`` with explicit per-leaf PartitionSpecs.
 
@@ -564,6 +565,10 @@ def shard_pytree_run(
     the NMF activation ``V`` has no bin axis and stays replicated along
     ``bin`` while ``W`` and the basis ``T`` shard over it).
     ``carry_specs`` must mirror the carry pytree structure.
+    ``precompute_fn(X)`` (optional) runs once inside the jitted program,
+    BEFORE the scan, and its result is passed as a third argument to
+    ``step_fn`` — for loop-invariant operators XLA does not hoist out of
+    the fused scan body itself (e.g. ADMM's quadratic inverse).
 
     Bin counts that do not divide the ``bin`` mesh axis are zero-padded
     (identity-padded for the ``identity_leaves``, the demixing-filter
@@ -588,8 +593,11 @@ def shard_pytree_run(
     axes_list = [_bin_axis_of(s, bin_name) for s in spec_leaves]
 
     def run(X, carry, n_iter):
+        pre = None if precompute_fn is None else precompute_fn(X)
+
         def body(carry, _):
-            return step_fn(X, carry), None
+            out = step_fn(X, carry) if pre is None else step_fn(X, carry, pre)
+            return out, None
 
         carry, _ = lax.scan(body, carry, None, length=n_iter)
         return carry
@@ -824,20 +832,28 @@ def make_batched_admm_iva_runner_sc(
         mesh = make_mesh()
     dp, b = mesh.axis_names
 
-    def _step(Xs, carry):
+    def _step(Xs, carry, quad_inv):
         from ..ops.splitc import admm_iva_step_sc
 
         _, Vs, Vts, Ys, Yts = carry
-        return admm_iva_step_sc(Xs, Vs, Vts, Ys, Yts, rho=rho, relaxation=relaxation)
+        return admm_iva_step_sc(
+            Xs, Vs, Vts, Ys, Yts, rho=rho, relaxation=relaxation, quad_inv=quad_inv
+        )
+
+    def _quad_inv(Xs):
+        from ..ops.splitc import admm_quad_inv_sc
+
+        return admm_quad_inv_sc(Xs)
 
     filt = P(dp, None, b, None, None)
     spec = P(dp, None, None, b, None)
     return shard_pytree_run(
         mesh,
-        jax.vmap(_step, in_axes=(0, 0)),
+        jax.vmap(_step, in_axes=(0, 0, 0)),
         x_spec=P(dp, None, None, b, None),
         carry_specs=(filt, filt, spec, filt, spec),
         identity_leaves=(0, 1),
+        precompute_fn=jax.vmap(_quad_inv),
     )
 
 

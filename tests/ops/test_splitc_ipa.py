@@ -421,3 +421,104 @@ class TestSecularSolve:
         got = np.asarray(vr[0]) + 1j * np.asarray(vi[0])
         assert abs(np.linalg.norm(got) - 1.0) < 1e-6
         assert abs(np.vdot(got, v)) > 1 - 1e-6
+
+
+class TestSweepStatsImpl:
+    """stats_impl='congruence' must reproduce the direct data flow.
+
+    The congruence path computes the full weighted-covariance stack once
+    per sweep and pushes each source's per-bin transform through it as
+    U[s] <- T U[s] T^H, deferring the spectrogram update to one final
+    matmul — algebraically identical to the direct per-source recompute
+    (the sweep's weights are fixed), exactly so in f64.
+    """
+
+    @pytest.mark.parametrize("varphi_ndim", [2, 3])
+    def test_congruence_matches_direct(self, varphi_ndim):
+        rng = np.random.default_rng(5)
+        N, I, T = 4, 29, 40
+        Yr = jnp.asarray(rng.standard_normal((N, I, T)))
+        Yi = jnp.asarray(rng.standard_normal((N, I, T)))
+        shape = (N, T) if varphi_ndim == 2 else (N, I, T)
+        varphi = jnp.asarray(0.5 + rng.random(shape))
+        kw = dict(psd_impl="tikhonov", secular_impl="solve", rel=1e-6)
+        a = ipa_sweep_sc(Yr, Yi, varphi, stats_impl="direct", **kw)
+        b = ipa_sweep_sc(Yr, Yi, varphi, stats_impl="congruence", **kw)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-10)
+
+    def test_congruence_requires_tikhonov(self):
+        rng = np.random.default_rng(5)
+        Yr = jnp.asarray(rng.standard_normal((3, 9, 20)))
+        varphi = jnp.asarray(0.5 + rng.random((3, 20)))
+        with pytest.raises(AssertionError, match="tikhonov"):
+            ipa_sweep_sc(Yr, Yr, varphi, psd_impl="eigh", stats_impl="congruence")
+
+    def test_zero_padded_bins_stay_zero(self):
+        """Sharded runners zero-pad the bin axis; the congruence sweep
+        must keep padded bins exactly zero (no NaN leakage)."""
+        rng = np.random.default_rng(7)
+        N, I, T = 3, 17, 30
+        Y = rng.standard_normal((2, N, I, T)).astype(np.float32)
+        Y[:, :, -4:, :] = 0.0
+        out = ipa_sweep_sc(
+            jnp.asarray(Y[0]),
+            jnp.asarray(Y[1]),
+            jnp.asarray(0.5 + rng.random((N, T)).astype(np.float32)),
+            psd_impl="tikhonov",
+            secular_impl="solve",
+            stats_impl="congruence",
+        )
+        assert np.isfinite(np.asarray(out[0])).all()
+        assert np.abs(np.asarray(out[0])[:, -4:, :]).max() == 0.0
+        assert np.abs(np.asarray(out[1])[:, -4:, :]).max() == 0.0
+
+
+class TestSweepTripBudget:
+    """The sweep's 6-trip secular budget is end-to-end equivalent.
+
+    The 12-trip f32 default of the standalone solver targets worst-case
+    root accuracy on the adversarial stress sweep; the IPA iteration is
+    a fixed-point map whose trajectory is insensitive to the residual
+    root error (confined to near-silent bins, kept bracketed by the
+    final clamp). Pinned here: 100 sweep iterations at 6 and 12 trips
+    reach the same separation to f32 tolerance.
+    """
+
+    def test_trip_budget_trajectory_equivalence(self):
+        from jax import lax
+
+        rng = np.random.default_rng(11)
+        N, I, T = 3, 33, 60
+        src = rng.laplace(size=(N, 1, T)) * (rng.random((1, I, 1)) + 0.1)
+        A = rng.standard_normal((N, N))
+        X = np.einsum("nm,mit->nit", A, src) + 0.05 * rng.standard_normal((N, I, T))
+        Xc = (X + 1j * rng.standard_normal((N, I, T)) * 0.3).astype(np.complex64)
+        Ys0 = jnp.asarray(np.stack([Xc.real, Xc.imag]).astype(np.float32))
+
+        def run(trips):
+            def step(c):
+                Yr, Yi = c[0], c[1]
+                norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))
+                varphi = 1.0 / jnp.maximum(norm, 1e-10)
+                Yr, Yi = ipa_sweep_sc(
+                    Yr,
+                    Yi,
+                    varphi,
+                    eps=1e-10,
+                    psd_impl="tikhonov",
+                    secular_impl="solve",
+                    secular_trips=trips,
+                    stats_impl="direct",
+                )
+                return jnp.stack([Yr, Yi], axis=0)
+
+            out = lax.scan(lambda c, _: (step(c), None), Ys0, None, length=100)[0]
+            return np.asarray(out)
+
+        a, b = run(12), run(6)
+        # compare the per-source separated-power profile (trajectories may
+        # deviate transiently; the fixed point must agree)
+        pa = (a[0] ** 2 + a[1] ** 2).mean(axis=-1)
+        pb = (b[0] ** 2 + b[1] ** 2).mean(axis=-1)
+        np.testing.assert_allclose(pa, pb, rtol=5e-3, atol=1e-6)
