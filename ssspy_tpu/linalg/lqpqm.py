@@ -155,6 +155,12 @@ def solve_equation(
     C = -(phi_max**2) * z
     lamb = root_finder(A, B, C)
 
+    # The ``lamb > phi_max`` clamp below self-heals NaN (the comparison is
+    # False) but passes +inf straight through ``jnp.maximum(lamb, z)``; a
+    # non-finite initializer value (f32 degenerate-coefficient regimes)
+    # must fall back to the valid bracket edge like NaN does.
+    lamb = jnp.where(jnp.isfinite(lamb), lamb, phi_max)
+
     lamb = jnp.where(lamb > phi_max, lamb, phi_max + floor0)
     lamb = jnp.maximum(lamb, z)
 
@@ -174,12 +180,37 @@ def solve_equation(
     return lamb
 
 
+def _root_scale(A, B, C):
+    """Homogeneous scale ``s`` of the cubic ``x^3 + A x^2 + B x + C``.
+
+    Substituting ``x = s t`` gives ``t^3 + (A/s) t^2 + (B/s^2) t + C/s^3``
+    with O(1) coefficients when ``s = max(|A|, sqrt|B|, cbrt|C|)``. The
+    reference evaluates Cardano on the raw coefficients, which is fine in
+    f64 but overflows f32 in the floored-secular regime (every
+    ``phi |v|^2`` term below the mask floors ``phi_max`` to ``eps``, so
+    the normalized ``z' = z/eps ~ 1e9`` and ``A^3 ~ 1e29 > f32 max``;
+    the resulting inf escapes the ``lamb > phi_max`` clamp, which only
+    self-heals NaN). Every branch condition in the root formulas (sign
+    of the discriminant, of ``s``, ``u > 0``) is scale-invariant, so the
+    rescaled evaluation follows the same branches — reference quirks
+    included — in exact arithmetic.
+    """
+    s = jnp.maximum(jnp.abs(A), jnp.sqrt(jnp.abs(B)))
+    s = jnp.maximum(s, jnp.cbrt(jnp.abs(C)))
+    return jnp.where(s > 0, s, 1.0)
+
+
 def _find_largest_root(A, B, C):
     """Largest real root of ``x^3 + A x^2 + B x + C = 0`` (real coefficients).
 
     Cardano's formula with ``jnp.where`` masking of complex-conjugate root
-    pairs (parity: ssspy/linalg/lqpqm.py:222-292).
+    pairs (parity: ssspy/linalg/lqpqm.py:222-292). Coefficients are
+    homogeneously rescaled first (see :func:`_root_scale`).
     """
+    s_scale = _root_scale(A, B, C)
+    A = A / s_scale
+    B = B / s_scale**2
+    C = C / s_scale**3
     P = -(A**2) / 3 + B
     Q = (2 * A**3) / 27 - (A * B) / 3 + C
 
@@ -211,7 +242,7 @@ def _find_largest_root(A, B, C):
     is_positive = jnp.real(discriminant) > 0
     roots = jnp.where(imaginary_mask & is_positive[..., None], neg_inf, roots)
 
-    return jnp.max(roots, axis=-1) - A / 3
+    return (jnp.max(roots, axis=-1) - A / 3) * s_scale
 
 
 def _find_largest_root_real(A, B, C):
@@ -228,7 +259,14 @@ def _find_largest_root_real(A, B, C):
       only seeds a clamped Newton iteration — but parity requires it.
     - non-positive discriminant: three real roots; the maximum is the
       trigonometric ``2 r cos(theta / 3)``.
+
+    Coefficients are homogeneously rescaled first (see
+    :func:`_root_scale`; same branches, f32-overflow-proof).
     """
+    s_scale = _root_scale(A, B, C)
+    A = A / s_scale
+    B = B / s_scale**2
+    C = C / s_scale**3
     P = -(A**2) / 3 + B
     Q = (2 * A**3) / 27 - (A * B) / 3 + C
     D = (Q / 2) ** 2 + (P / 3) ** 3
@@ -252,7 +290,7 @@ def _find_largest_root_real(A, B, C):
     theta = jnp.arccos(jnp.clip(cos_arg, -1.0, 1.0))
     root_neg = 2 * r * jnp.cos(theta / 3)
 
-    return jnp.where(D > 0, root_pos, root_neg) - A / 3
+    return (jnp.where(D > 0, root_pos, root_neg) - A / 3) * s_scale
 
 
 def _fn(lamb, phi, v, z):

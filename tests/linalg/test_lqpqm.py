@@ -111,3 +111,109 @@ def test_solve_equation_matches_reference():
             phi.copy(), v.copy(), z.copy(), max_iter=20, normalization=normalization
         )
         assert np.allclose(ours, theirs, atol=1e-7)
+
+
+class TestFlooredSecularF32Overflow:
+    """The floored-secular degenerate regime must stay finite in f32.
+
+    When every ``phi |v|^2`` falls below the mask floor, ``phi_max``
+    collapses to the 1e-10 floor and ``normalization=True`` rescales
+    ``z' = z / 1e-10 ~ 1e9`` — the raw Cardano coefficients then
+    overflow f32 (``A^3 ~ 1e29``) and, under XLA fusion, the +inf
+    escaped the bracket clamp and cascaded NaN through the whole IPA
+    spectrogram (observed at AuxIVA-IPA iteration 13 on an
+    instantaneous 3-source mixture). The root finders now evaluate on
+    homogeneously rescaled coefficients and the initializer output is
+    finiteness-guarded; the root in this regime is exactly ``z``.
+    """
+
+    def _degenerate_inputs(self, dtype):
+        import jax.numpy as jnp
+
+        phi = jnp.asarray([[0.49346644, 0.5065335]], dtype)
+        v = jnp.sqrt(jnp.asarray([[1.5539143e-11, 9.2165144e-11]], dtype))
+        z = jnp.asarray([0.570350], dtype)
+        return phi, v, z
+
+    @pytest.mark.parametrize("dtype", ["float32", "float64"])
+    def test_all_masked_root_is_z(self, dtype):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from ssspy_tpu.linalg.lqpqm import _find_largest_root_real
+        from ssspy_tpu.special.flooring import max_flooring
+
+        phi, v, z = self._degenerate_inputs(jnp.dtype(dtype))
+        fl = functools.partial(max_flooring, eps=1e-10)
+        lamb = jax.jit(
+            lambda p, vv, zz: solve_equation(
+                p,
+                vv,
+                zz,
+                flooring_fn=fl,
+                max_iter=1,
+                normalization=True,
+                root_finder=_find_largest_root_real,
+            )
+        )(phi, v, z)
+        lamb = np.asarray(lamb)
+        assert np.isfinite(lamb).all()
+        assert np.allclose(lamb, 0.570350, rtol=1e-5)
+
+    @pytest.mark.parametrize("finder", ["complex", "real"])
+    def test_root_finder_huge_coefficients_f32(self, finder):
+        """Scaled evaluation matches f64 on coefficients whose raw
+        Cardano intermediates overflow f32."""
+        import jax.numpy as jnp
+
+        from ssspy_tpu.linalg.lqpqm import (
+            _find_largest_root,
+            _find_largest_root_real,
+        )
+
+        fn = _find_largest_root if finder == "complex" else _find_largest_root_real
+        # the observed degenerate-secular coefficients: z' ~ 5.7e9
+        zp = 5.7035e9
+        A = np.asarray([-(2.0 + zp)])
+        B = np.asarray([1.0 + 2 * zp])
+        C = np.asarray([-zp])
+        r64 = np.asarray(fn(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C)))
+        r32 = np.asarray(
+            fn(
+                jnp.asarray(A, jnp.float32),
+                jnp.asarray(B, jnp.float32),
+                jnp.asarray(C, jnp.float32),
+            )
+        )
+        assert np.isfinite(r32).all()
+        # exact factorization: (x - z')(x - 1)^2 — largest root z'
+        assert np.allclose(r64, zp, rtol=1e-12)
+        assert np.allclose(r32, zp, rtol=1e-5)
+
+    def test_ipa_f32_long_run_stays_finite(self):
+        """End-to-end pin of the observed failure: 3-source instantaneous
+        laplace mixture, f32 IPA through the eigh path, 20 iterations
+        (NaN appeared at 13 before the fix)."""
+        import jax
+
+        from ssspy_tpu.ops import splitc as sc
+        from ssspy_tpu.transform import stft
+
+        rng = np.random.default_rng(0)
+        s = rng.laplace(size=(3, 8000))
+        A = rng.standard_normal((3, 3))
+        X = np.asarray(stft(A @ s, n_fft=512, hop_length=256))
+        Ys = np.stack([X.real, X.imag]).astype(np.float32)
+        step = jax.jit(
+            lambda Y: sc.auxiva_ipa_step_sc(
+                Y, psd_impl="eigh", secular_impl="eigh"
+            )
+        )
+        import jax.numpy as jnp
+
+        Y = jnp.asarray(Ys)
+        for _ in range(20):
+            Y = step(Y)
+        assert np.isfinite(np.asarray(Y)).all()
