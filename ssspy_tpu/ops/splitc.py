@@ -2622,11 +2622,16 @@ def hva_pds_step_sc(
     Yt_r = Zr - mask * Zr
     Yt_i = Zi - mask * Zi
 
-    a = relaxation
-    Wr = a * Wt_r + (1 - a) * Wr
-    Wi = a * Wt_i + (1 - a) * Wi
-    Yr = a * Yt_r + (1 - a) * Yr
-    Yi = a * Yt_i + (1 - a) * Yi
+    if relaxation == 1:
+        # identity blend at the default relaxation: skip two full
+        # (N, I, T) passes (same specialization as pds_iva_step_sc)
+        Wr, Wi, Yr, Yi = Wt_r, Wt_i, Yt_r, Yt_i
+    else:
+        a = relaxation
+        Wr = a * Wt_r + (1 - a) * Wr
+        Wi = a * Wt_i + (1 - a) * Wi
+        Yr = a * Yt_r + (1 - a) * Yr
+        Yi = a * Yt_i + (1 - a) * Yi
     return jnp.stack([Wr, Wi], axis=0), jnp.stack([Yr, Yi], axis=0)
 
 

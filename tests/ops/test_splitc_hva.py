@@ -78,3 +78,30 @@ def test_fast_hva_matches_class_api():
     hva = HVA()
     Y_cls = np.asarray(hva(X.astype(np.complex64).copy(), n_iter=5))
     np.testing.assert_allclose(Y_fast, Y_cls, atol=5e-3)
+
+
+def test_hva_pds_step_relaxation_matches_class():
+    """Non-default relaxation exercises the blend branch the
+    relaxation=1 specialization skips."""
+    from ssspy_tpu.bss.hva import MaskingPDSHVA
+
+    rng = np.random.default_rng(5)
+    M, I, T = 3, 17, 20
+    X = rng.standard_normal((M, I, T)) + 1j * rng.standard_normal((M, I, T))
+
+    hva = MaskingPDSHVA(
+        mask_iter=1, relaxation=0.5, scale_restoration=False, record_loss=False
+    )
+    hva(X.copy(), n_iter=3)
+    W_cls = np.asarray(hva.demix_filter)
+
+    Xs = jnp.asarray(np.stack([X.real, X.imag]))
+    W0 = np.tile(np.eye(M, dtype=complex), (I, 1, 1))
+    Ws = jnp.asarray(np.stack([W0.real, W0.imag]))
+    Ys = jnp.zeros((2, M, I, T), dtype=Xs.dtype)
+    step = jax.jit(functools.partial(hva_pds_step_sc, relaxation=0.5))
+    for _ in range(3):
+        Ws, Ys = step(Xs, Ws, Ys)
+
+    W_sc = np.asarray(Ws[0]) + 1j * np.asarray(Ws[1])
+    np.testing.assert_allclose(W_sc, W_cls, atol=1e-8)
