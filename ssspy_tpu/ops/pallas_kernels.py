@@ -37,13 +37,23 @@ _MAX_FRAMES_VMEM = 16384
 
 
 def _wcov_kernel(
-    xr_ref, xi_ref, phi_ref, ur_ref, ui_ref, *, inv_frames, n_sources, cast=None
+    xr_ref,
+    xi_ref,
+    phi_ref,
+    ur_ref,
+    ui_ref,
+    *,
+    inv_frames,
+    n_sources,
+    cast=None,
+    per_bin=False,
 ):
-    # xr/xi: (Ib, M, T) bins-major tiles; phi: full (N, T) weights.
-    # One program per bin-block: the X tile is read into VMEM once and
-    # reused for every source and all four real contractions — the HBM
-    # saving XLA's per-einsum lowering does not get.
-    # ``cast=bfloat16`` feeds the MXU in bf16 with f32 accumulation.
+    # xr/xi: (Ib, M, T) bins-major tiles; phi: full (N, T) weights, or a
+    # bins-major (Ib, N, T) tile when ``per_bin`` (the ILRMA/FDICA/MNMF
+    # weight shape). One program per bin-block: the X tile is read into
+    # VMEM once and reused for every source and all four real
+    # contractions — the HBM saving XLA's per-einsum lowering does not
+    # get. ``cast=bfloat16`` feeds the MXU in bf16 with f32 accumulation.
     xr = xr_ref[:]
     xi = xi_ref[:]
     if cast is not None:
@@ -60,11 +70,12 @@ def _wcov_kernel(
         )
 
     for n in range(n_sources):  # static unroll; N <= 8
-        phi = phi_ref[n, :]
+        phi = phi_ref[:, n, :] if per_bin else phi_ref[n, :]
         if cast is not None:
             phi = phi.astype(cast)
-        xr_s = xr * phi[None, None, :]
-        xi_s = xi * phi[None, None, :]
+        phi_b = phi[:, None, :] if per_bin else phi[None, None, :]
+        xr_s = xr * phi_b
+        xi_s = xi * phi_b
         ur_ref[:, n] = (bdot(xr_s, xr) + bdot(xi_s, xi)) * inv_frames
         ui_ref[:, n] = (bdot(xi_s, xr) - bdot(xr_s, xi)) * inv_frames
 
@@ -72,17 +83,25 @@ def _wcov_kernel(
 def _wcov_pallas(
     Xr, Xi, varphi, block_bins: int = 8, interpret: bool = False, cast=None
 ):
-    """``(M, I, T)`` planar mixture + ``(N, T)`` weights -> (I, N, M, M) pair."""
+    """``(M, I, T)`` planar mixture + ``(N, T)`` or per-bin ``(N, I, T)``
+    weights -> (I, N, M, M) pair."""
     n_channels, n_bins, n_frames = Xr.shape
     n_sources = varphi.shape[0]
+    per_bin = varphi.ndim == 3
 
     # bins-major layout so the bin axis is the GEMM batch dimension
     Xr_b = jnp.swapaxes(Xr, 0, 1)  # (I, M, T)
     Xi_b = jnp.swapaxes(Xi, 0, 1)
+    if per_bin:
+        varphi = jnp.swapaxes(varphi, 0, 1)  # (I, N, T)
 
     grid = (pl.cdiv(n_bins, block_bins),)
     kernel = functools.partial(
-        _wcov_kernel, inv_frames=1.0 / n_frames, n_sources=n_sources, cast=cast
+        _wcov_kernel,
+        inv_frames=1.0 / n_frames,
+        n_sources=n_sources,
+        cast=cast,
+        per_bin=per_bin,
     )
 
     out_shape = jax.ShapeDtypeStruct(
@@ -93,9 +112,16 @@ def _wcov_pallas(
         lambda i: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    phi_spec = pl.BlockSpec(
-        (n_sources, n_frames), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
+    if per_bin:
+        phi_spec = pl.BlockSpec(
+            (block_bins, n_sources, n_frames),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        phi_spec = pl.BlockSpec(
+            (n_sources, n_frames), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
     u_spec = pl.BlockSpec(
         (block_bins, n_sources, n_channels, n_channels),
         lambda i: (i, 0, 0, 0),
@@ -115,19 +141,22 @@ def _wcov_pallas(
 
 def _wcov_einsum(Xr, Xi, varphi):
     n_frames = Xr.shape[-1]
+    eq = "nit,pit,qit->inpq" if varphi.ndim == 3 else "nt,pit,qit->inpq"
     Ur = (
-        jnp.einsum("nt,pit,qit->inpq", varphi, Xr, Xr)
-        + jnp.einsum("nt,pit,qit->inpq", varphi, Xi, Xi)
+        jnp.einsum(eq, varphi, Xr, Xr) + jnp.einsum(eq, varphi, Xi, Xi)
     ) / n_frames
     Ui = (
-        jnp.einsum("nt,pit,qit->inpq", varphi, Xi, Xr)
-        - jnp.einsum("nt,pit,qit->inpq", varphi, Xr, Xi)
+        jnp.einsum(eq, varphi, Xi, Xr) - jnp.einsum(eq, varphi, Xr, Xi)
     ) / n_frames
     return Ur, Ui
 
 
 def weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
     """Split-complex weighted covariance ``(Ur, Ui)`` of shape (I, N, M, M).
+
+    ``varphi``: ``(N, T)`` scalar weights (the IVA shape) or ``(N, I, T)``
+    per-bin weights (the ILRMA/FDICA/MNMF shape — reference
+    ssspy/bss/ilrma.py:1497-1507).
 
     ``impl``: ``"pallas"`` (fused TPU kernel), ``"pallas_bf16"`` (fused
     kernel with bf16 MXU inputs + f32 accumulation), ``"einsum"`` (XLA),

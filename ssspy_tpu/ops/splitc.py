@@ -425,24 +425,18 @@ def gauss_ilrma_iss1_step_sc(Ys, T, V, domain: float = 2.0, eps=1e-6):
     return jnp.stack([Yr, Yi], axis=0), T, V
 
 
-def _scalar_weighted_covariance_sc(Xr, Xi, varphi):
+def _scalar_weighted_covariance_sc(Xr, Xi, varphi, impl: str = "auto"):
     """Per-source scalar-weighted covariance pair (Hermitian).
 
     ``U[i, n] = mean_t varphi[n, i, t] x_{it} x_{it}^H`` with per-bin
     weights (the ILRMA/FDICA/MNMF weight shape — reference
     ssspy/bss/ilrma.py:1497-1507). Returns the ``(Ur, Ui)`` pair of
-    shape ``(I, N, M, M)``.
-    """
-    n_frames = Xr.shape[-1]
-    Ur = (
-        jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xr)
-        + jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xi)
-    ) / n_frames
-    Ui = (
-        jnp.einsum("nit,pit,qit->inpq", varphi, Xi, Xr)
-        - jnp.einsum("nit,pit,qit->inpq", varphi, Xr, Xi)
-    ) / n_frames
-    return Ur, Ui
+    shape ``(I, N, M, M)``. Routed through the fused Pallas kernel on
+    TPU backends (same per-bin-weight variant as the IVA path; one VMEM
+    read of the X tile serves all four real contractions)."""
+    from .pallas_kernels import weighted_covariance_sc
+
+    return weighted_covariance_sc(Xr, Xi, varphi, impl=impl)
 
 
 def _ilrma_mm_updates(Y2, T, V, p, eps):
@@ -456,7 +450,9 @@ def _ilrma_mm_updates(Y2, T, V, p, eps):
     return _ilrma_mm_core(Y2, T, V, model="gauss", p=p, eps=eps)
 
 
-def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
+def gauss_ilrma_ip1_step_sc(
+    Xs, Ws, T, V, domain: float = 2.0, eps=1e-6, covariance_impl: str = "auto"
+):
     """One GaussILRMA MM+IP1 iteration in split-complex form.
 
     Mirrors ``GaussILRMA.update_once`` (reference ssspy/bss/ilrma.py:
@@ -488,7 +484,7 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     # measures 1.9x faster than the unrolled one inside this step (the
     # AuxIVA program prefers the unroll; see ip1_sweep_sc docstring).
     varphi = 1 / (R ** (2 / p))  # (N, I, T) per-bin MM weights
-    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi, impl=covariance_impl)
     Wr, Wi = ip1_sweep_sc(Wr, Wi, Ur, Ui, eps=eps, unroll=False)
 
     # power normalization couples W and T (ssspy/bss/ilrma.py:365-444)
@@ -500,7 +496,9 @@ def gauss_ilrma_ip1_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     return jnp.stack([Wr, Wi], axis=0), T, V
 
 
-def gauss_ilrma_ip2_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
+def gauss_ilrma_ip2_step_sc(
+    Xs, Ws, T, V, domain: float = 2.0, eps=1e-6, covariance_impl: str = "auto"
+):
     """One GaussILRMA MM+IP2 iteration in split-complex form.
 
     Same skeleton as :func:`gauss_ilrma_ip1_step_sc` with the spatial
@@ -521,7 +519,7 @@ def gauss_ilrma_ip2_step_sc(Xs, Ws, T, V, domain: float = 2.0, eps=1e-6):
     T, V, R = _ilrma_mm_updates(power(Wr, Wi), T, V, p, eps)
 
     varphi = 1 / (R ** (2 / p))
-    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi)
+    Ur, Ui = _scalar_weighted_covariance_sc(Xr, Xi, varphi, impl=covariance_impl)
 
     n_sources = Wr.shape[1]
     for m in range(n_sources):
@@ -1958,11 +1956,10 @@ def _ipa_sweep_congruence_sc(
     n_frames = Yr.shape[-1]
     dt = Yr.dtype
 
-    # full weighted-covariance stack, ONCE per sweep:
+    # full weighted-covariance stack, ONCE per sweep (fused Pallas
+    # kernel on TPU — one VMEM read of Y serves all four contractions):
     # U[i, s, a, b] = mean_t varphi[s, (i,) t] Y[a, i, t] conj(Y[b, i, t])
-    eq = "st,ait,bit->isab" if varphi.ndim == 2 else "sit,ait,bit->isab"
-    Ur = (jnp.einsum(eq, varphi, Yr, Yr) + jnp.einsum(eq, varphi, Yi, Yi)) / n_frames
-    Ui = (jnp.einsum(eq, varphi, Yi, Yr) - jnp.einsum(eq, varphi, Yr, Yi)) / n_frames
+    Ur, Ui = _scalar_weighted_covariance_sc(Yr, Yi, varphi)
     Ur = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
     Ui = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
 
@@ -3709,8 +3706,7 @@ def faster_iva_step_sc(Zs, Ws, eps=1e-10, eig_impl: str = "auto"):
     norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
     varphi = 2 / jnp.maximum(2 * norm, eps)
 
-    varphi_b = jnp.broadcast_to(varphi[:, None, :], (varphi.shape[0],) + Zr.shape[1:])
-    Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, varphi_b)  # (I, N, M, M)
+    Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, varphi)  # (I, N, M, M)
     if eig_impl == "solve":
         vr, vi = _top_eigvec_shift_invert_sc(Ur, Ui)
     else:
