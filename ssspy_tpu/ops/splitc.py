@@ -2330,7 +2330,15 @@ def cacgmm_posterior_sc(Zs, alpha, Bs, eps=1e-10):
     return jax.nn.softmax(log_gamma, axis=0)
 
 
-def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True, impl: str = "auto"):
+def cacgmm_step_sc(
+    Zs,
+    alpha,
+    Bs,
+    eps=1e-10,
+    normalization=True,
+    impl: str = "auto",
+    covariance_impl: str = "einsum",
+):
     """One cACGMM EM iteration in split-complex form.
 
     ``Zs``: unit-normalized observations ``(2, M, I, T)``; ``alpha``:
@@ -2342,6 +2350,13 @@ def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True, impl: str = "au
     per-iteration eighs — the M-step PSD projection becomes hermitize +
     a relative ridge, keeping B positive definite for the E-step
     Cholesky (an O(1e-6) perturbation of the floored path).
+    ``covariance_impl``: backend of the M-step numerator (the per-bin-
+    weighted covariance pattern). Unlike the ILRMA/FDICA steps the
+    default here is ``"einsum"``: the weights ``G = gamma / ZBZ`` are
+    themselves computed on the fly, and XLA fuses that elementwise
+    chain into the einsum contractions, while the Pallas kernel forces
+    the (N, I, T) ``G`` to materialize in HBM first — measured 491 vs
+    500 it/s at the BASELINE shapes (idle v5e, 300-iteration chunks).
     """
     Zr, Zi = Zs[0], Zs[1]
     Br, Bi = Bs[0], Bs[1]
@@ -2353,18 +2368,15 @@ def cacgmm_step_sc(Zs, alpha, Bs, eps=1e-10, normalization=True, impl: str = "au
     log_gamma, ZBZ = _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=eps, impl=impl)
     gamma = jax.nn.softmax(log_gamma, axis=0)  # (N, I, T)
 
-    # M-step
+    # M-step: the numerator is a per-bin-weighted covariance stack
+    # (weights G over frames), same pattern as the ILRMA/FDICA hot op
     alpha = jnp.mean(gamma, axis=-1)
     G = gamma / ZBZ
-    num_r = jnp.einsum("nit,pit,qit->nipq", G, Zr, Zr) + jnp.einsum(
-        "nit,pit,qit->nipq", G, Zi, Zi
-    )
-    num_i = jnp.einsum("nit,pit,qit->nipq", G, Zi, Zr) - jnp.einsum(
-        "nit,pit,qit->nipq", G, Zr, Zi
-    )
-    denom = jnp.sum(gamma, axis=2)[:, :, None, None]
-    Br = n_channels * num_r / denom
-    Bi = n_channels * num_i / denom
+    Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, G, impl=covariance_impl)
+    # num/denom = (mean_t G zz^H) / mean_t(gamma) — alpha IS the mean
+    denom = alpha[:, :, None, None]
+    Br = n_channels * jnp.swapaxes(Ur, 0, 1) / denom
+    Bi = n_channels * jnp.swapaxes(Ui, 0, 1) / denom
     if impl == "chol":
         Br = (Br + jnp.swapaxes(Br, -1, -2)) / 2
         Bi = (Bi - jnp.swapaxes(Bi, -1, -2)) / 2
