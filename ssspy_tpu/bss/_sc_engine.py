@@ -20,7 +20,7 @@ from typing import List
 
 import numpy as np
 
-from ..special.flooring import F32_EPS, max_flooring
+from ..special.flooring import F32_EPS, dtype_flooring, max_flooring
 
 __all__ = [
     "resolve_engine",
@@ -73,6 +73,11 @@ def sc_flooring_eps(flooring_fn, default: float, f32_floor: bool = False):
     under-/overflow with the reference's f64-calibrated 1e-10 after
     ~150 f32 iterations (see CLAUDE.md / splitc kernel docstrings).
     """
+    if flooring_fn is dtype_flooring:
+        # the class default ("dtype"): delegate with the SC kernel's own
+        # f32-calibrated default eps — the same value the fast_* entry
+        # points use, keeping impl="fast" bit-identical to them
+        return max(default, F32_EPS) if f32_floor else default
     if isinstance(flooring_fn, functools.partial) and flooring_fn.func is max_flooring:
         eps = flooring_fn.keywords.get("eps", default)
         return max(eps, F32_EPS) if f32_floor else eps

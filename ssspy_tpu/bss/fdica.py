@@ -57,7 +57,7 @@ class FDICABase(IterativeMethodBase):
 
     def __init__(
         self,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         permutation_alignment: bool = True,
         scale_restoration: Union[bool, str] = True,
@@ -204,7 +204,7 @@ class GradFDICABase(FDICABase):
         step_size: float = 1e-1,
         contrast_fn: Callable = None,
         score_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = False,
         permutation_alignment: bool = True,
@@ -293,7 +293,7 @@ class AuxFDICA(FDICABase):
         spatial_algorithm: str = "IP",
         contrast_fn: Callable = None,
         d_contrast_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         permutation_alignment: bool = True,
@@ -384,7 +384,7 @@ class GradLaplaceFDICA(GradFDICA):
     def __init__(
         self,
         step_size: float = 1e-1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = False,
         permutation_alignment: bool = True,
@@ -424,7 +424,7 @@ class NaturalGradLaplaceFDICA(NaturalGradFDICA):
     def __init__(
         self,
         step_size: float = 1e-1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = False,
         permutation_alignment: bool = True,
@@ -464,7 +464,7 @@ class AuxLaplaceFDICA(AuxFDICA):
     def __init__(
         self,
         spatial_algorithm: str = "IP",
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         permutation_alignment: bool = True,

@@ -63,7 +63,7 @@ class MaskingPDSHVA(MaskingPDSBSS):
         relaxation: float = 1,
         attenuation: Optional[float] = None,
         mask_iter: int = 1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,
@@ -106,7 +106,7 @@ class MaskingADMMHVA(MaskingADMMBSS):
         relaxation: float = 1,
         attenuation: Optional[float] = None,
         mask_iter: int = 1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,

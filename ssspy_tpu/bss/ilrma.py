@@ -73,7 +73,7 @@ class ILRMABase(IterativeMethodBase):
         self,
         n_basis: int,
         partitioning: bool = False,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -759,7 +759,7 @@ class GaussILRMA(ILRMABase):
         source_algorithm: str = "MM",
         domain: float = 2,
         partitioning: bool = False,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         normalization: Optional[Union[bool, str]] = True,
@@ -870,7 +870,7 @@ class TILRMA(ILRMABase):
         source_algorithm: str = "MM",
         domain: float = 2,
         partitioning: bool = False,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         normalization: Optional[Union[bool, str]] = True,
@@ -981,7 +981,7 @@ class GGDILRMA(ILRMABase):
         source_algorithm: str = "MM",
         domain: float = 2,
         partitioning: bool = False,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         normalization: Optional[Union[bool, str]] = True,

@@ -58,7 +58,7 @@ class IPSDTABase(IterativeMethodBase):
     def __init__(
         self,
         n_basis: int,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -139,7 +139,7 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
         self,
         n_basis: int,
         n_blocks: int,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -351,7 +351,7 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
         n_blocks: int,
         source_algorithm: str = "MM",
         spatial_algorithm: str = "VCD",
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         source_normalization: Optional[Union[bool, str]] = True,
         scale_restoration: Union[bool, str] = True,
@@ -509,7 +509,7 @@ class TIPSDTA(BlockDecompositionIPSDTABase):
         dof: float,
         source_algorithm: str = "MM",
         spatial_algorithm: str = "VCD",
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         source_normalization: Optional[Union[bool, str]] = True,
         scale_restoration: Union[bool, str] = True,

@@ -100,7 +100,7 @@ class IVABase(IterativeMethodBase):
 
     def __init__(
         self,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -227,7 +227,7 @@ class GradIVABase(IVABase):
         step_size: float = 1e-1,
         contrast_fn: Callable = None,
         score_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = False,
         scale_restoration: Union[bool, str] = True,
@@ -329,7 +329,7 @@ class FastIVABase(IVABase):
 
     def __init__(
         self,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -412,7 +412,7 @@ class FastIVA(FastIVABase):
         contrast_fn: Callable = None,
         d_contrast_fn: Callable = None,
         dd_contrast_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -470,7 +470,7 @@ class FasterIVA(FastIVABase):
         self,
         contrast_fn: Callable = None,
         d_contrast_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -515,7 +515,7 @@ class AuxIVABase(IVABase):
         self,
         contrast_fn: Callable = None,
         d_contrast_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
@@ -572,7 +572,7 @@ class AuxIVA(AuxIVABase):
         spatial_algorithm: str = "IP",
         contrast_fn: Callable = None,
         d_contrast_fn: Callable = None,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
@@ -1008,7 +1008,7 @@ class GradLaplaceIVA(GradIVA):
     def __init__(
         self,
         step_size: float = 1e-1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = True,
         scale_restoration: Union[bool, str] = True,
@@ -1063,7 +1063,7 @@ class GradGaussIVA(GradIVA):
     def __init__(
         self,
         step_size: float = 1e-1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = True,
         scale_restoration: Union[bool, str] = True,
@@ -1139,7 +1139,7 @@ class NaturalGradLaplaceIVA(NaturalGradIVA):
     def __init__(
         self,
         step_size: float = 1e-1,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         is_holonomic: bool = True,
         scale_restoration: Union[bool, str] = True,
@@ -1185,7 +1185,7 @@ class AuxLaplaceIVA(AuxIVA):
     def __init__(
         self,
         spatial_algorithm: str = "IP",
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,
@@ -1219,7 +1219,7 @@ class AuxGaussIVA(AuxIVA):
     def __init__(
         self,
         spatial_algorithm: str = "IP",
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         scale_restoration: Union[bool, str] = True,

@@ -51,7 +51,7 @@ class MNMFBase(IterativeMethodBase):
         n_basis: int,
         n_sources: Optional[int] = None,
         partitioning: bool = False,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         normalization: Union[bool, str] = True,
         record_loss: bool = True,
@@ -395,7 +395,7 @@ class FastGaussMNMF(FastMNMFBase):
         n_sources: Optional[int] = None,
         diagonalizer_algorithm: str = "IP",
         partitioning: bool = False,
-        flooring_fn: Optional[Callable] = functools.partial(max_flooring, eps=EPS),
+        flooring_fn: Union[str, Callable, None] = "dtype",
         pair_selector: Optional[Callable[[int], Iterable[Tuple[int, int]]]] = None,
         callbacks: Optional[Union[Callable, List[Callable]]] = None,
         normalization: bool = True,

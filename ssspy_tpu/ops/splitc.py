@@ -2372,11 +2372,27 @@ def cacgmm_step_sc(
     # (weights G over frames), same pattern as the ILRMA/FDICA hot op
     alpha = jnp.mean(gamma, axis=-1)
     G = gamma / ZBZ
-    Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, G, impl=covariance_impl)
-    # num/denom = (mean_t G zz^H) / mean_t(gamma) — alpha IS the mean
-    denom = alpha[:, :, None, None]
-    Br = n_channels * jnp.swapaxes(Ur, 0, 1) / denom
-    Bi = n_channels * jnp.swapaxes(Ui, 0, 1) / denom
+    if covariance_impl == "einsum":
+        # inline contraction with the sum/sum quotient: this exact float
+        # ordering is what the sharded-vs-unsharded and hard-fidelity
+        # contracts were pinned against (the mean/mean form through the
+        # shared wrapper drifts ~1e-5 after 3 f32 EM rounds, enough to
+        # flip posterior permutation decisions at 4-source difficulty)
+        num_r = jnp.einsum("nit,pit,qit->nipq", G, Zr, Zr) + jnp.einsum(
+            "nit,pit,qit->nipq", G, Zi, Zi
+        )
+        num_i = jnp.einsum("nit,pit,qit->nipq", G, Zi, Zr) - jnp.einsum(
+            "nit,pit,qit->nipq", G, Zr, Zi
+        )
+        denom = jnp.sum(gamma, axis=2)[:, :, None, None]
+        Br = n_channels * num_r / denom
+        Bi = n_channels * num_i / denom
+    else:
+        Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, G, impl=covariance_impl)
+        # num/denom = (mean_t G zz^H) / mean_t(gamma) — alpha IS the mean
+        denom = alpha[:, :, None, None]
+        Br = n_channels * jnp.swapaxes(Ur, 0, 1) / denom
+        Bi = n_channels * jnp.swapaxes(Ui, 0, 1) / denom
     if impl == "chol":
         Br = (Br + jnp.swapaxes(Br, -1, -2)) / 2
         Bi = (Bi - jnp.swapaxes(Bi, -1, -2)) / 2

@@ -75,10 +75,22 @@ def state_dict(method) -> Dict[str, np.ndarray]:
     out = {}
     state = getattr(method, "_state", None)
     if state is not None:
+        # split-complex engine runs carry planar [real, imag] f32 leaves;
+        # warm-start kwargs are complex host arrays, so convert W/Y/B back
+        # (signal: the state's input leaf is real while the input is complex)
+        state_input = state.get("X", state.get("Xu"))
+        sc_mode = (
+            state_input is not None
+            and not np.iscomplexobj(np.asarray(state_input))
+            and np.iscomplexobj(np.asarray(getattr(method, "input", None)))
+        )
         for key, value in state.items():
             if key in _INPUT_DERIVED_KEYS or value is None:
                 continue
-            if key.startswith("T") and key[1:].isdigit():  # IPSDTA parts
+            if sc_mode and key in ("W", "Y", "B"):
+                planar = np.asarray(value)
+                out[_STATE_KEY_TO_KWARG[key]] = planar[0] + 1j * planar[1]
+            elif key.startswith("T") and key[1:].isdigit():  # IPSDTA parts
                 out[f"basis.{key[1:]}"] = np.asarray(value)
             elif key in _STATE_KEY_TO_KWARG:
                 out[_STATE_KEY_TO_KWARG[key]] = np.asarray(value)

@@ -240,3 +240,116 @@ class TestHostMirrors:
             np.asarray(_ls_demix(Y, X.astype(np.complex128))),
             rtol=1e-6,
         )
+
+
+class TestCACGMMFastImpl:
+    """CACGMM's SC engine (round-4 extension of the ``impl`` knob).
+
+    The EM scan matches :func:`ssspy_tpu.fast.fast_cacgmm` exactly given
+    the same rng; the final posterior runs in its own program (the fast
+    path fuses it into the scan program), so outputs agree to f32
+    fusion-boundary rounding (~1e-7) rather than bit-for-bit.
+    """
+
+    def _cacgmm(self, **kwargs):
+        from ssspy_tpu.bss.cacgmm import CACGMM
+
+        return CACGMM(rng=np.random.default_rng(7), impl="fast", **kwargs)
+
+    def test_matches_fast_cacgmm(self):
+        from ssspy_tpu.fast import fast_cacgmm
+
+        Y = self._cacgmm(permutation_alignment=False, record_loss=False)(
+            X.copy(), n_iter=6
+        )
+        Yf = fast_cacgmm(
+            X.copy(), n_iter=6, rng=np.random.default_rng(7),
+            permutation_alignment=False,
+        )
+        np.testing.assert_allclose(np.asarray(Y), np.asarray(Yf), atol=2e-6)
+
+    def test_alignment_correlation_matches_fast(self):
+        from ssspy_tpu.fast import fast_cacgmm
+
+        Y = self._cacgmm(
+            permutation_alignment="amplitude_correlation", record_loss=False
+        )(X.copy(), n_iter=6)
+        Yf = fast_cacgmm(X.copy(), n_iter=6, rng=np.random.default_rng(7))
+        np.testing.assert_allclose(np.asarray(Y), np.asarray(Yf), atol=2e-6)
+
+    def test_default_posterior_score_mode_and_loss(self):
+        m = self._cacgmm()
+        Y = m(X.copy(), n_iter=8)
+        assert np.isfinite(np.asarray(Y)).all()
+        assert len(m.loss) == 9
+        assert np.isfinite(np.asarray(m.loss)).all()
+        assert m.loss[-1] < m.loss[0]
+
+    def test_underdetermined(self):
+        Y = self._cacgmm(n_sources=4, record_loss=False)(X.copy(), n_iter=4)
+        assert Y.shape == (4, I, T)
+        assert np.isfinite(np.asarray(Y)).all()
+
+    def test_warm_start_params(self):
+        m1 = self._cacgmm(permutation_alignment=False, record_loss=False)
+        m1(X.copy(), n_iter=3)
+        alpha, B = m1.mixing.copy(), m1.covariance.copy()
+
+        m2 = self._cacgmm(permutation_alignment=False, record_loss=False)
+        Y2 = m2(X.copy(), n_iter=6)
+
+        m3 = self._cacgmm(permutation_alignment=False, record_loss=False)
+        Y3 = m3(X.copy(), n_iter=3, mixing=alpha, covariance=B)
+        np.testing.assert_array_equal(np.asarray(Y3), np.asarray(Y2))
+
+    def test_sc_solver_matches_complex_solver_decisions(self):
+        """Given identical (posterior, mixing, covariance), the SC-mode
+        permutation solve (planar covariance extras) must pick the same
+        permutations as the complex path."""
+        from ssspy_tpu.bss.cacgmm import CACGMM
+
+        rng = np.random.default_rng(3)
+        N = M
+        gamma = rng.random((N, I, T)).astype(np.float32)
+        gamma /= gamma.sum(axis=0)
+        alpha = rng.random((N, I)).astype(np.float32)
+        Bc = (
+            rng.standard_normal((N, I, M, M)) + 1j * rng.standard_normal((N, I, M, M))
+        ).astype(np.complex64)
+
+        for mode in ["posterior_score", "amplitude_score", "amplitude_correlation"]:
+            ref = CACGMM(permutation_alignment=mode)
+            ref.input = X.copy()
+            ref.n_sources, ref.n_channels = N, M
+            ref.mixing, ref.covariance, ref.posterior = (
+                alpha.copy(), Bc.copy(), gamma.copy(),
+            )
+            ref.solve_permutation(flooring_fn=ref.flooring_fn)
+
+            sc = CACGMM(permutation_alignment=mode, impl="fast")
+            sc.input = np.asarray(X.copy())
+            sc.n_sources, sc.n_channels = N, M
+            sc.mixing, sc.covariance, sc.posterior = (
+                alpha.copy(), Bc.copy(), gamma.copy(),
+            )
+            sc.solve_permutation_sc()
+
+            np.testing.assert_array_equal(np.asarray(ref.mixing), sc.mixing)
+            np.testing.assert_array_equal(np.asarray(ref.covariance), sc.covariance)
+            np.testing.assert_array_equal(np.asarray(ref.posterior), sc.posterior)
+
+    def test_auto_uses_sc_when_backend_rejects_complex(self, monkeypatch):
+        from ssspy_tpu.bss.cacgmm import CACGMM
+
+        monkeypatch.setattr(backend_mod, "backend_supports_complex", lambda: False)
+        m = CACGMM(rng=np.random.default_rng(7))
+        assert resolve_engine(m, m._sc_engine_blockers()) == "sc"
+        Y = m(X.copy(), n_iter=3)
+        assert np.isfinite(np.asarray(Y)).all()
+
+    def test_fast_impl_raises_on_blocked_config(self):
+        from ssspy_tpu.bss.cacgmm import CACGMM
+
+        m = CACGMM(flooring_fn=functools.partial(add_flooring, eps=1e-10), impl="fast")
+        with pytest.raises(ValueError, match="split-complex engine"):
+            m(X.copy(), n_iter=2)

@@ -149,3 +149,76 @@ def test_checkpoint_excludes_input_derived_state(tmp_path):
     keys = set(state_dict(mnmf))
     assert "XX" not in keys
     assert {"basis", "activation", "spatial"} <= keys
+
+
+def test_sc_engine_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Split-complex runs checkpoint as complex host arrays: a save/resume
+    through the SC engine (impl="fast") must reproduce the uninterrupted
+    SC trajectory bit-for-bit (the planar [real, imag] scan state is
+    converted back to complex by state_dict)."""
+    from ssspy_tpu.bss.iva import AuxLaplaceIVA
+
+    X = _mixture().astype(np.complex64)
+    full = AuxLaplaceIVA(spatial_algorithm="IP1", impl="fast", record_loss=False)
+    Y_full = full(X.copy(), n_iter=8)
+
+    half = AuxLaplaceIVA(spatial_algorithm="IP1", impl="fast", record_loss=False)
+    half(X.copy(), n_iter=4)
+    path = str(tmp_path / "sc.npz")
+    save_checkpoint(path, half)
+
+    state = load_checkpoint(path)
+    assert np.iscomplexobj(state["demix_filter"])
+
+    rest = AuxLaplaceIVA(spatial_algorithm="IP1", impl="fast", record_loss=False)
+    Y_rest = resume(rest, X.copy(), path, n_iter=4)
+    np.testing.assert_array_equal(np.asarray(Y_rest), np.asarray(Y_full))
+
+
+def test_sc_engine_checkpoint_demix_free(tmp_path):
+    """Same contract for the demix-free (Y-state) SC families."""
+    from ssspy_tpu.bss.iva import AuxLaplaceIVA
+
+    X = _mixture().astype(np.complex64)
+    full = AuxLaplaceIVA(spatial_algorithm="ISS1", impl="fast", record_loss=False)
+    Y_full = full(X.copy(), n_iter=8)
+
+    half = AuxLaplaceIVA(spatial_algorithm="ISS1", impl="fast", record_loss=False)
+    half(X.copy(), n_iter=4)
+    path = str(tmp_path / "sc_iss.npz")
+    save_checkpoint(path, half)
+
+    state = load_checkpoint(path)
+    assert np.iscomplexobj(state["output"])
+
+    rest = AuxLaplaceIVA(spatial_algorithm="ISS1", impl="fast", record_loss=False)
+    Y_rest = resume(rest, X.copy(), path, n_iter=4)
+    np.testing.assert_array_equal(np.asarray(Y_rest), np.asarray(Y_full))
+
+
+def test_sc_engine_checkpoint_cacgmm(tmp_path):
+    """cACGMM's SC state uses the ``Xu`` input key and a planar ``B``:
+    state_dict must exclude the unit input and convert the covariance
+    back to complex; resume must reproduce the uninterrupted run."""
+    from ssspy_tpu.bss.cacgmm import CACGMM
+
+    X = _mixture().astype(np.complex64)
+    full = CACGMM(rng=np.random.default_rng(2), impl="fast",
+                  permutation_alignment=False, record_loss=False)
+    Y_full = full(X.copy(), n_iter=8)
+
+    half = CACGMM(rng=np.random.default_rng(2), impl="fast",
+                  permutation_alignment=False, record_loss=False)
+    half(X.copy(), n_iter=4)
+    path = str(tmp_path / "sc_cacgmm.npz")
+    save_checkpoint(path, half)
+
+    state = load_checkpoint(path)
+    assert set(state) == {"mixing", "covariance"}
+    assert np.iscomplexobj(state["covariance"])
+    assert not np.iscomplexobj(state["mixing"])
+
+    rest = CACGMM(rng=np.random.default_rng(99), impl="fast",
+                  permutation_alignment=False, record_loss=False)
+    Y_rest = resume(rest, X.copy(), path, n_iter=4)
+    np.testing.assert_array_equal(np.asarray(Y_rest), np.asarray(Y_full))
