@@ -16,6 +16,7 @@ on the host (it is not part of the benchmarked iteration loop).
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -74,6 +75,36 @@ def host_stft(x, n_fft=N_FFT, hop=HOP):
     return np.fft.rfft(frames, axis=-1).swapaxes(-2, -1) / win.sum()
 
 
+def _rate_stats(time_once, n_iter, reps, k=5, spread_tol=0.15):
+    """Robust per-row rate: k repeated measurements, median + spread.
+
+    ``time_once()`` runs one measurement (``reps`` chained ``n_iter``
+    scans closed by a host readback — the protocol BENCHMARKS.md's
+    matrix uses) and returns its wall time. A single point estimate
+    whipsaws with tunnel weather (BENCH_r03 3,653 vs BENCH_r04 2,930 on
+    an unchanged kernel), so the driver-visible number is the median of
+    k measurements; if the min/max spread exceeds ``spread_tol`` of the
+    median, one more batch of k is taken (slow tunnel window) and the
+    stats pool over all measurements.
+    """
+    rates = [reps * n_iter / time_once() for _ in range(k)]
+
+    def spread(rs):
+        return (max(rs) - min(rs)) / statistics.median(rs)
+
+    retried = False
+    if spread(rates) > spread_tol:
+        retried = True
+        rates += [reps * n_iter / time_once() for _ in range(k)]
+    return {
+        "median": round(statistics.median(rates), 3),
+        "min": round(min(rates), 3),
+        "max": round(max(rates), 3),
+        "n_chunks": len(rates) * reps,
+        "retried": retried,
+    }
+
+
 def bench_jax(spectrogram):
     import functools
 
@@ -113,13 +144,16 @@ def bench_jax(spectrogram):
     # resolve before the computation finishes, so the device-to-host copy
     # of the result is the only trustworthy completion barrier.
     reps = 3
-    W_t = W
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        W_t = runner(X, W_t, N_MEASURE)
-    np.asarray(W_t)
-    dt = (time.perf_counter() - t0) / reps
-    return N_MEASURE / dt
+
+    def time_once():
+        W_t = W
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            W_t = runner(X, W_t, N_MEASURE)
+        np.asarray(W_t)
+        return time.perf_counter() - t0
+
+    return _rate_stats(time_once, N_MEASURE, reps)
 
 
 def bench_jax_ilrma(spectrogram):
@@ -151,13 +185,16 @@ def bench_jax_ilrma(spectrogram):
     carry = tuple(jax.device_put(a) for a in (W0, T0, V0))
     np.asarray(runner(carry, N_MEASURE)[0])  # compile + one full execution
     reps = 3
-    c_t = carry
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        c_t = runner(c_t, N_MEASURE)
-    np.asarray(c_t[0])  # host readback = the only trustworthy barrier
-    dt = (time.perf_counter() - t0) / reps
-    return N_MEASURE / dt
+
+    def time_once():
+        c_t = carry
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            c_t = runner(c_t, N_MEASURE)
+        np.asarray(c_t[0])  # host readback = the only trustworthy barrier
+        return time.perf_counter() - t0
+
+    return _rate_stats(time_once, N_MEASURE, reps)
 
 
 def _chain_scan(step_with_carry, carry, read_leaf, n_iter=None, reps=3):
@@ -178,13 +215,16 @@ def _chain_scan(step_with_carry, carry, read_leaf, n_iter=None, reps=3):
         return lax.scan(body, carry, None, length=n)[0]
 
     np.asarray(read_leaf(runner(carry, n_iter)))  # compile + one execution
-    c = carry
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        c = runner(c, n_iter)
-    np.asarray(read_leaf(c))
-    dt = (time.perf_counter() - t0) / reps
-    return n_iter / dt
+
+    def time_once():
+        c = carry
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            c = runner(c, n_iter)
+        np.asarray(read_leaf(c))
+        return time.perf_counter() - t0
+
+    return _rate_stats(time_once, n_iter, reps)
 
 
 def bench_jax_fast_mnmf(spectrogram4):
@@ -501,24 +541,37 @@ def _main():
 
     # the TPU tunnel is occasionally flaky on first contact; retry once
     try:
-        jax_ips = bench_jax(spec)
+        jax_stats = bench_jax(spec)
     except Exception:
         time.sleep(30)
-        jax_ips = bench_jax(spec)
-    np_ips = bench_numpy(spec) or FALLBACK_NUMPY_ITERS_PER_SEC
+        jax_stats = bench_jax(spec)
+    jax_ips = jax_stats["median"]
+    np_live = bench_numpy(spec)
+    np_ips = np_live or FALLBACK_NUMPY_ITERS_PER_SEC
     vs_baseline = jax_ips / np_ips
+    extra = {
+        "auxiva_ip1_stats": jax_stats,
+        "auxiva_ip1_denominator": "live" if np_live else "pinned",
+    }
 
     # secondary BASELINE config: GaussILRMA-IP1 (reported in the same line;
     # a failure here must not lose the headline metric)
     try:
-        ilrma_ips = bench_jax_ilrma(spec)
-        ilrma_np = bench_numpy_ilrma(spec) or FALLBACK_NUMPY_ILRMA_ITERS_PER_SEC
-        extra = {
-            "gauss_ilrma_ip1_8ch_10s_iters_per_sec": round(ilrma_ips, 3),
-            "gauss_ilrma_ip1_vs_baseline": round(ilrma_ips / ilrma_np, 2),
-        }
+        ilrma_stats = bench_jax_ilrma(spec)
+        ilrma_np_live = bench_numpy_ilrma(spec)
+        ilrma_np = ilrma_np_live or FALLBACK_NUMPY_ILRMA_ITERS_PER_SEC
+        extra.update(
+            {
+                "gauss_ilrma_ip1_8ch_10s_iters_per_sec": ilrma_stats["median"],
+                "gauss_ilrma_ip1_vs_baseline": round(
+                    ilrma_stats["median"] / ilrma_np, 2
+                ),
+                "gauss_ilrma_ip1_stats": ilrma_stats,
+                "gauss_ilrma_ip1_denominator": "live" if ilrma_np_live else "pinned",
+            }
+        )
     except Exception as exc:
-        extra = {"gauss_ilrma_ip1_error": repr(exc)[:200]}
+        extra["gauss_ilrma_ip1_error"] = repr(exc)[:200]
 
     # BASELINE configs #4 and #5: FastGaussMNMF (4-ch), cACGMM, HVA.
     # Denominators are measured live by run-length differencing (per-call
@@ -537,13 +590,14 @@ def _main():
          lambda: bench_numpy_grad_ica(mix[:2]), 208.0),
     ):
         try:
-            ips = jax_fn()
+            stats = jax_fn()
             denom = np_fn()
             source = "live" if denom else "pinned"
             denom = denom or fallback
-            extra[f"{key}_iters_per_sec"] = round(ips, 3)
-            extra[f"{key}_vs_baseline"] = round(ips / denom, 2)
+            extra[f"{key}_iters_per_sec"] = stats["median"]
+            extra[f"{key}_vs_baseline"] = round(stats["median"] / denom, 2)
             extra[f"{key}_denominator"] = source
+            extra[f"{key}_stats"] = stats
         except Exception as exc:
             extra[f"{key}_error"] = repr(exc)[:200]
 
