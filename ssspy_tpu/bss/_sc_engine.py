@@ -30,6 +30,8 @@ __all__ = [
     "ls_demix_host",
     "separate_host",
     "restore_scale_host",
+    "permutation_align_host",
+    "probe_matches",
 ]
 
 
@@ -174,3 +176,117 @@ def restore_scale_host(instance) -> None:
         raise ValueError(
             f"{scale_restoration} is not supported for scale restoration."
         )
+
+
+def permutation_align_host(Y: np.ndarray, *args: np.ndarray, eps=1e-10):
+    """Correlation-based frequency-permutation alignment on the host.
+
+    NumPy twin of
+    :func:`ssspy_tpu.algorithm.correlation_based_permutation_solver`
+    (reference ssspy/algorithm/permutation_alignment.py:12-121), kept
+    off the device so SC-mode classes and the fast paths never trace a
+    complex program. ``Y``: ``(I, N, T)`` complex; extra ``args`` of
+    shape ``(I, N, ...)`` are permuted in lockstep. Arrays are modified
+    in place and returned.
+    """
+    import itertools
+
+    n_bins, n_sources, _ = Y.shape
+    perms = np.array(list(itertools.permutations(range(n_sources))))
+
+    P = np.abs(Y)
+    norm = np.sqrt(np.sum(P**2, axis=1, keepdims=True))
+    P = P / np.maximum(norm, eps)
+    correlation = np.sum(P @ np.swapaxes(P, -2, -1), axis=(1, 2))
+    order = np.argsort(correlation)
+
+    criteria = P[order[0]].copy()
+    for bin_idx in order[1:]:
+        P_bin = P[bin_idx]
+        scores = np.sum(criteria[None] * P_bin[perms], axis=(1, 2))
+        perm_best = perms[np.argmax(scores)]
+        criteria += P_bin[perm_best]
+        Y[bin_idx] = Y[bin_idx][perm_best]
+        for arg in args:
+            arg[bin_idx] = arg[bin_idx][perm_best]
+    return (Y,) + args if args else Y
+
+
+# ---- numeric probes for user-supplied model functions -----------------------
+#
+# Several reference classes take contrast/score/prox callables instead
+# of a model keyword (FastIVA, GradIVA, AuxFDICA, PDSBSS...). The SC
+# kernels implement the standard choices (Laplace contrast, L21 prox),
+# so eligibility cannot be decided from config flags alone — instead the
+# candidate function is evaluated on a small REAL f32 probe (real, so a
+# complex-rejecting backend can run it) and compared against the kernel
+# model. A function that raises or deviates simply keeps the class on
+# the complex path — probes can produce false negatives (a Laplace-
+# equivalent fn that special-cases real input), never false positives
+# beyond the 1e-4 match tolerance.
+
+_PROBE_SEED = 20240817
+
+
+def _probe_operands():
+    rng = np.random.default_rng(_PROBE_SEED)
+    y = (rng.standard_normal((2, 3, 5))).astype(np.float32)
+    y = y + np.sign(y) * 0.3  # keep |y| away from 0: score probes divide by it
+    r = (0.5 + rng.random((2, 5))).astype(np.float32)  # positive radii
+    return y, r
+
+
+def probe_matches(fn, kind: str) -> bool:
+    """True iff ``fn`` numerically matches the SC kernel's model ``kind``.
+
+    Kinds: ``iva_contrast`` (``2 ||y||_bins``), ``iva_score``
+    (``y / ||y||_bins``), ``fdica_contrast`` (``2 |y|``), ``fdica_score``
+    (``y / |y|``), ``d_contrast_ones`` (``2``), ``dd_contrast_zeros``
+    (``0``), ``prox_l21_bins`` (group shrinkage over the bin axis),
+    ``penalty_l21_bins`` (``sum ||y||_bins``).
+    """
+    if fn is None:
+        return False
+    y, r = _probe_operands()
+    norm = np.sqrt(np.sum(y**2, axis=1, keepdims=True))
+    try:
+        if kind == "iva_contrast":
+            got = np.asarray(fn(y))
+            expected = 2 * norm[:, 0, :]
+        elif kind == "iva_score":
+            got = np.asarray(fn(y))
+            expected = y / norm
+        elif kind == "fdica_contrast":
+            got = np.asarray(fn(y))
+            expected = 2 * np.abs(y)
+        elif kind == "fdica_score":
+            got = np.asarray(fn(y))
+            expected = np.sign(y)
+        elif kind == "d_contrast_ones":
+            got = np.asarray(fn(r))
+            expected = 2 * np.ones_like(r)
+        elif kind == "dd_contrast_zeros":
+            got = np.asarray(fn(r))
+            expected = np.zeros_like(r)
+        elif kind == "prox_l21_bins":
+            step = 0.7
+            z = y.copy()
+            z[0] *= 0.05  # drive one group below the threshold
+            got = np.asarray(fn(z, step_size=step))
+            gnorm = np.sqrt(np.sum(z**2, axis=1, keepdims=True))
+            gnorm = np.where(gnorm < step, step, gnorm)
+            expected = np.maximum(1 - step / gnorm, 0) * z
+        elif kind == "penalty_l21_bins":
+            got = np.asarray(fn(y))
+            expected = np.sum(norm[:, 0, :])
+        else:
+            raise ValueError(f"unknown probe kind: {kind}.")
+    except ValueError:
+        raise
+    except Exception:
+        return False
+    got = np.asarray(got, dtype=np.float64)
+    expected = np.asarray(expected, dtype=np.float64)
+    if got.shape != expected.shape:
+        return False
+    return bool(np.allclose(got, expected, rtol=1e-4, atol=1e-5))

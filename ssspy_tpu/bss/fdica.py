@@ -15,7 +15,9 @@ einsum over (bins x sources x frames) feeding the MXU.
 import functools
 from typing import Callable, Iterable, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..algorithm import (
     MINIMAL_DISTORTION_PRINCIPLE_KEYWORDS,
@@ -27,6 +29,14 @@ from ..algorithm import (
 from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..utils.flooring import choose_flooring_fn
 from ..utils.select_pair import sequential_pair_selector
+from ._sc_engine import (
+    permutation_align_host,
+    probe_matches,
+    resolve_engine,
+    restore_scale_host,
+    sc_flooring_eps,
+    separate_host,
+)
 from ._update_spatial_model import update_by_ip1, update_by_ip2_one_pair
 from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
@@ -195,9 +205,104 @@ class FDICABase(IterativeMethodBase):
             self.output = _separate(self.input, self.demix_filter)
         return self.output
 
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Same init/step/loss/commit contract, delegated to the planar f32
+    # FDICA kernels (ssspy_tpu.ops.splitc), so ``AuxLaplaceFDICA(...)``
+    # keeps the reference's single-call UX (ssspy/bss/fdica.py:846-1246)
+    # on backends that reject complex dtypes. ``impl="fast"`` forces
+    # this engine anywhere (matches ssspy_tpu.fast.fast_aux_fdica /
+    # fast_grad_fdica exactly); all complex arrays — input, committed
+    # output/filters, the post-loop permutation alignment and scale
+    # restoration — stay host-side NumPy.
+
+    def _sc_engine_blockers(self) -> List[str]:
+        return ["no split-complex kernels for this class"]
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        return self._finalize_sc()
+
+    def _reset_sc(self, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` — no complex array touches the device."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = np.asarray(self.demix_filter)
+        self.demix_filter = W
+        self.output = separate_host(X, W)
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Ws = jax.device_put(
+            np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+        )
+        return {"X": Xs, "W": Ws}
+
+    def make_loss_sc(self):
+        from ..ops.splitc import fdica_laplace_loss_sc
+
+        def loss(state):
+            return fdica_laplace_loss_sc(state["X"], state["W"])
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        Ws = np.asarray(state["W"])
+        self.demix_filter = Ws[0] + 1j * Ws[1]
+        self.output = separate_host(self.input, self.demix_filter)
+
+    def solve_permutation_sc(self) -> None:
+        """Host-side mirror of ``solve_permutation`` for SC mode."""
+        permutation_alignment = self.permutation_alignment
+        assert permutation_alignment, "enable permutation_alignment to use this solver."
+        if type(permutation_alignment) is bool:
+            permutation_alignment = "spectrogram_correlation"
+        if permutation_alignment != "spectrogram_correlation":
+            raise NotImplementedError(
+                f"permutation_alignment {permutation_alignment} is not implemented."
+            )
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        W = np.asarray(self.demix_filter).copy()
+        Y = separate_host(self.input, W)
+        Yb, W = permutation_align_host(
+            np.ascontiguousarray(Y.swapaxes(0, 1)), W, eps=eps
+        )
+        self.output, self.demix_filter = Yb.swapaxes(0, 1), W
+
+    def _finalize_sc(self):
+        """Host mirror of ``_finalize`` (alignment, scaling, final output)."""
+        if self.permutation_alignment:
+            self.solve_permutation_sc()
+        if self.scale_restoration:
+            restore_scale_host(self)
+        if self.demix_filter is not None:
+            self.output = separate_host(self.input, self.demix_filter)
+        return self.output
+
 
 class GradFDICABase(FDICABase):
     """Base of gradient-descent FDICA (parity: ssspy/bss/fdica.py:329-456)."""
+
+    _natural = None  # set by GradFDICA (False) / NaturalGradFDICA (True)
 
     def __init__(
         self,
@@ -211,6 +316,7 @@ class GradFDICABase(FDICABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             flooring_fn=flooring_fn,
@@ -231,13 +337,59 @@ class GradFDICABase(FDICABase):
         self.score_fn = score_fn
 
         self.is_holonomic = is_holonomic
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
         self._iterate(n_iter=n_iter, initial_call=initial_call)
         return self._finalize()
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self._natural is None:
+            blockers.append("no split-complex kernel for this gradient variant")
+        if not (
+            probe_matches(self.contrast_fn, "fdica_contrast")
+            and probe_matches(self.score_fn, "fdica_score")
+        ):
+            blockers.append(
+                "non-Laplace contrast/score functions (the split-complex "
+                "kernels implement the Laplace prior)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def make_step_sc(self):
+        from ..ops.splitc import grad_laplace_fdica_step_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        step_size = self.step_size
+        is_holonomic = self.is_holonomic
+        natural = self._natural
+
+        def step(state):
+            return {
+                **state,
+                "W": grad_laplace_fdica_step_sc(
+                    state["X"],
+                    state["W"],
+                    step_size=step_size,
+                    is_holonomic=is_holonomic,
+                    natural=natural,
+                    eps=eps,
+                ),
+            }
+
+        return step
 
     def __repr__(self) -> str:
         keys = ["step_size", "is_holonomic", "permutation_alignment", "scale_restoration", "record_loss"]
@@ -266,12 +418,16 @@ class GradFDICABase(FDICABase):
 class GradFDICA(GradFDICABase):
     """FDICA by gradient descent (parity: ssspy/bss/fdica.py:458-655)."""
 
+    _natural = False
+
     def make_step(self):
         return self._grad_step(natural=False)
 
 
 class NaturalGradFDICA(GradFDICABase):
     """FDICA by natural gradient descent (parity: ssspy/bss/fdica.py:658-844)."""
+
+    _natural = True
 
     def __repr__(self) -> str:
         return "Natural" + super().__repr__()
@@ -300,6 +456,7 @@ class AuxFDICA(FDICABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             flooring_fn=flooring_fn,
@@ -327,12 +484,58 @@ class AuxFDICA(FDICABase):
         else:
             self.pair_selector = pair_selector
 
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
+
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
         self._iterate(n_iter=n_iter, initial_call=initial_call)
         return self._finalize()
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if not (
+            probe_matches(self.contrast_fn, "fdica_contrast")
+            and probe_matches(self.d_contrast_fn, "d_contrast_ones")
+        ):
+            blockers.append(
+                "non-Laplace contrast functions (the split-complex kernels "
+                "implement the Laplace prior)"
+            )
+        if (
+            self.spatial_algorithm == "IP2"
+            and self.pair_selector is not sequential_pair_selector
+        ):
+            blockers.append(
+                "custom pair_selector (the kernels use the sequential pair schedule)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def make_step_sc(self):
+        from ..ops import splitc as sc_ops
+
+        # the kernels' f32-calibrated 1e-6 floor (per-TF-cell 1/|y|
+        # weights NaN fused reductions at 1e-10; see the kernel docstring)
+        eps = sc_flooring_eps(self.flooring_fn, EPS, f32_floor=True)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        kernel = (
+            sc_ops.aux_laplace_fdica_ip1_step_sc
+            if self.spatial_algorithm in ("IP", "IP1")
+            else sc_ops.aux_laplace_fdica_ip2_step_sc
+        )
+
+        def step(state):
+            return {**state, "W": kernel(state["X"], state["W"], eps=eps)}
+
+        return step
 
     def __repr__(self) -> str:
         keys = ["spatial_algorithm", "permutation_alignment", "scale_restoration", "record_loss"]
@@ -391,6 +594,7 @@ class GradLaplaceFDICA(GradFDICA):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         def contrast_fn(y):
             return 2 * jnp.abs(y)
@@ -409,6 +613,7 @@ class GradLaplaceFDICA(GradFDICA):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
     def __repr__(self) -> str:
@@ -431,6 +636,7 @@ class NaturalGradLaplaceFDICA(NaturalGradFDICA):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         def contrast_fn(y):
             return 2 * jnp.abs(y)
@@ -449,6 +655,7 @@ class NaturalGradLaplaceFDICA(NaturalGradFDICA):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
     def __repr__(self) -> str:
@@ -471,6 +678,7 @@ class AuxLaplaceFDICA(AuxFDICA):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         def contrast_fn(y):
             return 2 * jnp.abs(y)
@@ -489,6 +697,7 @@ class AuxLaplaceFDICA(AuxFDICA):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
     def __repr__(self) -> str:

@@ -435,37 +435,12 @@ def _fast_gauss_ilrma_partitioning(
     return Y, (np.asarray(T), np.asarray(V), np.asarray(Z)), None
 
 
-def _permutation_align_host(Y: np.ndarray, *args: np.ndarray, eps=1e-10):
-    """Correlation-based frequency-permutation alignment on the host.
+def _permutation_align_host(Y, *args, eps=1e-10):
+    """Correlation-based permutation alignment on the host (shared impl:
+    :func:`ssspy_tpu.bss._sc_engine.permutation_align_host`)."""
+    from .bss._sc_engine import permutation_align_host
 
-    NumPy twin of
-    :func:`ssspy_tpu.algorithm.correlation_based_permutation_solver`
-    (reference ssspy/algorithm/permutation_alignment.py:12-121), kept off
-    the device so the fast path never traces a complex program. ``Y``:
-    ``(I, N, T)`` complex; extra ``args`` of shape ``(I, N, ...)`` are
-    permuted in lockstep. All arrays are modified in place and returned.
-    """
-    import itertools
-
-    n_bins, n_sources, _ = Y.shape
-    perms = np.array(list(itertools.permutations(range(n_sources))))
-
-    P = np.abs(Y)
-    norm = np.sqrt(np.sum(P**2, axis=1, keepdims=True))
-    P = P / np.maximum(norm, eps)
-    correlation = np.sum(P @ np.swapaxes(P, -2, -1), axis=(1, 2))
-    order = np.argsort(correlation)
-
-    criteria = P[order[0]].copy()
-    for bin_idx in order[1:]:
-        P_bin = P[bin_idx]
-        scores = np.sum(criteria[None] * P_bin[perms], axis=(1, 2))
-        perm_best = perms[np.argmax(scores)]
-        criteria += P_bin[perm_best]
-        Y[bin_idx] = Y[bin_idx][perm_best]
-        for arg in args:
-            arg[bin_idx] = arg[bin_idx][perm_best]
-    return (Y,) + args if args else Y
+    return permutation_align_host(Y, *args, eps=eps)
 
 
 def fast_aux_fdica(

@@ -62,6 +62,13 @@ __all__ = [
     "ls_demix_sc",
     "iva_laplace_loss_sc",
     "ilrma_loss_sc",
+    "fdica_laplace_loss_sc",
+    "fast_iva_laplace_loss_sc",
+    "gauss_mnmf_loss_sc",
+    "fast_gauss_mnmf_loss_sc",
+    "ipsdta_loss_sc",
+    "prox_iva_loss_sc",
+    "hva_admm_step_sc",
 ]
 
 
@@ -3978,3 +3985,253 @@ def ilrma_loss_sc(
         raise ValueError(f"unsupported option: {model}.")
     per_bin = jnp.sum(jnp.mean(value, axis=-1), axis=0)  # (I,)
     return jnp.sum(per_bin - 2 * clogabsdet_sc(Wr, Wi))
+
+
+def fdica_laplace_loss_sc(Xs, Ws):
+    """AuxLaplaceFDICA / GradLaplaceFDICA negative log-likelihood, planar.
+
+    ``sum_i [ sum_n mean_t 2 |y_nit| - 2 log|det W_i| ]`` — the per-bin
+    independent Laplace contrast (class twin ``FDICABase.make_loss``;
+    reference ssspy/bss/fdica.py:130-160 with contrast ``2 |y|``).
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+    G = 2 * jnp.sqrt(Yr**2 + Yi**2)  # (N, I, T)
+    per_bin = jnp.sum(jnp.mean(G, axis=2), axis=0)  # (I,)
+    return jnp.sum(per_bin - 2 * clogabsdet_sc(Wr, Wi))
+
+
+def fast_iva_laplace_loss_sc(Zs, Ws):
+    """FastIVA / FasterIVA contrast loss on whitened planar operands.
+
+    ``sum_n mean_t 2 ||y_n(., t)||`` with no logdet term — the demixing
+    rows stay unitary on whitened input (class twin
+    ``FastIVABase.make_loss``; reference ssspy/bss/iva.py:510-535).
+    """
+    Zr, Zi = Zs[0], Zs[1]
+    Yr, Yi = _csep(Ws[0], Ws[1], Zr, Zi)
+    G = 2 * jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
+    return jnp.sum(jnp.mean(G, axis=-1))
+
+
+def _herm_logdet_sc(Ar, Ai, tiny=1e-30):
+    """``log det A`` for Hermitian PD planar batches.
+
+    ``det E(A) = det(A)^2`` for the 2Nx2N real embedding of a Hermitian
+    PD matrix, so one statically-unrolled Cholesky of ``E(A)`` gives
+    ``log det A = sum log diag(L)`` — no eigendecomposition (same
+    identity as the cACGMM chol logdet path).
+    """
+    E = block_embed(Ar, Ai)
+    E = (E + jnp.swapaxes(E, -1, -2)) / 2
+    L = _chol_unrolled(E, tiny=tiny)
+    return jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+def gauss_mnmf_loss_sc(
+    XXs, T, V, Hs, Z=None, eps=1e-10, psd_impl: str = "auto", inv_impl: str = "auto"
+):
+    """GaussMNMF negative log-likelihood on planar operands.
+
+    ``sum_i mean_t [ tr(R^{-1} XX) + log det R ]`` with the PSD-projected
+    model ``R = sum_n Lamb_n H_n`` (class twin ``GaussMNMF.make_loss``;
+    reference ssspy/bss/mnmf.py:1030-1073).
+    """
+    XXr, XXi = XXs[0], XXs[1]
+    Hr, Hi = Hs[0], Hs[1]
+    on_tpu = _tpu_impl_selection()
+    if psd_impl == "auto":
+        psd_impl = "ridge" if (on_tpu and XXr.dtype != jnp.float64) else "eigh"
+    if Z is None:
+        Lamb = T @ V
+    else:
+        Lamb = jnp.einsum("nk,ik,kt->nit", Z, T, V)
+    Rr = jnp.einsum("nit,nipq->itpq", Lamb, Hr)
+    Ri = jnp.einsum("nit,nipq->itpq", Lamb, Hi)
+    Rr, Ri = _psd_project_sc(Rr, Ri, eps, psd_impl)
+    Rinv_r, Rinv_i = _cinv(Rr, Ri, impl=inv_impl)
+    trace = jnp.einsum("itab,itba->it", Rinv_r, XXr) - jnp.einsum(
+        "itab,itba->it", Rinv_i, XXi
+    )
+    return jnp.sum(jnp.mean(trace + _herm_logdet_sc(Rr, Ri), axis=-1))
+
+
+def fast_gauss_mnmf_loss_sc(Xs, Qs, T, V, D, eps=1e-6):
+    """FastGaussMNMF negative log-likelihood on planar operands.
+
+    ``sum_i [ mean_t sum_m (|QX|^2 / LambD + log LambD) - 2 log|det Q_i| ]``
+    (class twin ``FastGaussMNMF.make_loss``; reference
+    ssspy/bss/mnmf.py:1630-1675).
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Qr, Qi = Qs[0], Qs[1]
+    Lamb = jnp.maximum(T @ V, eps)  # (N, I, T)
+    LambD = jnp.maximum(jnp.einsum("nit,inm->itm", Lamb, D), eps)  # (I, T, M)
+    QXr = jnp.einsum("ipm,mit->ipt", Qr, Xr) - jnp.einsum("ipm,mit->ipt", Qi, Xi)
+    QXi = jnp.einsum("ipm,mit->ipt", Qr, Xi) + jnp.einsum("ipm,mit->ipt", Qi, Xr)
+    QX2 = jnp.swapaxes(QXr**2 + QXi**2, -2, -1)  # (I, T, M)
+    value = jnp.sum(QX2 / LambD + jnp.log(LambD), axis=-1)  # (I, T)
+    return jnp.sum(jnp.mean(value, axis=-1) - 2 * clogabsdet_sc(Qr, Qi))
+
+
+def ipsdta_loss_sc(
+    Xs,
+    Ws,
+    T_parts,
+    V,
+    dof=None,
+    eps=1e-10,
+    psd_impl: str = "auto",
+    inv_impl: str = "auto",
+):
+    """IPSDTA negative log-likelihood (Gauss or Student's-t), planar.
+
+    Gauss (``dof=None``): ``mean_t [ sum_{n,b} y^H R^{-1} y +
+    sum_{n,b} log det R ] - 2 sum_i log|det W_i|`` (class twin
+    ``GaussIPSDTA.make_loss``; reference ssspy/bss/ipsdta.py:1152-1227).
+    Float ``dof``: the t coupling ``((nu + 2 I)/2) log(1 + (2/nu) YRY)``
+    of ``TIPSDTA.make_loss`` (reference :1815-1869). ``T_parts``/``V``
+    as in :func:`ipsdta_vcd_step_sc`.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    n_bins = Xr.shape[1]
+    on_tpu = _tpu_impl_selection()
+    if psd_impl == "auto":
+        psd_impl = "ridge" if (on_tpu and Xr.dtype != jnp.float64) else "eigh"
+
+    part_shapes = [(Tp.shape[3], Tp.shape[4]) for Tp in T_parts]
+
+    def split_bins(arr, axis=1):
+        sizes = [B * J for B, J in part_shapes]
+        pieces = (
+            [arr] if len(part_shapes) == 1 else jnp.split(arr, [sizes[0]], axis=axis)
+        )
+        out = []
+        for piece, (B, J) in zip(pieces, part_shapes):
+            shape = piece.shape[:axis] + (B, J) + piece.shape[axis + 1 :]
+            out.append(piece.reshape(shape))
+        return out
+
+    Yr, Yi = _csep(Wr, Wi, Xr, Xi)  # (N, I, T)
+    Yr_parts, Yi_parts = split_bins(Yr), split_bins(Yi)
+
+    YRY = 0.0
+    logdetR_frames = 0.0
+    for Tp, Ypr_, Ypi_ in zip(T_parts, Yr_parts, Yi_parts):
+        Rr = jnp.einsum("nkt,nkbij->ntbij", V, Tp[0])
+        Ri = jnp.einsum("nkt,nkbij->ntbij", V, Tp[1])
+        Rr, Ri = _psd_project_sc(Rr, Ri, eps, psd_impl)
+        Rinv_r, Rinv_i = _cinv(Rr, Ri, impl=inv_impl)
+        Ypr = jnp.transpose(Ypr_, (0, 3, 1, 2))  # (N, T, B, J)
+        Ypi = jnp.transpose(Ypi_, (0, 3, 1, 2))
+        ur = jnp.einsum("ntbij,ntbj->ntbi", Rinv_r, Ypr) - jnp.einsum(
+            "ntbij,ntbj->ntbi", Rinv_i, Ypi
+        )
+        ui = jnp.einsum("ntbij,ntbj->ntbi", Rinv_r, Ypi) + jnp.einsum(
+            "ntbij,ntbj->ntbi", Rinv_i, Ypr
+        )
+        q = jnp.maximum(jnp.sum(Ypr * ur + Ypi * ui, axis=-1), 0.0)  # (N, T, B)
+        YRY = YRY + jnp.sum(q, axis=-1)  # (N, T)
+        logdetR_frames = logdetR_frames + jnp.sum(
+            _herm_logdet_sc(Rr, Ri), axis=(0, 2)
+        )  # (T,)
+
+    logdetW = jnp.sum(clogabsdet_sc(Wr, Wi))
+    if dof is None:
+        return jnp.mean(jnp.sum(YRY, axis=0) + logdetR_frames) - 2 * logdetW
+    value = jnp.sum(((dof + 2 * n_bins) / 2) * jnp.log1p((2 / dof) * YRY), axis=0)
+    return jnp.mean(value + logdetR_frames) - 2 * logdetW
+
+
+def prox_iva_loss_sc(Xs, Ws):
+    """PDSIVA / ADMMIVA loss on planar operands.
+
+    ``sum_{n,t} ||y_n(., t)|| - sum_i log|det W_i|`` — the L21 penalty
+    plus a SINGLE logdet, unlike the MLE families (class twin
+    ``ProxBSSBase.make_loss`` with the IVA defaults of
+    ssspy/bss/iva.py:2217-2338).
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Wr, Wi = Ws[0], Ws[1]
+    Yr, Yi = _csep(Wr, Wi, Xr, Xi)
+    penalty = jnp.sum(jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1)))
+    return penalty - jnp.sum(clogabsdet_sc(Wr, Wi))
+
+
+def hva_admm_step_sc(
+    Xs,
+    Vs,
+    Vts,
+    Ys,
+    Yts,
+    rho: float = 1.0,
+    relaxation: float = 1.0,
+    attenuation=None,
+    mask_iter: int = 1,
+    eps=1e-10,
+    quad_inv=None,
+    n_real: int = None,
+):
+    """One MaskingADMMHVA iteration in split-complex form.
+
+    ADMM with the harmonic cepstral mask replacing the L21 penalty prox
+    (parity: ssspy/bss/admmbss.py:289-326 + ssspy/bss/hva.py:158-275 via
+    :class:`ssspy_tpu.bss.hva.MaskingADMMHVA`, single penalty). Same
+    state layout and ``quad_inv`` precompute contract as
+    :func:`admm_iva_step_sc`; ``attenuation``/``mask_iter``/``n_real``
+    as in :func:`harmonic_mask_sc`. Returns ``(Ws, Vs, Vts, Ys, Yts)``.
+    """
+    Xr, Xi = Xs[0], Xs[1]
+    Vr, Vi = Vs[0], Vs[1]
+    Vtr, Vti = Vts[0], Vts[1]
+    Yr, Yi = Ys[0], Ys[1]
+    Ytr, Yti = Yts[0], Yts[1]
+    n_channels = Xr.shape[0]
+    n_sources = Vtr.shape[0]
+    if attenuation is None:
+        attenuation = 1.0 / n_sources
+
+    VYr, VYi = Vr - Yr, Vi - Yi  # (I, N, M)
+    VTr, VTi = Vtr - Ytr, Vti - Yti  # (N, I, T)
+    XVYr = jnp.einsum("mit,nit->imn", Xr, VTr) + jnp.einsum("mit,nit->imn", Xi, VTi)
+    XVYi = jnp.einsum("mit,nit->imn", Xr, VTi) - jnp.einsum("mit,nit->imn", Xi, VTr)
+
+    Br = VYr + jnp.swapaxes(XVYr, -2, -1)
+    Bi = VYi + jnp.swapaxes(XVYi, -2, -1)
+    if quad_inv is None:
+        XXr = jnp.einsum("mit,pit->imp", Xr, Xr) + jnp.einsum("mit,pit->imp", Xi, Xi)
+        XXi = jnp.einsum("mit,pit->imp", Xr, Xi) - jnp.einsum("mit,pit->imp", Xi, Xr)
+        E = jnp.eye(n_channels, dtype=Xr.dtype)
+        Wr, Wi = csolve_matrix(XXr + E, XXi, Br, Bi)
+    else:
+        Qr, Qi = quad_inv[0], quad_inv[1]
+        Wr = jnp.einsum("inm,imp->inp", Qr, Br) - jnp.einsum("inm,imp->inp", Qi, Bi)
+        Wi = jnp.einsum("inm,imp->inp", Qr, Bi) + jnp.einsum("inm,imp->inp", Qi, Br)
+    XWr, XWi = _csep(Wr, Wi, Xr, Xi)  # (N, I, T)
+
+    if relaxation == 1:
+        Ur, Ui, Utr, Uti = Wr, Wi, XWr, XWi
+    else:
+        a = relaxation
+        Ur, Ui = a * Wr + (1 - a) * Vr, a * Wi + (1 - a) * Vi
+        Utr, Uti = a * XWr + (1 - a) * Vtr, a * XWi + (1 - a) * Vti
+
+    Vr, Vi = prox_neg_logdet_sc(Ur + Yr, Ui + Yi, step_size=1 / rho, lift_null=True)
+    Zr, Zi = Utr + Ytr, Uti + Yti
+    mask = harmonic_mask_sc(
+        Zr, Zi, attenuation, mask_iter=mask_iter, eps=eps, n_real=n_real
+    )
+    Vtr, Vti = mask * Zr, mask * Zi
+
+    Yr, Yi = Yr + Ur - Vr, Yi + Ui - Vi
+    Ytr, Yti = Ytr + Utr - Vtr, Yti + Uti - Vti
+
+    return (
+        jnp.stack([Wr, Wi], axis=0),
+        jnp.stack([Vr, Vi], axis=0),
+        jnp.stack([Vtr, Vti], axis=0),
+        jnp.stack([Yr, Yi], axis=0),
+        jnp.stack([Ytr, Yti], axis=0),
+    )

@@ -353,3 +353,106 @@ class TestCACGMMFastImpl:
         m = CACGMM(flooring_fn=functools.partial(add_flooring, eps=1e-10), impl="fast")
         with pytest.raises(ValueError, match="split-complex engine"):
             m(X.copy(), n_iter=2)
+
+
+# ---- round-5 families: FDICA -------------------------------------------------
+
+
+class TestFDICAFastImpl:
+    @pytest.mark.parametrize("algo", ["IP1", "IP2"])
+    def test_aux_matches_fast_bitexact(self, algo):
+        from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+        from ssspy_tpu.fast import fast_aux_fdica
+
+        Yf, Wf = fast_aux_fdica(X, n_iter=6, algorithm=algo)
+        fd = AuxLaplaceFDICA(spatial_algorithm=algo, impl="fast", record_loss=False)
+        Yc = fd(X, n_iter=6)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(Yf, Yc)
+        assert np.array_equal(Wf, np.asarray(fd.demix_filter))
+
+    @pytest.mark.parametrize("natural", [False, True])
+    def test_grad_matches_fast_bitexact(self, natural):
+        from ssspy_tpu.bss.fdica import GradLaplaceFDICA, NaturalGradLaplaceFDICA
+        from ssspy_tpu.fast import fast_grad_fdica
+
+        Yf, _ = fast_grad_fdica(X, n_iter=6, natural=natural)
+        cls = NaturalGradLaplaceFDICA if natural else GradLaplaceFDICA
+        fd = cls(impl="fast", record_loss=False)
+        Yc = fd(X, n_iter=6)
+        assert np.array_equal(Yf, Yc)
+
+    def test_loss_trace(self):
+        from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+
+        fd = AuxLaplaceFDICA(spatial_algorithm="IP1", impl="fast")
+        fd(X, n_iter=8)
+        assert len(fd.loss) == 9
+        assert all(np.isfinite(v) for v in fd.loss)
+        assert fd.loss[-1] < fd.loss[0]
+
+    def test_sc_loss_matches_complex_loss(self):
+        from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+
+        sc = AuxLaplaceFDICA(spatial_algorithm="IP1", impl="fast")
+        sc(X, n_iter=4)
+        cx = AuxLaplaceFDICA(spatial_algorithm="IP1", impl="complex")
+        cx(X, n_iter=4)
+        # the SC kernels floor the per-cell 1/|y| weight at the f32
+        # calibration (1e-6 vs the complex path's 1e-10) and the SC
+        # logdet goes through the Gram embedding, so the traces agree to
+        # f32 fusion noise, not bitwise
+        np.testing.assert_allclose(sc.loss, cx.loss, rtol=5e-3)
+
+    def test_mdp_scale_restoration_runs(self):
+        from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+
+        fd = AuxLaplaceFDICA(
+            spatial_algorithm="IP1", impl="fast",
+            scale_restoration="minimal_distortion_principle",
+        )
+        Y = fd(X, n_iter=4)
+        assert np.isfinite(Y).all()
+
+    def test_blocked_configs_raise(self):
+        from ssspy_tpu.bss.fdica import AuxFDICA, GradFDICA
+
+        with pytest.raises(ValueError, match="split-complex engine"):
+            AuxFDICA(
+                spatial_algorithm="IP1",
+                contrast_fn=lambda y: np.abs(y) ** 1.5,
+                d_contrast_fn=lambda y: 1.5 * np.abs(y) ** 0.5,
+                impl="fast",
+            )(X, n_iter=2)
+        with pytest.raises(ValueError, match="split-complex engine"):
+            GradFDICA(
+                contrast_fn=lambda y: np.abs(y) ** 2,
+                score_fn=lambda y: y,
+                impl="fast",
+            )(X, n_iter=2)
+
+    def test_probe_accepts_equivalent_closures(self):
+        """A user closure numerically equal to the Laplace model delegates."""
+        import jax.numpy as jnp
+
+        from ssspy_tpu.bss.fdica import AuxFDICA
+        from ssspy_tpu.fast import fast_aux_fdica
+
+        fd = AuxFDICA(
+            spatial_algorithm="IP1",
+            contrast_fn=lambda y: 2 * jnp.abs(y),
+            d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+            impl="fast",
+            record_loss=False,
+        )
+        Yf, _ = fast_aux_fdica(X, n_iter=4)
+        assert np.array_equal(Yf, fd(X, n_iter=4))
+
+    def test_auto_uses_sc_when_backend_rejects_complex(self, monkeypatch):
+        from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+        from ssspy_tpu.fast import fast_aux_fdica
+
+        monkeypatch.setattr(backend_mod, "backend_supports_complex", lambda: False)
+        fd = AuxLaplaceFDICA(spatial_algorithm="IP1", record_loss=False)
+        Yf, _ = fast_aux_fdica(X, n_iter=4)
+        assert np.array_equal(Yf, fd(X, n_iter=4))
