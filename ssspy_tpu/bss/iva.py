@@ -31,6 +31,10 @@ from ..transform import whiten
 from ..utils.flooring import choose_flooring_fn
 from ..utils.select_pair import sequential_pair_selector
 from ._sc_engine import (
+    ls_demix_host,
+    minimal_distortion_principle_host,
+    probe_matches,
+    projection_back_host,
     resolve_engine,
     restore_scale_host,
     sc_flooring_eps,
@@ -93,6 +97,21 @@ def _laplace_contrast(y):
 
 def _laplace_d_contrast(y):
     return 2 * jnp.ones_like(y)
+
+
+@jax.jit
+def _sc_whiten_jit(Xs):
+    from ..ops.splitc import whiten_sc
+
+    return whiten_sc(Xs)
+
+
+@jax.jit
+def _sc_separate_jit(Ws, Xs):
+    from ..ops.splitc import _csep
+
+    Yr, Yi = _csep(Ws[0], Ws[1], Xs[0], Xs[1])
+    return jnp.stack([Yr, Yi], axis=0)
 
 
 class IVABase(IterativeMethodBase):
@@ -218,9 +237,95 @@ class IVABase(IterativeMethodBase):
         self.output = Y_scaled
         self.demix_filter = _ls_demix(Y_scaled, X)
 
+    # ---- split-complex engine plumbing (shared by the IVA subclasses) ------
+    #
+    # Subclasses opt into the SC engine by implementing ``make_step_sc``
+    # plus ``_sc_engine_blockers`` and dispatching through
+    # ``resolve_engine`` in ``__call__`` (AuxIVA, the gradient classes,
+    # FastIVA/FasterIVA). The shared state layout is {X, W} for
+    # demix-filter algorithms and {X, Y} for demix-free ones, keyed on
+    # ``_uses_demix_filter``; every complex array (input, committed
+    # output and filters, scale restoration) stays host-side NumPy.
+
+    _uses_demix_filter = True
+
+    def _sc_engine_blockers(self) -> List[str]:
+        return ["no split-complex kernels for this class"]
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        if self.scale_restoration:
+            restore_scale_host(self)
+        return self.output
+
+    def _reset_sc(self, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` — no complex array touches the device."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = None if self.demix_filter is None else np.asarray(self.demix_filter)
+        self.demix_filter = W
+        if W is not None or not hasattr(self, "output"):
+            self.output = None if W is None else separate_host(X, W)
+        if not self._uses_demix_filter:
+            if self.demix_filter is not None and self.output is None:
+                self.output = separate_host(X, self.demix_filter)
+            self.demix_filter = None
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        if self._uses_demix_filter:
+            Ws = jax.device_put(
+                np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+            )
+            return {"X": Xs, "W": Ws}
+        assert self.output is not None, "demix-free SC state needs an output spectrogram."
+        Ys = jax.device_put(np.asarray(to_split(np.asarray(self.output)), dtype=np.float32))
+        return {"X": Xs, "Y": Ys}
+
+    def make_loss_sc(self):
+        from ..ops.splitc import iva_laplace_loss_sc
+
+        if self._uses_demix_filter:
+            def loss(state):
+                return iva_laplace_loss_sc(state["X"], Ws=state["W"])
+        else:
+            def loss(state):
+                return iva_laplace_loss_sc(state["X"], Ys=state["Y"])
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        if self._uses_demix_filter:
+            Ws = np.asarray(state["W"])
+            self.demix_filter = Ws[0] + 1j * Ws[1]
+            self.output = separate_host(self.input, self.demix_filter)
+        else:
+            Ys = np.asarray(state["Y"])
+            self.output = Ys[0] + 1j * Ys[1]
+
 
 class GradIVABase(IVABase):
     """Base class of gradient-descent IVA (parity: ssspy/bss/iva.py:285-410)."""
+
+    _natural = None  # set by GradIVA (False) / NaturalGradIVA (True)
 
     def __init__(
         self,
@@ -233,6 +338,7 @@ class GradIVABase(IVABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             flooring_fn=flooring_fn,
@@ -252,8 +358,12 @@ class GradIVABase(IVABase):
         self.score_fn = score_fn
 
         self.is_holonomic = is_holonomic
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
@@ -263,6 +373,48 @@ class GradIVABase(IVABase):
             self.restore_scale()
         self.output = _separate(self.input, self.demix_filter)
         return self.output
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self._natural is None:
+            blockers.append("no split-complex kernel for this gradient variant")
+        if not (
+            probe_matches(self.contrast_fn, "iva_contrast")
+            and probe_matches(self.score_fn, "iva_score")
+        ):
+            blockers.append(
+                "non-Laplace contrast/score functions (the split-complex "
+                "kernels implement the Laplace prior)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def make_step_sc(self):
+        from ..ops.splitc import grad_laplace_iva_step_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        step_size = self.step_size
+        is_holonomic = self.is_holonomic
+        natural = self._natural
+
+        def step(state):
+            return {
+                **state,
+                "W": grad_laplace_iva_step_sc(
+                    state["X"],
+                    state["W"],
+                    step_size=step_size,
+                    is_holonomic=is_holonomic,
+                    natural=natural,
+                    eps=eps,
+                ),
+            }
+
+        return step
 
     def __repr__(self) -> str:
         keys = ["step_size", "is_holonomic", "scale_restoration", "record_loss"]
@@ -303,6 +455,8 @@ class GradIVA(GradIVABase):
     (ssspy/bss/iva.py:747), unlike the abstract base.
     """
 
+    _natural = False
+
     def __init__(self, *args, is_holonomic: bool = True, **kwargs) -> None:
         super().__init__(*args, is_holonomic=is_holonomic, **kwargs)
 
@@ -312,6 +466,8 @@ class GradIVA(GradIVABase):
 
 class NaturalGradIVA(GradIVABase):
     """IVA by natural gradient descent (parity: ssspy/bss/iva.py:778-908)."""
+
+    _natural = True
 
     def __init__(self, *args, is_holonomic: bool = True, **kwargs) -> None:
         super().__init__(*args, is_holonomic=is_holonomic, **kwargs)
@@ -327,6 +483,8 @@ class FastIVABase(IVABase):
     """Base class of FastIVA-type methods on whitened input
     (parity: ssspy/bss/iva.py:411-560)."""
 
+    _sc_variant = None  # set by FastIVA ("fast") / FasterIVA ("faster")
+
     def __init__(
         self,
         flooring_fn: Union[str, Callable, None] = "dtype",
@@ -334,6 +492,7 @@ class FastIVABase(IVABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             flooring_fn=flooring_fn,
@@ -342,6 +501,8 @@ class FastIVABase(IVABase):
             record_loss=record_loss,
             reference_id=reference_id,
         )
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
     def __repr__(self) -> str:
         keys = ["scale_restoration", "record_loss"]
@@ -388,6 +549,8 @@ class FastIVABase(IVABase):
         self.demix_filter = _ls_demix(Y_scaled, Z)
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
@@ -399,6 +562,123 @@ class FastIVABase(IVABase):
         self.output = _separate(self.whitened_input, self.demix_filter)
         return self.output
 
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Whitening runs on device in planar form (``whiten_sc``), so the SC
+    # class trajectory matches ssspy_tpu.fast.fast_fast_iva /
+    # fast_faster_iva exactly (whiten_sc fixes a different — arbitrary —
+    # eigenvector phase than the complex ``whiten``, which projection
+    # back absorbs; see the whiten_sc docstring).
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self._sc_variant is None:
+            blockers.append("no split-complex kernel for this fixed-point variant")
+        ok = probe_matches(
+            getattr(self, "contrast_fn", None), "iva_contrast"
+        ) and probe_matches(getattr(self, "d_contrast_fn", None), "d_contrast_ones")
+        dd = getattr(self, "dd_contrast_fn", None)
+        if dd is not None:
+            ok = ok and probe_matches(dd, "dd_contrast_zeros")
+        if not ok:
+            blockers.append(
+                "non-Laplace contrast functions (the split-complex kernels "
+                "implement the Laplace prior)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        if self.scale_restoration:
+            self._restore_scale_sc()
+        return self.output
+
+    def _reset_sc(self, **kwargs) -> None:
+        super()._reset_sc(**kwargs)
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Zs = _sc_whiten_jit(Xs)
+        self._whitened_sc = Zs
+        Zh = np.asarray(Zs)
+        self.whitened_input = Zh[0] + 1j * Zh[1]
+        self.output = separate_host(self.whitened_input, self.demix_filter)
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Ws = jax.device_put(
+            np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+        )
+        return {"Xw": self._whitened_sc, "W": Ws}
+
+    def make_step_sc(self):
+        from ..ops import splitc as sc_ops
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        kernel = (
+            sc_ops.fast_iva_step_sc
+            if self._sc_variant == "fast"
+            else sc_ops.faster_iva_step_sc
+        )
+
+        def step(state):
+            return {**state, "W": kernel(state["Xw"], state["W"], eps=eps)}
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import fast_iva_laplace_loss_sc
+
+        def loss(state):
+            return fast_iva_laplace_loss_sc(state["Xw"], state["W"])
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        Ws = np.asarray(state["W"])
+        self.demix_filter = Ws[0] + 1j * Ws[1]
+        # separate on device (planar) so a committed run is bit-identical
+        # to the fast_* twins, which never leave the device between the
+        # scan and the separation
+        Ys = np.asarray(_sc_separate_jit(state["W"], state["Xw"]))
+        self.output = Ys[0] + 1j * Ys[1]
+
+    def _restore_scale_sc(self) -> None:
+        """Host mirror of the whitened-state scale restoration
+        (class twin ``FastIVABase.apply_projection_back``; reference
+        ssspy/bss/iva.py:533-556 — output-based rescale against the
+        unwhitened input, demixing filter refit on the whitened one)."""
+        scale_restoration = self.scale_restoration
+        if type(scale_restoration) is bool:
+            scale_restoration = PROJECTION_BACK_KEYWORDS[0]
+
+        X, Z = self.input, self.whitened_input
+        Y = self.output
+        if scale_restoration in PROJECTION_BACK_KEYWORDS:
+            Y_scaled = projection_back_host(
+                Y, reference=X, reference_id=self.reference_id
+            )
+        elif scale_restoration in MINIMAL_DISTORTION_PRINCIPLE_KEYWORDS:
+            Y_scaled = minimal_distortion_principle_host(
+                Y, X, reference_id=self.reference_id
+            )
+        else:
+            raise ValueError(
+                f"{scale_restoration} is not supported for scale restoration."
+            )
+        self.output = Y_scaled
+        self.demix_filter = ls_demix_host(Y_scaled, Z)
+
 
 class FastIVA(FastIVABase):
     """Fast fixed-point IVA (parity: ssspy/bss/iva.py:1000-1230).
@@ -406,6 +686,8 @@ class FastIVA(FastIVABase):
     Requires ``contrast_fn``, ``d_contrast_fn``, and ``dd_contrast_fn``;
     each fixed-point sweep ends with an SVD re-orthogonalization.
     """
+
+    _sc_variant = "fast"
 
     def __init__(
         self,
@@ -417,6 +699,7 @@ class FastIVA(FastIVABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             flooring_fn=flooring_fn,
@@ -424,6 +707,7 @@ class FastIVA(FastIVABase):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
         if contrast_fn is None:
             raise ValueError("a contrast_fn must be provided.")
@@ -466,6 +750,8 @@ class FastIVA(FastIVABase):
 class FasterIVA(FastIVABase):
     """FasterIVA: dominant eigenvector update (parity: ssspy/bss/iva.py:1233-1400)."""
 
+    _sc_variant = "faster"
+
     def __init__(
         self,
         contrast_fn: Callable = None,
@@ -475,6 +761,7 @@ class FasterIVA(FastIVABase):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             flooring_fn=flooring_fn,
@@ -482,6 +769,7 @@ class FasterIVA(FastIVABase):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
         if contrast_fn is None:
             raise ValueError("a contrast_fn must be provided.")
@@ -771,53 +1059,6 @@ class AuxIVA(AuxIVABase):
             )
         return blockers
 
-    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
-        self.input = np.asarray(input)
-        self._reset_sc(**kwargs)
-        self._state = self.init_state_sc()
-        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
-        if self.scale_restoration:
-            restore_scale_host(self)
-        return self.output
-
-    def _reset_sc(self, **kwargs) -> None:
-        """NumPy mirror of ``_reset`` — no complex array touches the device."""
-        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
-        for key, value in kwargs.items():
-            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
-
-        X = self.input
-        n_channels, n_bins, n_frames = X.shape
-        self.n_sources, self.n_channels = n_channels, n_channels
-        self.n_bins, self.n_frames = n_bins, n_frames
-
-        if not hasattr(self, "demix_filter") or (
-            self.demix_filter is None and "demix_filter" not in kwargs
-        ):
-            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
-        else:
-            W = None if self.demix_filter is None else np.asarray(self.demix_filter)
-        self.demix_filter = W
-        if W is not None or not hasattr(self, "output"):
-            self.output = None if W is None else separate_host(X, W)
-        if not self._uses_demix_filter:
-            if self.demix_filter is not None and self.output is None:
-                self.output = separate_host(X, self.demix_filter)
-            self.demix_filter = None
-
-    def init_state_sc(self):
-        from ..ops.splitc import to_split
-
-        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
-        if self._uses_demix_filter:
-            Ws = jax.device_put(
-                np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
-            )
-            return {"X": Xs, "W": Ws}
-        assert self.output is not None, "demix-free SC state needs an output spectrogram."
-        Ys = jax.device_put(np.asarray(to_split(np.asarray(self.output)), dtype=np.float32))
-        return {"X": Xs, "Y": Ys}
-
     def make_step_sc(self):
         from ..ops import splitc as sc_ops
 
@@ -853,28 +1094,6 @@ class AuxIVA(AuxIVABase):
                 }
 
         return step
-
-    def make_loss_sc(self):
-        from ..ops.splitc import iva_laplace_loss_sc
-
-        if self._uses_demix_filter:
-            def loss(state):
-                return iva_laplace_loss_sc(state["X"], Ws=state["W"])
-        else:
-            def loss(state):
-                return iva_laplace_loss_sc(state["X"], Ys=state["Y"])
-
-        return loss
-
-    def commit_state_sc(self, state) -> None:
-        self._state = state
-        if self._uses_demix_filter:
-            Ws = np.asarray(state["W"])
-            self.demix_filter = Ws[0] + 1j * Ws[1]
-            self.output = separate_host(self.input, self.demix_filter)
-        else:
-            Ys = np.asarray(state["Y"])
-            self.output = Ys[0] + 1j * Ys[1]
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
         if resolve_engine(self, self._sc_engine_blockers()) == "sc":
@@ -1014,6 +1233,7 @@ class GradLaplaceIVA(GradIVA):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         def contrast_fn(y):
             return 2 * jnp.linalg.norm(y, axis=1)
@@ -1032,6 +1252,7 @@ class GradLaplaceIVA(GradIVA):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
     def __repr__(self) -> str:
@@ -1069,6 +1290,7 @@ class GradGaussIVA(GradIVA):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         def contrast_fn(y):
             return _gauss_contrast(y, self.variance)
@@ -1086,6 +1308,7 @@ class GradGaussIVA(GradIVA):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
     def _reset(self, **kwargs) -> None:
@@ -1145,6 +1368,7 @@ class NaturalGradLaplaceIVA(NaturalGradIVA):
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         def contrast_fn(y):
             return 2 * jnp.linalg.norm(y, axis=1)
@@ -1163,6 +1387,7 @@ class NaturalGradLaplaceIVA(NaturalGradIVA):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
     def __repr__(self) -> str:

@@ -456,3 +456,107 @@ class TestFDICAFastImpl:
         fd = AuxLaplaceFDICA(spatial_algorithm="IP1", record_loss=False)
         Yf, _ = fast_aux_fdica(X, n_iter=4)
         assert np.array_equal(Yf, fd(X, n_iter=4))
+
+
+# ---- round-5 families: Grad / Fast / Faster IVA -------------------------------
+
+
+class TestGradIVAFastImpl:
+    @pytest.mark.parametrize("natural", [False, True])
+    def test_matches_fast_bitexact(self, natural):
+        from ssspy_tpu.bss.iva import GradLaplaceIVA, NaturalGradLaplaceIVA
+        from ssspy_tpu.fast import fast_grad_iva
+
+        Yf, Wf = fast_grad_iva(X, n_iter=6, natural=natural, is_holonomic=True)
+        cls = NaturalGradLaplaceIVA if natural else GradLaplaceIVA
+        gi = cls(impl="fast", record_loss=False)
+        Yc = gi(X, n_iter=6)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(Yf, Yc)
+        assert np.array_equal(Wf, np.asarray(gi.demix_filter))
+
+    def test_loss_trace(self):
+        from ssspy_tpu.bss.iva import NaturalGradLaplaceIVA
+
+        gi = NaturalGradLaplaceIVA(impl="fast")
+        gi(X, n_iter=10)
+        assert len(gi.loss) == 11
+        assert all(np.isfinite(v) for v in gi.loss)
+        assert gi.loss[-1] < gi.loss[0]
+
+    def test_sc_loss_matches_complex_loss(self):
+        from ssspy_tpu.bss.iva import NaturalGradLaplaceIVA
+
+        sc = NaturalGradLaplaceIVA(impl="fast")
+        sc(X, n_iter=5)
+        cx = NaturalGradLaplaceIVA(impl="complex")
+        cx(X, n_iter=5)
+        np.testing.assert_allclose(sc.loss, cx.loss, rtol=2e-3)
+
+    def test_gauss_variant_blocked(self):
+        from ssspy_tpu.bss.iva import GradGaussIVA
+
+        with pytest.raises(ValueError, match="split-complex engine"):
+            GradGaussIVA(impl="fast")(X, n_iter=2)
+
+
+class TestFixedPointIVAFastImpl:
+    @staticmethod
+    def _laplace_trio():
+        import jax.numpy as jnp
+
+        return dict(
+            contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+            d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+            dd_contrast_fn=lambda y: jnp.zeros_like(y),
+        )
+
+    def test_fast_iva_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.iva import FastIVA
+        from ssspy_tpu.fast import fast_fast_iva
+
+        Yf = fast_fast_iva(X, n_iter=6)
+        fi = FastIVA(impl="fast", record_loss=False, **self._laplace_trio())
+        Yc = fi(X, n_iter=6)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(Yf, Yc)
+
+    def test_faster_iva_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.iva import FasterIVA
+        from ssspy_tpu.fast import fast_faster_iva
+
+        kw = self._laplace_trio()
+        kw.pop("dd_contrast_fn")
+        Yf = fast_faster_iva(X, n_iter=6)
+        fi = FasterIVA(impl="fast", record_loss=False, **kw)
+        Yc = fi(X, n_iter=6)
+        assert np.array_equal(Yf, Yc)
+
+    def test_loss_trace_and_demix_refit(self):
+        from ssspy_tpu.bss.iva import FasterIVA
+
+        kw = self._laplace_trio()
+        kw.pop("dd_contrast_fn")
+        fi = FasterIVA(impl="fast", **kw)
+        Y = fi(X, n_iter=8)
+        assert len(fi.loss) == 9 and all(np.isfinite(v) for v in fi.loss)
+        assert fi.loss[-1] < fi.loss[0]
+        # after scale restoration, W is refit on the whitened input:
+        # output == W @ whitened_input must hold
+        from ssspy_tpu.bss._sc_engine import separate_host
+
+        np.testing.assert_allclose(
+            Y, separate_host(fi.whitened_input, fi.demix_filter), rtol=1e-3, atol=1e-5
+        )
+
+    def test_non_laplace_contrast_blocked(self):
+        import jax.numpy as jnp
+
+        from ssspy_tpu.bss.iva import FasterIVA
+
+        with pytest.raises(ValueError, match="split-complex engine"):
+            FasterIVA(
+                contrast_fn=lambda y: jnp.linalg.norm(y, axis=1) ** 2,
+                d_contrast_fn=lambda y: 2 * y,
+                impl="fast",
+            )(X, n_iter=2)
