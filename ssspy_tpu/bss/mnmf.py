@@ -15,8 +15,11 @@ TPU-native notes: the reference materializes ``np.tile`` copies of the
 import functools
 from typing import Callable, Iterable, List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ._sc_engine import resolve_engine, sc_flooring_eps
 
 from ..linalg import gmeanmh
 from ..linalg._solve import solve
@@ -43,6 +46,22 @@ def _trace_real(A, B):
     return jnp.real(jnp.einsum("...ij,...ji->...", A, B))
 
 
+def _mnmf_covariance_jit(Xs):
+    """Instant covariances (+ fused-kernel lanes relayout on real TPU f32)."""
+    from ..ops.pallas_kernels import prepare_xx_lanes
+    from ..ops.splitc import _on_tpu_backend, instant_covariance_sc
+
+    fused = _on_tpu_backend() and Xs.dtype == jnp.float32
+
+    @jax.jit
+    def compute(Xs):
+        XXs = instant_covariance_sc(Xs)
+        lanes = prepare_xx_lanes(XXs[0], XXs[1]) if fused else None
+        return XXs, lanes
+
+    return compute(Xs)
+
+
 class MNMFBase(IterativeMethodBase):
     """Base class of MNMF (parity: ssspy/bss/mnmf.py:21-297)."""
 
@@ -57,6 +76,7 @@ class MNMFBase(IterativeMethodBase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
@@ -69,14 +89,94 @@ class MNMFBase(IterativeMethodBase):
         self.input = None
         self.reference_id = reference_id
         self.rng = np.random.default_rng() if rng is None else rng
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
         self._iterate(n_iter=n_iter, initial_call=initial_call)
         self.output = self.separate(self.input)
         return self.output
+
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Subclasses opt in by providing _reset_sc/init_state_sc/
+    # make_step_sc/make_loss_sc/commit_state_sc/separate_sc; the MM
+    # iterations then run on the planar f32 kernels
+    # (ssspy_tpu.ops.splitc.gauss_mnmf_step_sc / fast_gauss_mnmf_step_sc)
+    # matching ssspy_tpu.fast.fast_gauss_mnmf_dense / fast_gauss_mnmf
+    # exactly given the same rng, and the multichannel Wiener separation
+    # runs on the host (reference ssspy/bss/mnmf.py:729-763 — the only
+    # complex-arithmetic stage, never traced on device).
+
+    def _sc_engine_blockers(self) -> List[str]:
+        return ["no split-complex kernels for this class"]
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        self.output = self.separate_sc(self.input)
+        return self.output
+
+    def _reset_sc_common(self, **kwargs) -> None:
+        """NumPy mirror of the shape bookkeeping in ``_reset``."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        n_sources = self.n_sources
+        if n_sources is None:
+            n_sources = n_channels
+        self.n_sources, self.n_channels = n_sources, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+    def _init_nmf_sc(self) -> None:
+        """f32 NumPy mirror of ``_init_nmf`` (same rng draw order as the
+        fast paths: straight f32 casts of the uniform draws — the
+        class path's eps floor is a measure-zero event on them)."""
+        n_basis = self.n_basis
+        n_sources, n_bins, n_frames = self.n_sources, self.n_bins, self.n_frames
+        eps = sc_flooring_eps(self.flooring_fn, 1e-10)
+        rng = self.rng
+
+        if self.partitioning:
+            if not hasattr(self, "basis"):
+                T = np.maximum(rng.random((n_bins, n_basis)), eps).astype(np.float32)
+            else:
+                T = np.asarray(self.basis, dtype=np.float32)
+            if not hasattr(self, "activation"):
+                V = np.maximum(rng.random((n_basis, n_frames)), eps).astype(np.float32)
+            else:
+                V = np.asarray(self.activation, dtype=np.float32)
+            if not hasattr(self, "latent"):
+                Z = rng.random((n_sources, n_basis))
+                Z = np.maximum(Z / Z.sum(axis=0), eps).astype(np.float32)
+            else:
+                Z = np.asarray(self.latent, dtype=np.float32)
+            self.basis, self.activation = T, V
+            self.latent = Z
+        else:
+            if not hasattr(self, "basis"):
+                T = np.maximum(rng.random((n_sources, n_bins, n_basis)), eps).astype(
+                    np.float32
+                )
+            else:
+                T = np.asarray(self.basis, dtype=np.float32)
+            if not hasattr(self, "activation"):
+                V = np.maximum(
+                    rng.random((n_sources, n_basis, n_frames)), eps
+                ).astype(np.float32)
+            else:
+                V = np.asarray(self.activation, dtype=np.float32)
+            self.basis, self.activation = T, V
 
     def __repr__(self) -> str:
         keys = ["n_basis"]
@@ -340,6 +440,116 @@ class GaussMNMF(MNMF):
 
         return loss
 
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if sc_flooring_eps(self.flooring_fn, 1e-10) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def _reset_sc(self, **kwargs) -> None:
+        self._reset_sc_common(**kwargs)
+        self._init_nmf_sc()
+        n_sources, n_channels = self.n_sources, self.n_channels
+        if not hasattr(self, "spatial"):
+            H0 = np.zeros(
+                (2, n_sources, self.n_bins, n_channels, n_channels), dtype=np.float32
+            )
+            H0[0] = np.eye(n_channels, dtype=np.float32) / n_channels
+            self.spatial = H0[0] + 1j * H0[1]
+        else:
+            self.spatial = np.asarray(self.spatial, dtype=np.complex64)
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        # the instant covariance is loop-invariant: compute it ONCE here
+        # (with its fused-kernel lanes relayout where active) and carry
+        # it through the scan — XLA does not hoist the Gram einsums out
+        # of a fused scan body (see CLAUDE.md / admm_quad_inv_sc)
+        XXs, lanes = _mnmf_covariance_jit(Xs)
+        state = {
+            "XX": XXs,
+            "T": jax.device_put(self.basis),
+            "V": jax.device_put(self.activation),
+            "H": jax.device_put(np.asarray(to_split(self.spatial), dtype=np.float32)),
+        }
+        if self.partitioning:
+            state["Z"] = jax.device_put(self.latent)
+        if lanes is not None:
+            state["lanes"] = lanes
+        return state
+
+    def make_step_sc(self):
+        from ..ops.splitc import gauss_mnmf_step_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, 1e-10)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        normalization = bool(self.normalization)
+        partitioning = self.partitioning
+
+        def step(state):
+            out = gauss_mnmf_step_sc(
+                state["XX"],
+                state["T"],
+                state["V"],
+                state["H"],
+                Z=state.get("Z"),
+                eps=eps,
+                normalization=normalization,
+                XX_lanes=state.get("lanes"),
+            )
+            if partitioning:
+                T, V, Hs, Z = out
+                return {**state, "T": T, "V": V, "H": Hs, "Z": Z}
+            T, V, Hs = out
+            return {**state, "T": T, "V": V, "H": Hs}
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import gauss_mnmf_loss_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, 1e-10)
+
+        def loss(state):
+            return gauss_mnmf_loss_sc(
+                state["XX"], state["T"], state["V"], state["H"],
+                Z=state.get("Z"), eps=eps,
+            )
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        self.basis = np.asarray(state["T"])
+        self.activation = np.asarray(state["V"])
+        if self.partitioning:
+            self.latent = np.asarray(state["Z"])
+        Hs = np.asarray(state["H"])
+        self.spatial = Hs[0] + 1j * Hs[1]
+
+    def separate_sc(self, input):
+        """Host multichannel Wiener filter (NumPy mirror of ``separate``;
+        same math as ssspy_tpu.fast.fast_gauss_mnmf_dense's host stage)."""
+        X = np.asarray(input)
+        T, V, H = self.basis, self.activation, self.spatial
+        Z = self.latent if self.partitioning else None
+
+        if Z is None:
+            Lamb = T @ V
+        else:
+            Lamb = np.einsum("nk,ik,kt->nit", Z, T, V)
+        R_n = np.einsum("nit,nipq->nitpq", Lamb, H)
+        R = R_n.sum(axis=0)
+        W_Hermite = np.linalg.solve(R[None], R_n)
+        W_ref = np.swapaxes(W_Hermite, -2, -1).conj()[..., self.reference_id, :]
+        return np.einsum("nitm,mit->nit", W_ref, X)
+
 
 class FastMNMFBase(MNMFBase):
     """Base of FastMNMF (parity: ssspy/bss/mnmf.py:417-678)."""
@@ -402,6 +612,7 @@ class FastGaussMNMF(FastMNMFBase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             n_basis,
@@ -413,6 +624,7 @@ class FastGaussMNMF(FastMNMFBase):
             record_loss=record_loss,
             reference_id=reference_id,
             rng=rng,
+            impl=impl,
         )
 
         assert (
@@ -560,3 +772,122 @@ class FastGaussMNMF(FastMNMFBase):
             return jnp.sum(jnp.mean(value, axis=-1) - 2 * logdetQ)
 
         return loss
+
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if sc_flooring_eps(self.flooring_fn, 1e-6) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        if (
+            self.diagonalizer_algorithm == "IP2"
+            and self.pair_selector is not sequential_pair_selector
+        ):
+            blockers.append(
+                "custom pair_selector (the kernels use the sequential pair schedule)"
+            )
+        return blockers
+
+    def _reset_sc(self, **kwargs) -> None:
+        self._reset_sc_common(**kwargs)
+        rng = self.rng
+        n_sources, n_channels = self.n_sources, self.n_channels
+        n_bins, n_frames = self.n_bins, self.n_frames
+        n_basis = self.n_basis
+
+        # same draw order (T, V, D) and dtype handling as fast_gauss_mnmf
+        if not hasattr(self, "basis"):
+            T = rng.random((n_sources, n_bins, n_basis)).astype(np.float32)
+        else:
+            T = np.asarray(self.basis, dtype=np.float32)
+        if not hasattr(self, "activation"):
+            V = rng.random((n_sources, n_basis, n_frames)).astype(np.float32)
+        else:
+            V = np.asarray(self.activation, dtype=np.float32)
+        self.basis, self.activation = T, V
+
+        if not hasattr(self, "diagonalizer"):
+            self.diagonalizer = np.tile(
+                np.eye(n_channels, dtype=np.complex64), (n_bins, 1, 1)
+            )
+        else:
+            self.diagonalizer = np.asarray(self.diagonalizer, dtype=np.complex64)
+        if not hasattr(self, "spatial"):
+            D = np.maximum(rng.random((n_bins, n_sources, n_channels)), 1e-10).astype(
+                np.float32
+            )
+        else:
+            D = np.asarray(self.spatial, dtype=np.float32)
+        self.spatial = D
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Qs = jax.device_put(
+            np.asarray(to_split(np.asarray(self.diagonalizer)), dtype=np.float32)
+        )
+        return {
+            "X": Xs,
+            "Q": Qs,
+            "T": jax.device_put(self.basis),
+            "V": jax.device_put(self.activation),
+            "D": jax.device_put(self.spatial),
+        }
+
+    def make_step_sc(self):
+        from ..ops.splitc import fast_gauss_mnmf_step_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, 1e-6, f32_floor=True)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        algo = self.diagonalizer_algorithm
+        normalization = bool(self.normalization)
+
+        def step(state):
+            Qs, T, V, D = fast_gauss_mnmf_step_sc(
+                state["X"], state["Q"], state["T"], state["V"], state["D"],
+                eps=eps, normalization=normalization, diagonalizer=algo,
+            )
+            return {**state, "Q": Qs, "T": T, "V": V, "D": D}
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import fast_gauss_mnmf_loss_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, 1e-6, f32_floor=True)
+
+        def loss(state):
+            return fast_gauss_mnmf_loss_sc(
+                state["X"], state["Q"], state["T"], state["V"], state["D"], eps=eps
+            )
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        self.basis = np.asarray(state["T"])
+        self.activation = np.asarray(state["V"])
+        Qs = np.asarray(state["Q"])
+        self.diagonalizer = Qs[0] + 1j * Qs[1]
+        self.spatial = np.asarray(state["D"])
+
+    def separate_sc(self, input):
+        """Host Wiener separation in the diagonalized space (NumPy mirror
+        of ``separate``; same math as ssspy_tpu.fast.fast_gauss_mnmf's
+        host stage — reference ssspy/bss/mnmf.py:1174-1217)."""
+        X = np.asarray(input)
+        T, V = self.basis, self.activation
+        Q, D = self.diagonalizer, self.spatial
+
+        Lamb = np.maximum(T @ V, 1e-10)  # (N, I, T)
+        Db = np.swapaxes(D, 0, 1)  # (N, I, M)
+        Q_inv = np.linalg.inv(Q)  # (I, M, M)
+        LambD = np.einsum("nit,nim->nitm", Lamb, Db)
+        R_n = np.einsum("ipm,nitm,iqm->nitpq", Q_inv, LambD, Q_inv.conj())
+        R = R_n.sum(axis=0)
+        W_Hermite = np.linalg.solve(R[None], R_n)
+        W_ref = np.swapaxes(W_Hermite, -2, -1).conj()[..., self.reference_id, :]
+        return np.einsum("nitm,mit->nit", W_ref, X)

@@ -560,3 +560,76 @@ class TestFixedPointIVAFastImpl:
                 d_contrast_fn=lambda y: 2 * y,
                 impl="fast",
             )(X, n_iter=2)
+
+
+# ---- round-5 families: MNMF ----------------------------------------------------
+
+
+class TestMNMFFastImpl:
+    def test_dense_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.mnmf import GaussMNMF
+        from ssspy_tpu.fast import fast_gauss_mnmf_dense
+
+        Yf, (Tf, Vf, Hf) = fast_gauss_mnmf_dense(
+            X, n_basis=K, n_iter=4, rng=np.random.default_rng(7)
+        )
+        mn = GaussMNMF(K, impl="fast", record_loss=False, rng=np.random.default_rng(7))
+        Yc = mn(X, n_iter=4)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(np.asarray(Tf), np.asarray(mn.basis))
+        assert np.array_equal(np.asarray(Hf), np.asarray(mn.spatial))
+        assert np.array_equal(Yf, Yc)
+
+    def test_dense_partitioning_runs(self):
+        from ssspy_tpu.bss.mnmf import GaussMNMF
+
+        mn = GaussMNMF(
+            K, partitioning=True, impl="fast", rng=np.random.default_rng(7)
+        )
+        Y = mn(X, n_iter=4)
+        assert np.isfinite(Y).all()
+        assert mn.latent.shape == (M, K)
+        assert len(mn.loss) == 5 and all(np.isfinite(v) for v in mn.loss)
+
+    def test_dense_loss_matches_complex(self):
+        from ssspy_tpu.bss.mnmf import GaussMNMF
+
+        sc = GaussMNMF(K, impl="fast", rng=np.random.default_rng(7))
+        sc(X, n_iter=3)
+        cx = GaussMNMF(K, impl="complex", rng=np.random.default_rng(7))
+        cx(X, n_iter=3)
+        np.testing.assert_allclose(sc.loss, cx.loss, rtol=5e-3)
+
+    @pytest.mark.parametrize("algo", ["IP1", "IP2"])
+    def test_fast_matches_fast_bitexact(self, algo):
+        from ssspy_tpu.bss.mnmf import FastGaussMNMF
+        from ssspy_tpu.fast import fast_gauss_mnmf
+
+        Yf, (Tf, Vf, Qf, Df) = fast_gauss_mnmf(
+            X, n_basis=K, n_iter=4, diagonalizer_algorithm=algo,
+            rng=np.random.default_rng(7),
+        )
+        mn = FastGaussMNMF(
+            K, diagonalizer_algorithm=algo, impl="fast", record_loss=False,
+            rng=np.random.default_rng(7),
+        )
+        Yc = mn(X, n_iter=4)
+        assert np.array_equal(np.asarray(Qf), np.asarray(mn.diagonalizer))
+        assert np.array_equal(Yf, Yc)
+
+    def test_fast_loss_trace(self):
+        from ssspy_tpu.bss.mnmf import FastGaussMNMF
+
+        mn = FastGaussMNMF(K, impl="fast", rng=np.random.default_rng(7))
+        mn(X, n_iter=6)
+        assert len(mn.loss) == 7 and all(np.isfinite(v) for v in mn.loss)
+        assert mn.loss[-1] < mn.loss[0]
+
+    def test_underdetermined_dense(self):
+        from ssspy_tpu.bss.mnmf import GaussMNMF
+
+        mn = GaussMNMF(K, n_sources=4, impl="fast", record_loss=False,
+                       rng=np.random.default_rng(7))
+        Y = mn(X, n_iter=3)
+        assert Y.shape == (4, I, T)
+        assert np.isfinite(Y).all()
