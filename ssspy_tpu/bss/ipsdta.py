@@ -18,6 +18,7 @@ activation traces -> normalization -> VCD) compiles into a single
 import functools
 from typing import Callable, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,12 @@ from ..linalg import gmeanmh, invsqrtmh, sqrtmh
 from ..linalg.quadratic import quadratic
 from ..special.flooring import EPS, identity, max_flooring, resolve_flooring_spec
 from ..special.psd import to_psd
+from ._sc_engine import (
+    resolve_engine,
+    restore_scale_host,
+    sc_flooring_eps,
+    separate_host,
+)
 from ._update_spatial_model import update_by_block_decomposition_vcd
 from .base import IterativeMethodBase, config_repr
 from .iva import _ls_demix, _separate
@@ -64,6 +71,7 @@ class IPSDTABase(IterativeMethodBase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(callbacks=callbacks, record_loss=record_loss)
 
@@ -77,8 +85,12 @@ class IPSDTABase(IterativeMethodBase):
         self.reference_id = reference_id
 
         self.rng = np.random.default_rng() if rng is None else rng
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
     def __call__(self, input, n_iter: int = 100, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
@@ -88,6 +100,9 @@ class IPSDTABase(IterativeMethodBase):
             self.restore_scale()
         self.output = _separate(self.input, self.demix_filter)
         return self.output
+
+    def _sc_engine_blockers(self) -> List[str]:
+        return ["no split-complex kernels for this class"]
 
     def __repr__(self) -> str:
         keys = ["n_basis", "scale_restoration", "record_loss"]
@@ -145,6 +160,7 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             n_basis=n_basis,
@@ -154,6 +170,7 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
             record_loss=record_loss,
             reference_id=reference_id,
             rng=rng,
+            impl=impl,
         )
         self.n_blocks = n_blocks
 
@@ -304,6 +321,176 @@ class BlockDecompositionIPSDTABase(IPSDTABase):
         Y = _separate(state["X"], state["W"])
         return self._split_bins(Y, axis=1)
 
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # The MM + VCD iteration delegates to the planar f32 kernel
+    # (ssspy_tpu.ops.splitc.ipsdta_vcd_step_sc), matching
+    # ssspy_tpu.fast.fast_gauss_ipsdta / fast_t_ipsdta exactly given the
+    # same rng; all complex arrays (input, committed filters/basis,
+    # scale restoration) stay host-side NumPy.
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if getattr(self, "source_algorithm", "MM") != "MM":
+            blockers.append(
+                "non-MM source update (also unimplemented in the reference)"
+            )
+        if getattr(self, "spatial_algorithm", "VCD") != "VCD":
+            blockers.append("non-VCD spatial update")
+        if not self.source_normalization:
+            blockers.append(
+                "source_normalization=False (the kernel fuses the unit-trace "
+                "basis normalization)"
+            )
+        if sc_flooring_eps(self.flooring_fn, EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the kernels floor with max-type eps)"
+            )
+        return blockers
+
+    def _call_sc(self, input, n_iter: int, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=True, sc=True)
+        if self.scale_restoration:
+            restore_scale_host(self)
+        self.output = separate_host(self.input, self.demix_filter)
+        return self.output
+
+    def _reset_sc(self, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` + the PSDTF init (same rng draw
+        order — part 0, remainder part, activation — and f32 handling as
+        the fast paths)."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = np.asarray(self.demix_filter)
+        self.demix_filter = W
+        self.output = separate_host(X, W)
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        n_basis = self.n_basis
+        n_remains = self.n_remains
+        n_neighbors = n_bins // self.n_blocks
+        part_shapes = [(self.n_blocks - n_remains, n_neighbors)]
+        if n_remains:
+            part_shapes.append((n_remains, n_neighbors + 1))
+        rng = self.rng
+
+        # the PSDTF init runs on PLANAR f32 arrays exactly like the fast
+        # paths (the complex64 trace rounds differently than the planar
+        # f32 one, breaking bit-parity with fast_gauss_ipsdta); the
+        # committed ``basis`` attribute is the exact complex view of it
+        if not hasattr(self, "basis"):
+            T_parts = []
+            for B, J in part_shapes:
+                diag = rng.random((n_channels, n_basis, B, J)).astype(np.float32)
+                Tp = np.zeros((2, n_channels, n_basis, B, J, J), dtype=np.float32)
+                Tp[0] = diag[..., None] * np.eye(J, dtype=np.float32)
+                T_parts.append(Tp)
+        else:
+            T_parts = [
+                np.stack(
+                    [np.asarray(Tp).real, np.asarray(Tp).imag], axis=0
+                ).astype(np.float32)
+                for Tp in self._basis_parts(self.basis)
+            ]
+        if not hasattr(self, "activation"):
+            V = np.maximum(rng.random((n_channels, n_basis, n_frames)), eps).astype(
+                np.float32
+            )
+        else:
+            V = np.asarray(self.activation, dtype=np.float32)
+
+        if self.source_normalization:
+            trace = sum(
+                p[0].trace(axis1=-2, axis2=-1).sum(axis=-1) for p in T_parts
+            )  # (N, K)
+            T_parts = [p / trace[None, :, :, None, None, None] for p in T_parts]
+            V = V * trace[:, :, None]
+
+        self._basis_parts_sc = T_parts
+        parts_c = [p[0] + 1j * p[1] for p in T_parts]
+        self.basis = tuple(parts_c) if len(parts_c) > 1 else parts_c[0]
+        self.activation = V
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Ws = jax.device_put(
+            np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+        )
+        state = {"X": Xs, "W": Ws, "V": jax.device_put(self.activation)}
+        for idx, Tp in enumerate(self._basis_parts_sc):
+            state[f"T{idx}"] = jax.device_put(Tp)
+        return state
+
+    def make_step_sc(self):
+        from ..ops.splitc import ipsdta_vcd_step_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+        dof = getattr(self, "dof", None)
+        dof = None if dof is None else float(dof)
+
+        def step(state):
+            T_parts = [state["T0"]]
+            if "T1" in state:
+                T_parts.append(state["T1"])
+            Ws, T_parts, V = ipsdta_vcd_step_sc(
+                state["X"], state["W"], T_parts, state["V"], dof=dof, eps=eps
+            )
+            new = {**state, "W": Ws, "V": V}
+            for idx, Tp in enumerate(T_parts):
+                new[f"T{idx}"] = Tp
+            return new
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import ipsdta_loss_sc
+
+        eps = sc_flooring_eps(self.flooring_fn, EPS)
+        dof = getattr(self, "dof", None)
+        dof = None if dof is None else float(dof)
+
+        def loss(state):
+            T_parts = [state["T0"]]
+            if "T1" in state:
+                T_parts.append(state["T1"])
+            return ipsdta_loss_sc(
+                state["X"], state["W"], T_parts, state["V"], dof=dof, eps=eps
+            )
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        Ws = np.asarray(state["W"])
+        self.demix_filter = Ws[0] + 1j * Ws[1]
+        self.activation = np.asarray(state["V"])
+        parts = []
+        for idx in range(2):
+            key = f"T{idx}"
+            if key in state:
+                Tp = np.asarray(state[key])
+                parts.append(Tp[0] + 1j * Tp[1])
+        self.basis = tuple(parts) if len(parts) > 1 else parts[0]
+        self.output = separate_host(self.input, self.demix_filter)
+
 
 def _normalize_psdtf(T_parts, V, n_remains):
     """Unit-summed-trace basis normalization (parity: ipsdta.py:666-697)."""
@@ -358,6 +545,7 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         self.source_normalization = source_normalization
 
@@ -370,6 +558,7 @@ class GaussIPSDTA(BlockDecompositionIPSDTABase):
             record_loss,
             reference_id,
             rng,
+            impl=impl,
         )
 
         assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithm}."
@@ -516,6 +705,7 @@ class TIPSDTA(BlockDecompositionIPSDTABase):
         record_loss: bool = True,
         reference_id: int = 0,
         rng: Optional[np.random.Generator] = None,
+        impl: str = "auto",
     ) -> None:
         self.source_normalization = source_normalization
 
@@ -528,6 +718,7 @@ class TIPSDTA(BlockDecompositionIPSDTABase):
             record_loss,
             reference_id,
             rng,
+            impl=impl,
         )
 
         assert source_algorithm in source_algorithms, f"unsupported option: {source_algorithm}."

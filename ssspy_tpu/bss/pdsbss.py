@@ -10,9 +10,19 @@ SVD batches over bins.
 import warnings
 from typing import Callable, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..linalg import prox
+from ..special.flooring import EPS as FLOOR_EPS
+from ._sc_engine import (
+    probe_matches,
+    resolve_engine,
+    restore_scale_host,
+    sc_flooring_eps,
+    separate_host,
+)
 from .base import IterativeMethodBase, config_repr
 from .iva import _separate
 from .proxbss import ProxBSSBase
@@ -38,6 +48,8 @@ class PDSBSSBase(ProxBSSBase):
         return config_repr(self, "PDSBSS", keys)
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
@@ -47,6 +59,39 @@ class PDSBSSBase(ProxBSSBase):
             self.restore_scale()
         self.output = _separate(self.input, self.demix_filter)
         return self.output
+
+    def _sc_engine_blockers(self) -> List[str]:
+        return ["no split-complex kernels for this class"]
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        if self.scale_restoration:
+            restore_scale_host(self)
+        self.output = separate_host(self.input, self.demix_filter)
+        return self.output
+
+    def _reset_sc_common(self, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` (shapes + identity demixing init)."""
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = np.asarray(self.demix_filter)
+        self.demix_filter = W
+        self.output = separate_host(X, W)
 
 
 class PDSBSS(PDSBSSBase):
@@ -140,6 +185,89 @@ class PDSBSS(PDSBSSBase):
             }
 
         return step
+
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Delegates to the planar f32 PDS kernel with the IVA L21 penalty
+    # (ssspy_tpu.ops.splitc.pds_iva_step_sc), matching
+    # ssspy_tpu.fast.fast_pds_iva exactly. Eligibility is decided by
+    # numerically probing the prox/penalty callables against the L21
+    # model — the PDSIVA factory's defaults and any user closure equal
+    # to them delegate; anything else keeps the complex path.
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self.n_penalties != 1:
+            blockers.append(
+                "multiple penalty terms (the SC kernel implements the single "
+                "L21 IVA penalty)"
+            )
+        elif not probe_matches(self.prox_penalty[0], "prox_l21_bins"):
+            blockers.append(
+                "non-L21 prox_penalty (the SC kernel implements the group "
+                "shrinkage over the bin axis)"
+            )
+        if self.record_loss and (
+            self.penalty_fn is None
+            or not probe_matches(self.penalty_fn[0], "penalty_l21_bins")
+        ):
+            blockers.append(
+                "record_loss with a non-L21 penalty_fn (the SC loss kernel "
+                "evaluates the L21 IVA objective)"
+            )
+        return blockers
+
+    def _reset_sc(self, **kwargs) -> None:
+        self._reset_sc_common(**kwargs)
+        if not hasattr(self, "dual") or (self.dual is None and "dual" not in kwargs):
+            dual = np.zeros(
+                (self.n_penalties, self.n_sources, self.n_bins, self.n_frames),
+                dtype=self.input.dtype,
+            )
+        else:
+            dual = np.asarray(self.dual)
+        self.dual = dual
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Ws = jax.device_put(
+            np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+        )
+        Ys = jax.device_put(np.asarray(to_split(self.dual[0]), dtype=np.float32))
+        return {"X": Xs, "W": Ws, "dual": Ys}
+
+    def make_step_sc(self):
+        from ..ops.splitc import pds_iva_step_sc
+
+        mu1, mu2 = float(self.mu1), float(self.mu2)
+        relaxation = float(self.relaxation)
+
+        def step(state):
+            Ws, Ys = pds_iva_step_sc(
+                state["X"], state["W"], state["dual"],
+                mu1=mu1, mu2=mu2, relaxation=relaxation,
+            )
+            return {**state, "W": Ws, "dual": Ys}
+
+        return step
+
+    def make_loss_sc(self):
+        from ..ops.splitc import prox_iva_loss_sc
+
+        def loss(state):
+            return prox_iva_loss_sc(state["X"], state["W"])
+
+        return loss
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        Ws = np.asarray(state["W"])
+        self.demix_filter = Ws[0] + 1j * Ws[1]
+        Ys = np.asarray(state["dual"])
+        self.dual = (Ys[0] + 1j * Ys[1])[None]  # restore the penalty axis
+        self.output = separate_host(self.input, self.demix_filter)
 
 
 class MaskingPDSBSS(PDSBSSBase):
@@ -259,3 +387,76 @@ class MaskingPDSBSS(PDSBSSBase):
             }
 
         return step
+
+    # ---- split-complex engine (harmonic-mask instances, i.e. HVA) ----------
+
+    _sc_mask = None  # "harmonic" on MaskingPDSHVA / MaskingADMMHVA
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self._sc_mask != "harmonic":
+            blockers.append(
+                "custom mask_fn (the SC kernel implements the HVA cepstral mask)"
+            )
+        elif sc_flooring_eps(self.flooring_fn, FLOOR_EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the mask kernel floors with "
+                "max-type eps)"
+            )
+        if self.record_loss:
+            blockers.append(
+                "record_loss (no closed-form penalty for the masking prox; "
+                "also disabled by default in the reference)"
+            )
+        return blockers
+
+    def _reset_sc(self, **kwargs) -> None:
+        self._reset_sc_common(**kwargs)
+        if not hasattr(self, "dual") or (self.dual is None and "dual" not in kwargs):
+            dual = np.zeros(
+                (self.n_sources, self.n_bins, self.n_frames), dtype=self.input.dtype
+            )
+        else:
+            dual = np.asarray(self.dual)
+        self.dual = dual
+        if self.attenuation is None:
+            # the complex mask closure sets this lazily on its first call
+            self.attenuation = 1 / self.n_sources
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Ws = jax.device_put(
+            np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+        )
+        Ys = jax.device_put(np.asarray(to_split(self.dual), dtype=np.float32))
+        return {"X": Xs, "W": Ws, "dual": Ys}
+
+    def make_step_sc(self):
+        from ..ops.splitc import hva_pds_step_sc
+
+        mu1, mu2 = float(self.mu1), float(self.mu2)
+        relaxation = float(self.relaxation)
+        attenuation = None if self.attenuation is None else float(self.attenuation)
+        mask_iter = int(self.mask_iter)
+        eps = sc_flooring_eps(self.flooring_fn, FLOOR_EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+
+        def step(state):
+            Ws, Ys = hva_pds_step_sc(
+                state["X"], state["W"], state["dual"],
+                mu1=mu1, mu2=mu2, relaxation=relaxation,
+                attenuation=attenuation, mask_iter=mask_iter, eps=eps,
+            )
+            return {**state, "W": Ws, "dual": Ys}
+
+        return step
+
+    def commit_state_sc(self, state) -> None:
+        self._state = state
+        Ws = np.asarray(state["W"])
+        self.demix_filter = Ws[0] + 1j * Ws[1]
+        Ys = np.asarray(state["dual"])
+        self.dual = Ys[0] + 1j * Ys[1]
+        self.output = separate_host(self.input, self.demix_filter)

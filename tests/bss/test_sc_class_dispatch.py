@@ -633,3 +633,74 @@ class TestMNMFFastImpl:
         Y = mn(X, n_iter=3)
         assert Y.shape == (4, I, T)
         assert np.isfinite(Y).all()
+
+
+# ---- round-5 families: IPSDTA --------------------------------------------------
+
+
+class TestIPSDTAFastImpl:
+    def test_gauss_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+        from ssspy_tpu.fast import fast_gauss_ipsdta
+
+        Yf, (Tf, Vf), Wf = fast_gauss_ipsdta(
+            X, n_basis=2, n_blocks=4, n_iter=3, rng=np.random.default_rng(5)
+        )
+        ip = GaussIPSDTA(
+            n_basis=2, n_blocks=4, impl="fast", record_loss=False,
+            rng=np.random.default_rng(5),
+        )
+        Yc = ip(X, n_iter=3)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(Yf, Yc)
+        assert np.array_equal(Wf, np.asarray(ip.demix_filter))
+
+    def test_t_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.ipsdta import TIPSDTA
+        from ssspy_tpu.fast import fast_t_ipsdta
+
+        Yf, _, _ = fast_t_ipsdta(
+            X, n_basis=2, n_blocks=4, dof=100.0, n_iter=3,
+            rng=np.random.default_rng(5),
+        )
+        ip = TIPSDTA(
+            n_basis=2, n_blocks=4, dof=100.0, impl="fast", record_loss=False,
+            rng=np.random.default_rng(5),
+        )
+        assert np.array_equal(Yf, ip(X, n_iter=3))
+
+    def test_remainder_part_state(self):
+        # 17 bins % 4 blocks != 0 exercises the two-part basis; the
+        # committed basis must round-trip as a tuple
+        from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+
+        ip = GaussIPSDTA(
+            n_basis=2, n_blocks=4, impl="fast", record_loss=False,
+            rng=np.random.default_rng(5),
+        )
+        ip(X, n_iter=2)
+        assert isinstance(ip.basis, tuple) and len(ip.basis) == 2
+
+    def test_loss_trace_matches_complex(self):
+        from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+
+        sc = GaussIPSDTA(n_basis=2, n_blocks=4, impl="fast",
+                         rng=np.random.default_rng(5))
+        sc(X, n_iter=3)
+        assert len(sc.loss) == 4 and all(np.isfinite(v) for v in sc.loss)
+        assert sc.loss[-1] < sc.loss[0]
+        cx = GaussIPSDTA(n_basis=2, n_blocks=4, impl="complex",
+                         rng=np.random.default_rng(5))
+        cx(X, n_iter=3)
+        np.testing.assert_allclose(sc.loss, cx.loss, rtol=5e-3)
+
+    def test_em_and_fpi_blocked(self):
+        from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+
+        with pytest.raises(ValueError, match="split-complex engine"):
+            GaussIPSDTA(n_basis=2, n_blocks=4, source_algorithm="EM",
+                        impl="fast")(X, n_iter=2)
+        # on impl="auto" the complex path still raises the reference's
+        # NotImplementedError for the EM source update
+        with pytest.raises(NotImplementedError, match="EM source update"):
+            GaussIPSDTA(n_basis=2, n_blocks=4, source_algorithm="EM")(X, n_iter=2)
