@@ -10,10 +10,20 @@ auxiliary, dual ascent. Compiles to one ``lax.scan``.
 import warnings
 from typing import Callable, List, Optional, Union
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..linalg import prox
 from ..linalg._solve import solve
+from ..special.flooring import EPS as FLOOR_EPS
+from ._sc_engine import (
+    probe_matches,
+    resolve_engine,
+    restore_scale_host,
+    sc_flooring_eps,
+    separate_host,
+)
 from .base import IterativeMethodBase, config_repr
 from .iva import _separate
 from .proxbss import ProxBSSBase
@@ -43,6 +53,8 @@ class ADMMBSSBase(ProxBSSBase):
         return config_repr(self, "ADMMBSS", keys)
 
     def __call__(self, input, n_iter: int = 100, initial_call: bool = True, **kwargs):
+        if resolve_engine(self, self._sc_engine_blockers()) == "sc":
+            return self._call_sc(input, n_iter=n_iter, initial_call=initial_call, **kwargs)
         self.input = jnp.asarray(input).copy()
         self._reset(**kwargs)
         self._state = self.init_state()
@@ -52,6 +64,129 @@ class ADMMBSSBase(ProxBSSBase):
             self.restore_scale()
         self.output = _separate(self.input, self.demix_filter)
         return self.output
+
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+    #
+    # Shared ADMM state plumbing (two auxiliary/dual pairs); ADMMBSS
+    # delegates to admm_iva_step_sc (L21 penalty, probed numerically —
+    # matching ssspy_tpu.fast.fast_admm_iva exactly), MaskingADMMBSS to
+    # hva_admm_step_sc (harmonic cepstral mask, i.e. MaskingADMMHVA).
+    # The loop-invariant quadratic inverse (X X^H + I)^{-1} is computed
+    # once at init and carried through the scan (XLA does not hoist it).
+
+    def _sc_engine_blockers(self) -> List[str]:
+        return ["no split-complex kernels for this class"]
+
+    def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
+        self.input = np.asarray(input)
+        self._reset_sc(**kwargs)
+        self._state = self.init_state_sc()
+        self._iterate(n_iter=n_iter, initial_call=initial_call, sc=True)
+        if self.scale_restoration:
+            restore_scale_host(self)
+        self.output = separate_host(self.input, self.demix_filter)
+        return self.output
+
+    def _reset_sc(self, spectrogram_axis_penalty: bool = True, **kwargs) -> None:
+        """NumPy mirror of ``_reset`` (identity W, zero auxiliaries/duals).
+
+        ``spectrogram_axis_penalty``: the penalty-list classes carry a
+        leading ``n_penalties`` axis on auxiliary2/dual2; the masking
+        classes do not.
+        """
+        kwargs = _pop_deprecated_aux(kwargs)
+        assert self.input is not None, "no input bound; call the separator with a spectrogram first."
+        for key, value in kwargs.items():
+            setattr(self, key, np.asarray(value) if hasattr(value, "shape") else value)
+
+        X = self.input
+        n_channels, n_bins, n_frames = X.shape
+        self.n_sources, self.n_channels = n_channels, n_channels
+        self.n_bins, self.n_frames = n_bins, n_frames
+
+        if not hasattr(self, "demix_filter") or (
+            self.demix_filter is None and "demix_filter" not in kwargs
+        ):
+            W = np.tile(np.eye(n_channels, dtype=X.dtype), (n_bins, 1, 1))
+        else:
+            W = np.asarray(self.demix_filter)
+        self.demix_filter = W
+        self.output = separate_host(X, W)
+
+        dtype = X.dtype
+        spec_shape = (
+            (self.n_penalties, n_channels, n_bins, n_frames)
+            if spectrogram_axis_penalty
+            else (n_channels, n_bins, n_frames)
+        )
+        for name, shape in (
+            ("auxiliary1", (n_bins, n_channels, n_channels)),
+            ("auxiliary2", spec_shape),
+            ("dual1", (n_bins, n_channels, n_channels)),
+            ("dual2", spec_shape),
+        ):
+            if not hasattr(self, name):
+                setattr(self, name, np.zeros(shape, dtype=dtype))
+            else:
+                setattr(self, name, np.asarray(getattr(self, name)))
+
+    def _sc_spec_pair(self, arr):
+        """Planar view of auxiliary2/dual2, dropping the penalty axis."""
+        a = np.asarray(arr)
+        if a.ndim == 4:  # (n_penalties=1, N, I, T)
+            a = a[0]
+        return a
+
+    def init_state_sc(self):
+        from ..ops.splitc import to_split
+
+        Xs = jax.device_put(np.asarray(to_split(self.input), dtype=np.float32))
+        Ws = jax.device_put(
+            np.asarray(to_split(np.asarray(self.demix_filter)), dtype=np.float32)
+        )
+        quad_inv = _admm_quad_inv_jit(Xs)
+        return {
+            "X": Xs,
+            "W": Ws,
+            "V1": jax.device_put(
+                np.asarray(to_split(np.asarray(self.auxiliary1)), dtype=np.float32)
+            ),
+            "V2": jax.device_put(
+                np.asarray(to_split(self._sc_spec_pair(self.auxiliary2)), dtype=np.float32)
+            ),
+            "Y1": jax.device_put(
+                np.asarray(to_split(np.asarray(self.dual1)), dtype=np.float32)
+            ),
+            "Y2": jax.device_put(
+                np.asarray(to_split(self._sc_spec_pair(self.dual2)), dtype=np.float32)
+            ),
+            "quad_inv": quad_inv,
+        }
+
+    def make_loss_sc(self):
+        from ..ops.splitc import prox_iva_loss_sc
+
+        def loss(state):
+            return prox_iva_loss_sc(state["X"], state["W"])
+
+        return loss
+
+    def _commit_state_sc(self, state, spectrogram_axis_penalty: bool) -> None:
+        self._state = state
+        Ws = np.asarray(state["W"])
+        self.demix_filter = Ws[0] + 1j * Ws[1]
+        V1 = np.asarray(state["V1"])
+        self.auxiliary1 = V1[0] + 1j * V1[1]
+        Y1 = np.asarray(state["Y1"])
+        self.dual1 = Y1[0] + 1j * Y1[1]
+        V2 = np.asarray(state["V2"])
+        Y2 = np.asarray(state["Y2"])
+        aux2 = V2[0] + 1j * V2[1]
+        dual2 = Y2[0] + 1j * Y2[1]
+        if spectrogram_axis_penalty:
+            aux2, dual2 = aux2[None], dual2[None]
+        self.auxiliary2, self.dual2 = aux2, dual2
+        self.output = separate_host(self.input, self.demix_filter)
 
     def init_state(self):
         return {
@@ -85,6 +220,7 @@ class ADMMBSS(ADMMBSSBase):
         scale_restoration: bool = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             penalty_fn=penalty_fn,
@@ -94,6 +230,8 @@ class ADMMBSS(ADMMBSSBase):
             record_loss=record_loss,
             reference_id=reference_id,
         )
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
         self.rho = rho
 
@@ -187,6 +325,51 @@ class ADMMBSS(ADMMBSSBase):
 
         return step
 
+    # ---- split-complex engine (complex-free TPU runtimes) ------------------
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self.n_penalties != 1:
+            blockers.append(
+                "multiple penalty terms (the SC kernel implements the single "
+                "L21 IVA penalty)"
+            )
+        elif not probe_matches(self.prox_penalty[0], "prox_l21_bins"):
+            blockers.append(
+                "non-L21 prox_penalty (the SC kernel implements the group "
+                "shrinkage over the bin axis)"
+            )
+        if self.record_loss and (
+            self.penalty_fn is None
+            or not probe_matches(self.penalty_fn[0], "penalty_l21_bins")
+        ):
+            blockers.append(
+                "record_loss with a non-L21 penalty_fn (the SC loss kernel "
+                "evaluates the L21 IVA objective)"
+            )
+        return blockers
+
+    def make_step_sc(self):
+        from ..ops.splitc import admm_iva_step_sc
+
+        rho = float(self.rho)
+        relaxation = float(self.relaxation)
+
+        def step(state):
+            Ws, Vs, Vts, Ys, Yts = admm_iva_step_sc(
+                state["X"], state["V1"], state["V2"], state["Y1"], state["Y2"],
+                rho=rho, relaxation=relaxation, quad_inv=state["quad_inv"],
+            )
+            return {
+                **state,
+                "W": Ws, "V1": Vs, "V2": Vts, "Y1": Ys, "Y2": Yts,
+            }
+
+        return step
+
+    def commit_state_sc(self, state) -> None:
+        self._commit_state_sc(state, spectrogram_axis_penalty=True)
+
 
 class MaskingADMMBSS(ADMMBSSBase):
     """Masking-based ADMM BSS (parity: ssspy/bss/admmbss.py:260-442)."""
@@ -202,6 +385,7 @@ class MaskingADMMBSS(ADMMBSSBase):
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         if penalty_fn is None:
             if record_loss is None:
@@ -213,6 +397,8 @@ class MaskingADMMBSS(ADMMBSSBase):
                 record_loss = True
 
         IterativeMethodBase.__init__(self, callbacks=callbacks, record_loss=record_loss)
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
         if mask_fn is None:
             raise ValueError("MaskingPDSBSS/MaskingADMMBSS require a mask_fn.")
@@ -324,3 +510,64 @@ class MaskingADMMBSS(ADMMBSSBase):
             }
 
         return step
+
+    # ---- split-complex engine (harmonic-mask instances, i.e. HVA) ----------
+
+    _sc_mask = None  # "harmonic" on MaskingADMMHVA
+
+    def _sc_engine_blockers(self) -> List[str]:
+        blockers = []
+        if self._sc_mask != "harmonic":
+            blockers.append(
+                "custom mask_fn (the SC kernel implements the HVA cepstral mask)"
+            )
+        elif sc_flooring_eps(self.flooring_fn, FLOOR_EPS) is None:
+            blockers.append(
+                "non-max_flooring flooring_fn (the mask kernel floors with "
+                "max-type eps)"
+            )
+        if self.record_loss:
+            blockers.append(
+                "record_loss (no closed-form penalty for the masking prox; "
+                "also disabled by default in the reference)"
+            )
+        return blockers
+
+    def _reset_sc(self, **kwargs) -> None:
+        super()._reset_sc(spectrogram_axis_penalty=False, **kwargs)
+        if self.attenuation is None:
+            # the complex mask closure sets this lazily on its first call
+            self.attenuation = 1 / self.n_sources
+
+    def make_step_sc(self):
+        from ..ops.splitc import hva_admm_step_sc
+
+        rho = float(self.rho)
+        relaxation = float(self.relaxation)
+        attenuation = None if self.attenuation is None else float(self.attenuation)
+        mask_iter = int(self.mask_iter)
+        eps = sc_flooring_eps(self.flooring_fn, FLOOR_EPS)
+        assert eps is not None, "SC engine requires max-type flooring (checked by _sc_engine_blockers)."
+
+        def step(state):
+            Ws, Vs, Vts, Ys, Yts = hva_admm_step_sc(
+                state["X"], state["V1"], state["V2"], state["Y1"], state["Y2"],
+                rho=rho, relaxation=relaxation, attenuation=attenuation,
+                mask_iter=mask_iter, eps=eps, quad_inv=state["quad_inv"],
+            )
+            return {
+                **state,
+                "W": Ws, "V1": Vs, "V2": Vts, "Y1": Ys, "Y2": Yts,
+            }
+
+        return step
+
+    def commit_state_sc(self, state) -> None:
+        self._commit_state_sc(state, spectrogram_axis_penalty=False)
+
+
+@jax.jit
+def _admm_quad_inv_jit(Xs):
+    from ..ops.splitc import admm_quad_inv_sc
+
+    return admm_quad_inv_sc(Xs)

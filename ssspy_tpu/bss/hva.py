@@ -55,6 +55,8 @@ def _make_harmonic_mask_fn(method):
 class MaskingPDSHVA(MaskingPDSBSS):
     """HVA via masking PDS (parity: ssspy/bss/hva.py:20-155)."""
 
+    _sc_mask = "harmonic"
+
     def __init__(
         self,
         mu1: float = 1,
@@ -68,6 +70,7 @@ class MaskingPDSHVA(MaskingPDSBSS):
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             mu1=mu1,
@@ -80,6 +83,7 @@ class MaskingPDSHVA(MaskingPDSBSS):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
         self.attenuation = attenuation
@@ -99,6 +103,8 @@ class MaskingPDSHVA(MaskingPDSBSS):
 class MaskingADMMHVA(MaskingADMMBSS):
     """HVA via masking ADMM (parity: ssspy/bss/hva.py:158-275)."""
 
+    _sc_mask = "harmonic"
+
     def __init__(
         self,
         rho: float = 1,
@@ -111,6 +117,7 @@ class MaskingADMMHVA(MaskingADMMBSS):
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             rho=rho,
@@ -122,6 +129,7 @@ class MaskingADMMHVA(MaskingADMMBSS):
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
 
         self.attenuation = attenuation

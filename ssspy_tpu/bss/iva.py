@@ -1140,6 +1140,7 @@ class PDSIVA:
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ):
         from ..linalg import prox as _prox
         from .pdsbss import PDSBSS
@@ -1159,6 +1160,7 @@ class PDSIVA:
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
         method.contrast_fn = contrast_fn
         return method
@@ -1178,6 +1180,7 @@ class ADMMIVA:
         scale_restoration: Union[bool, str] = True,
         record_loss: bool = True,
         reference_id: int = 0,
+        impl: str = "auto",
     ):
         from ..linalg import prox as _prox
         from .admmbss import ADMMBSS
@@ -1196,6 +1199,7 @@ class ADMMIVA:
             scale_restoration=scale_restoration,
             record_loss=record_loss,
             reference_id=reference_id,
+            impl=impl,
         )
         method.contrast_fn = contrast_fn
         return method

@@ -109,6 +109,7 @@ class PDSBSS(PDSBSSBase):
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         super().__init__(
             penalty_fn=penalty_fn,
@@ -118,6 +119,8 @@ class PDSBSS(PDSBSSBase):
             record_loss=record_loss,
             reference_id=reference_id,
         )
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
         self.mu1, self.mu2 = mu1, mu2
 
@@ -288,6 +291,7 @@ class MaskingPDSBSS(PDSBSSBase):
         scale_restoration: bool = True,
         record_loss: Optional[bool] = None,
         reference_id: int = 0,
+        impl: str = "auto",
     ) -> None:
         if penalty_fn is None:
             if record_loss is None:
@@ -299,6 +303,8 @@ class MaskingPDSBSS(PDSBSSBase):
                 record_loss = True
 
         IterativeMethodBase.__init__(self, callbacks=callbacks, record_loss=record_loss)
+        assert impl in ("auto", "fast", "complex"), f"unsupported option: {impl}."
+        self.impl = impl
 
         if mask_fn is None:
             raise ValueError("MaskingPDSBSS/MaskingADMMBSS require a mask_fn.")

@@ -1196,26 +1196,29 @@ def fast_admm_iva(
     zf = np.zeros((2, n_bins, n_channels, n_channels), dtype=np.float32)
     zs = np.zeros((2, n_channels, n_bins, n_frames), dtype=np.float32)
 
+    # the quadratic operator (X X^H + I)^{-1} is loop-invariant; computing
+    # it once (in its OWN jit: fused into the scan program XLA rounds its
+    # Gram einsums differently, breaking bit-parity with the class API's
+    # SC runner) removes two spectrogram passes + a Gauss-Jordan solve
+    # from every iteration
+    quad_inv = jax.jit(admm_quad_inv_sc)(Xs)
+
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(carry, n):
-        # the quadratic operator (X X^H + I)^{-1} is loop-invariant;
-        # computing it once outside the scan removes two spectrogram
-        # passes + a Gauss-Jordan solve from every iteration
-        quad_inv = admm_quad_inv_sc(Xs)
-
         def body(c, _):
-            _, V, Vt, Y, Yt = admm_iva_step_sc(
-                Xs, c[0], c[1], c[2], c[3],
+            W, V, Vt, Y, Yt = admm_iva_step_sc(
+                Xs, c[1], c[2], c[3], c[4],
                 rho=rho, relaxation=relaxation, quad_inv=quad_inv,
             )
-            return (V, Vt, Y, Yt), None
+            return (W, V, Vt, Y, Yt), None
 
-        (V, Vt, Y, Yt), _ = lax.scan(body, carry, None, length=n - 1)
-        return admm_iva_step_sc(
-            Xs, V, Vt, Y, Yt, rho=rho, relaxation=relaxation, quad_inv=quad_inv
-        )[0]
+        # W rides the carry (free pass-through) so every iteration —
+        # including the last — runs as the SAME scanned body; an
+        # unrolled final step fuses differently and breaks bit-parity
+        # with the class API's SC runner (ADMMIVA impl="fast")
+        return lax.scan(body, carry, None, length=n)[0][0]
 
-    carry0 = tuple(jax.device_put(a) for a in (zf, zs, zf, zs))
+    carry0 = (jax.device_put(zf),) + tuple(jax.device_put(a) for a in (zf, zs, zf, zs))
     assert n_iter >= 1, "n_iter must be at least 1."
     Ws = np.asarray(run(carry0, n_iter))
     W = Ws[0] + 1j * Ws[1]  # (I, N, M)

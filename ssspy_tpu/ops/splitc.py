@@ -2093,21 +2093,38 @@ def gauss_ilrma_ipa_step_sc(
     Ys,
     T,
     V,
+    Z=None,
     domain: float = 2.0,
     eps=1e-6,
     lqpqm_normalization=True,
     newton_iter=1,
+    me: bool = False,
     psd_impl: str = "auto",
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
     stats_impl: str = "auto",
 ):
-    """One GaussILRMA MM+IPA iteration in split-complex form (parity:
-    ssspy/bss/ilrma.py:1794+ IPA dispatch; demix-free, power normalization)."""
+    """One GaussILRMA MM/ME + IPA iteration in split-complex form (parity:
+    ssspy/bss/ilrma.py:1794-1902 IPA dispatch; demix-free, power
+    normalization). ``Z``: optional latent ``(N, K)`` for the
+    shared-basis partitioned model (``r_ijn = (sum_k z t v)^{2/p}``,
+    reference :1811-1821); ``me=True`` selects the ME source update.
+    Returns ``(Ys, T, V[, Z])``.
+    """
     p = domain
     Yr, Yi = Ys[0], Ys[1]
 
-    T, V, R = _ilrma_mm_updates(Yr**2 + Yi**2, T, V, p, eps)
+    Y2 = Yr**2 + Yi**2
+    if Z is None and not me:
+        # the plain-Gauss MM fast path (single weight evaluation per
+        # stage; bit-matches fast_gauss_ilrma)
+        T, V, R = _ilrma_mm_updates(Y2, T, V, p, eps)
+    elif Z is None:
+        T, V, R = _ilrma_mm_core(Y2, T, V, model="gauss", p=p, eps=eps, me=me)
+    else:
+        T, V, Z, R = _ilrma_mm_core_partitioning(
+            Y2, T, V, Z, model="gauss", p=p, eps=eps, me=me
+        )
 
     varphi = 1 / (R ** (2 / p))  # (N, I, T)
     Yr, Yi = ipa_sweep_sc(
@@ -2126,6 +2143,9 @@ def gauss_ilrma_ipa_step_sc(
     psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)
     Yr = Yr / psi[:, None, None]
     Yi = Yi / psi[:, None, None]
+    if Z is not None:
+        T, Z = _ilrma_power_normalize_partitioning(psi, T, Z, p)
+        return jnp.stack([Yr, Yi], axis=0), T, V, Z
     T = T / (psi[:, None, None] ** p)
 
     return jnp.stack([Yr, Yi], axis=0), T, V

@@ -704,3 +704,137 @@ class TestIPSDTAFastImpl:
         # NotImplementedError for the EM source update
         with pytest.raises(NotImplementedError, match="EM source update"):
             GaussIPSDTA(n_basis=2, n_blocks=4, source_algorithm="EM")(X, n_iter=2)
+
+
+# ---- round-5 families: PDS / ADMM / HVA ----------------------------------------
+
+
+class TestProxFastImpl:
+    def test_pdsiva_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.iva import PDSIVA
+        from ssspy_tpu.fast import fast_pds_iva
+
+        Yf, Wf = fast_pds_iva(X, n_iter=8)
+        pds = PDSIVA(impl="fast", record_loss=False)
+        Yc = pds(X, n_iter=8)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(Yf, Yc)
+        assert np.array_equal(Wf, np.asarray(pds.demix_filter))
+
+    def test_admmiva_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.iva import ADMMIVA
+        from ssspy_tpu.fast import fast_admm_iva
+
+        Yf, Wf = fast_admm_iva(X, n_iter=8)
+        adm = ADMMIVA(impl="fast", record_loss=False)
+        Yc = adm(X, n_iter=8)
+        assert np.array_equal(Yf, Yc)
+        assert np.array_equal(Wf, np.asarray(adm.demix_filter))
+
+    def test_pdsiva_loss_matches_complex(self):
+        from ssspy_tpu.bss.iva import PDSIVA
+
+        sc = PDSIVA(impl="fast")
+        sc(X, n_iter=6)
+        assert len(sc.loss) == 7 and all(np.isfinite(v) for v in sc.loss)
+        cx = PDSIVA(impl="complex")
+        cx(X, n_iter=6)
+        np.testing.assert_allclose(sc.loss, cx.loss, rtol=5e-3)
+
+    def test_admmiva_loss_trace(self):
+        from ssspy_tpu.bss.iva import ADMMIVA
+
+        adm = ADMMIVA(impl="fast")
+        adm(X, n_iter=6)
+        assert len(adm.loss) == 7
+        # iteration 1 is structurally +inf in BOTH engines: the first
+        # ADMM step from zero auxiliaries/duals leaves W rank-deficient
+        # (see the prox_neg_logdet null-lift notes), so log|det W| = -inf
+        cx = ADMMIVA(impl="complex")
+        cx(X, n_iter=6)
+        assert np.isinf(adm.loss[1]) and np.isinf(cx.loss[1])
+        finite = [v for i, v in enumerate(adm.loss) if i != 1]
+        assert all(np.isfinite(v) for v in finite)
+        np.testing.assert_allclose(
+            finite, [v for i, v in enumerate(cx.loss) if i != 1], rtol=5e-3
+        )
+
+    def test_relaxation_knob(self):
+        from ssspy_tpu.bss.iva import PDSIVA
+        from ssspy_tpu.fast import fast_pds_iva
+
+        Yf, _ = fast_pds_iva(X, n_iter=6, relaxation=0.7)
+        pds = PDSIVA(relaxation=0.7, impl="fast", record_loss=False)
+        assert np.array_equal(Yf, pds(X, n_iter=6))
+
+    def test_custom_prox_blocked(self):
+        import jax.numpy as jnp
+
+        from ssspy_tpu.bss.pdsbss import PDSBSS
+
+        with pytest.raises(ValueError, match="split-complex engine"):
+            PDSBSS(
+                prox_penalty=lambda z, step_size=1: jnp.tanh(z),
+                impl="fast",
+            )(X, n_iter=2)
+
+    def test_equivalent_user_prox_delegates(self):
+        """A PDSBSS built by hand with L21-equivalent callables delegates."""
+        import jax.numpy as jnp
+
+        from ssspy_tpu.bss.pdsbss import PDSBSS
+        from ssspy_tpu.fast import fast_pds_iva
+        from ssspy_tpu.linalg import prox as _prox
+
+        def prox_penalty(z, step_size=1):
+            return _prox.l21(z, step_size=step_size, axis2=1)
+
+        def penalty_fn(y):
+            return jnp.sum(jnp.linalg.norm(y, axis=1))
+
+        pds = PDSBSS(
+            penalty_fn=penalty_fn, prox_penalty=prox_penalty,
+            impl="fast", record_loss=False,
+        )
+        Yf, _ = fast_pds_iva(X, n_iter=5)
+        assert np.array_equal(Yf, pds(X, n_iter=5))
+
+
+class TestHVAFastImpl:
+    def test_hva_matches_fast_bitexact(self):
+        from ssspy_tpu.bss.hva import HVA
+        from ssspy_tpu.fast import fast_hva
+
+        Yf, Wf = fast_hva(X, n_iter=6)
+        hva = HVA(impl="fast")
+        Yc = hva(X, n_iter=6)
+        assert isinstance(Yc, np.ndarray)
+        assert np.array_equal(Yf, Yc)
+        assert np.array_equal(Wf, np.asarray(hva.demix_filter))
+        assert hva.attenuation == 1 / M  # lazily resolved like the mask closure
+
+    def test_hva_knobs_match_fast(self):
+        from ssspy_tpu.bss.hva import MaskingPDSHVA
+        from ssspy_tpu.fast import fast_hva
+
+        Yf, _ = fast_hva(X, n_iter=5, attenuation=0.5, mask_iter=2, mu1=0.5)
+        hva = MaskingPDSHVA(mu1=0.5, attenuation=0.5, mask_iter=2, impl="fast")
+        assert np.array_equal(Yf, hva(X, n_iter=5))
+
+    def test_admm_hva_runs_and_separates(self):
+        from ssspy_tpu.bss.hva import MaskingADMMHVA
+
+        hva = MaskingADMMHVA(impl="fast")
+        Y = hva(X, n_iter=6)
+        assert Y.shape == (M, I, T)
+        assert np.isfinite(Y).all()
+        # parity with the complex path within f32 fusion noise
+        cx = MaskingADMMHVA(impl="complex")
+        Yx = np.asarray(cx(X, n_iter=6))
+        np.testing.assert_allclose(Y, Yx, rtol=2e-2, atol=2e-4)
+
+    def test_custom_mask_blocked(self):
+        from ssspy_tpu.bss.pdsbss import MaskingPDSBSS
+
+        with pytest.raises(ValueError, match="split-complex engine"):
+            MaskingPDSBSS(mask_fn=lambda z: np.abs(z), impl="fast")(X, n_iter=2)
