@@ -367,13 +367,10 @@ class ILRMABase(IterativeMethodBase):
             blockers.append(
                 "custom pair_selector (the kernels use the sequential pair schedule)"
             )
-        if self.spatial_algorithm == "IPA":
-            if self.partitioning:
-                blockers.append("IPA with partitioning (no partitioned IPA kernel)")
-            if params.get("me"):
-                blockers.append("IPA with the ME source update")
-            if params.get("model") != "gauss":
-                blockers.append("IPA on a non-Gauss source model")
+        if self.spatial_algorithm == "IPA" and params.get("model") != "gauss":
+            blockers.append(
+                "IPA on a non-Gauss source model (also rejected by the reference)"
+            )
         return blockers
 
     def _call_sc(self, input, n_iter: int, initial_call: bool, **kwargs):
@@ -499,17 +496,33 @@ class ILRMABase(IterativeMethodBase):
             normalization = self.lqpqm_normalization
             newton_iter = self.newton_iter
 
-            def step(state):
-                Ys, T, V = sc_ops.gauss_ilrma_ipa_step_sc(
-                    state["Y"],
-                    state["T"],
-                    state["V"],
-                    domain=domain,
-                    eps=eps,
-                    lqpqm_normalization=normalization,
-                    newton_iter=newton_iter,
-                )
-                return {**state, "Y": Ys, "T": T, "V": V}
+            if partitioning:
+                def step(state):
+                    Ys, T, V, Z = sc_ops.gauss_ilrma_ipa_step_sc(
+                        state["Y"],
+                        state["T"],
+                        state["V"],
+                        Z=state["Z"],
+                        domain=domain,
+                        eps=eps,
+                        lqpqm_normalization=normalization,
+                        newton_iter=newton_iter,
+                        me=me,
+                    )
+                    return {**state, "Y": Ys, "T": T, "V": V, "Z": Z}
+            else:
+                def step(state):
+                    Ys, T, V = sc_ops.gauss_ilrma_ipa_step_sc(
+                        state["Y"],
+                        state["T"],
+                        state["V"],
+                        domain=domain,
+                        eps=eps,
+                        lqpqm_normalization=normalization,
+                        newton_iter=newton_iter,
+                        me=me,
+                    )
+                    return {**state, "Y": Ys, "T": T, "V": V}
 
             return step
 

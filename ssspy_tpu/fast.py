@@ -214,14 +214,17 @@ def fast_gauss_ilrma(
     """
     assert algorithm in _ILRMA_STEPS, f"unsupported option: {algorithm}."
     assert source_algorithm in ("MM", "ME"), f"unsupported option: {source_algorithm}."
+    me = source_algorithm == "ME"
     if partitioning:
-        assert algorithm != "IPA", "partitioning has no IPA spatial update."
         return _fast_gauss_ilrma_partitioning(
             spectrogram, n_basis, n_iter, algorithm, scale_restoration,
-            reference_id, rng,
+            reference_id, rng, me=me,
         )
-    if source_algorithm == "ME":
-        assert algorithm != "IPA", "the ME source update has no IPA spatial path."
+    if me and algorithm == "IPA":
+        return _fast_gauss_ilrma_ipa_me(
+            spectrogram, n_basis, n_iter, scale_restoration, reference_id, rng
+        )
+    if me:
         return _fast_ilrma_generic(
             spectrogram, n_basis, n_iter, algorithm, "gauss",
             scale_restoration, reference_id, rng, me=True,
@@ -385,7 +388,8 @@ def fast_ggd_ilrma(
 
 
 def _fast_gauss_ilrma_partitioning(
-    spectrogram, n_basis, n_iter, algorithm, scale_restoration, reference_id, rng
+    spectrogram, n_basis, n_iter, algorithm, scale_restoration, reference_id, rng,
+    me: bool = False,
 ):
     """Shared-basis latent GaussILRMA on the generic SC engine."""
     from .ops.splitc import ilrma_ip_step_sc, ilrma_iss_step_sc
@@ -406,7 +410,7 @@ def _fast_gauss_ilrma_partitioning(
         @functools.partial(jax.jit, static_argnums=(3,))
         def run(Xs, W, TVZ, n):
             def body(c, _):
-                return ilrma_ip_step_sc(Xs, *c, spatial=algorithm), None
+                return ilrma_ip_step_sc(Xs, *c, spatial=algorithm, me=me), None
 
             return lax.scan(body, (W,) + TVZ, None, length=n)[0]
 
@@ -420,10 +424,26 @@ def _fast_gauss_ilrma_partitioning(
         Y = np.einsum("inm,mit->nit", W, X)
         return Y, (np.asarray(T), np.asarray(V), np.asarray(Z)), W
 
+    if algorithm == "IPA":
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def run_ipa(carry, TVZ, n):
+            def body(c, _):
+                Y, T, V, Z = c
+                return gauss_ilrma_ipa_step_sc(Y, T, V, Z=Z, me=me), None
+
+            return lax.scan(body, (carry,) + TVZ, None, length=n)[0]
+
+        Ys, T, V, Z = run_ipa(Xs, TVZ, n_iter)
+        Ys = np.asarray(Ys)
+        Y = Ys[0] + 1j * Ys[1]
+        if scale_restoration:
+            Y = _projection_back_host(Y, X, reference_id)
+        return Y, (np.asarray(T), np.asarray(V), np.asarray(Z)), None
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def run_iss(carry, TVZ, n):
         def body(c, _):
-            return ilrma_iss_step_sc(*c, spatial=algorithm), None
+            return ilrma_iss_step_sc(*c, spatial=algorithm, me=me), None
 
         return lax.scan(body, (carry,) + TVZ, None, length=n)[0]
 
@@ -433,6 +453,34 @@ def _fast_gauss_ilrma_partitioning(
     if scale_restoration:
         Y = _projection_back_host(Y, X, reference_id)
     return Y, (np.asarray(T), np.asarray(V), np.asarray(Z)), None
+
+
+def _fast_gauss_ilrma_ipa_me(
+    spectrogram, n_basis, n_iter, scale_restoration, reference_id, rng
+):
+    """GaussILRMA with the ME source update and the IPA spatial update."""
+    X = np.asarray(spectrogram)
+    n_channels, n_bins, n_frames = X.shape
+    rng = np.random.default_rng() if rng is None else rng
+
+    Xs = jax.device_put(to_split(X))
+    T0 = rng.random((n_channels, n_bins, n_basis)).astype(np.float32)
+    V0 = rng.random((n_channels, n_basis, n_frames)).astype(np.float32)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run(carry, T, V, n):
+        def body(c, _):
+            Y, T, V = c
+            return gauss_ilrma_ipa_step_sc(Y, T, V, me=True), None
+
+        return lax.scan(body, (carry, T, V), None, length=n)[0]
+
+    Ys, T, V = run(Xs, jax.device_put(T0), jax.device_put(V0), n_iter)
+    Ys = np.asarray(Ys)
+    Y = Ys[0] + 1j * Ys[1]
+    if scale_restoration:
+        Y = _projection_back_host(Y, X, reference_id)
+    return Y, (np.asarray(T), np.asarray(V)), None
 
 
 def _permutation_align_host(Y, *args, eps=1e-10):

@@ -184,6 +184,33 @@ def build_cases(X):
         cases[f"gauss_ilrma_{spatial.lower()}"] = (
             lambda s, sp=spatial: ilrma(s, "GaussILRMA", sp)
         )
+
+    # partitioned (shared-basis latent) GaussILRMA with the IPA spatial
+    # update — a reference-valid config (ssspy/bss/ilrma.py:1811-1821
+    # computes the partitioned r_ijn for IPA)
+    def nmf_part_init(seed=5, n_basis=2):
+        rng = np.random.default_rng(seed)
+        Z = rng.random((n_sources, n_basis))
+        return {
+            "latent": Z / Z.sum(axis=0),
+            "basis": rng.random((n_bins, n_basis)),
+            "activation": rng.random((n_basis, n_frames)),
+        }
+
+    def ilrma_part(spec, spatial, source="MM"):
+        m = ref_ilrma.GaussILRMA(
+            n_basis=2,
+            spatial_algorithm=spatial,
+            source_algorithm=source,
+            partitioning=True,
+        )
+        init = nmf_part_init()
+        return m(spec, n_iter=N_ITER, **{k: v.copy() for k, v in init.items()})
+
+    cases["gauss_ilrma_ipa_partitioning"] = lambda s: ilrma_part(s, "IPA")
+    cases["gauss_ilrma_ipa_partitioning_me"] = lambda s: ilrma_part(
+        s, "IPA", source="ME"
+    )
     for spatial in ("IP1", "IP2", "ISS1", "ISS2", "IPA"):
         cases[f"gauss_ilrma_{spatial.lower()}_me"] = (
             lambda s, sp=spatial: ilrma(s, "GaussILRMA", sp, source="ME")
