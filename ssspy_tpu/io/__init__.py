@@ -24,6 +24,23 @@ def _expect(condition: bool, message: str, exc=NotImplementedError) -> None:
         raise exc(message)
 
 
+def _read_exact(f, n: int, what: str) -> bytes:
+    """Read exactly ``n`` bytes or raise an explicit truncation error.
+
+    A truncated RIFF file would otherwise surface as an opaque
+    ``struct.error`` / numpy buffer-size error (reference parity:
+    ssspy's reader pins explicit messages per corruption —
+    tests/package/io/test_wavread.py).
+    """
+    raw = f.read(n)
+    if len(raw) != n:
+        raise ValueError(
+            f"truncated RIFF/WAVE file: expected {n} bytes of {what}, "
+            f"got {len(raw)}."
+        )
+    return raw
+
+
 def wavread(
     path: str,
     frame_offset: int = 0,
@@ -36,28 +53,48 @@ def wavread(
     Returns ``(waveform, sample_rate)`` where the waveform is float in
     ``[-1, 1)``. Multichannel data is returned 2D; mono is 1D unless
     ``return_2d=True``. ``channels_first=True`` yields ``(n_channels, n_samples)``.
+
+    Corrupted files raise explicit errors mirroring the reference's
+    contract (ssspy tests/package/io/test_wavread.py): unsupported
+    markers/format tags raise ``NotImplementedError``; inconsistent
+    sizes/rates and truncation raise ``ValueError``.
     """
     with open(path, "rb") as f:
-        _expect(f.read(4) == b"RIFF", "Only little-endian RIFF files are supported.")
-        _ = struct.unpack("<I", f.read(4))[0]
-        _expect(f.read(4) == b"WAVE", "Not a WAVE file.")
+        _expect(
+            _read_exact(f, 4, "RIFF marker") == b"RIFF",
+            "Only little-endian RIFF files are supported.",
+        )
+        _ = struct.unpack("<I", _read_exact(f, 4, "file size"))[0]
+        _expect(_read_exact(f, 4, "WAVE marker") == b"WAVE", "Not a WAVE file.")
 
-        _expect(f.read(4) == b"fmt ", "Expected 'fmt ' chunk.")
-        fmt_size = struct.unpack("<I", f.read(4))[0]
+        _expect(
+            _read_exact(f, 4, "fmt chunk marker") == b"fmt ", "Expected 'fmt ' chunk."
+        )
+        fmt_size = struct.unpack("<I", _read_exact(f, 4, "fmt chunk size"))[0]
         _expect(fmt_size == 16, "malformed RIFF/WAVE header.")
-        fmt_tag = struct.unpack("<H", f.read(2))[0]
+        fmt_tag = struct.unpack("<H", _read_exact(f, 2, "format tag"))[0]
         _expect(fmt_tag == _PCM_FORMAT, f"Invalid header {fmt_tag} is detected.")
         n_channels, sample_rate, byte_rate, block_align, bits = struct.unpack(
-            "<HIIHH", f.read(14)
+            "<HIIHH", _read_exact(f, 14, "fmt fields")
         )
+        _expect(n_channels > 0, "malformed RIFF/WAVE header.", ValueError)
         _expect(
             bits * sample_rate * n_channels == 8 * byte_rate,
             "malformed RIFF/WAVE header.",
             ValueError,
         )
+        _expect(
+            block_align * 8 == bits * n_channels,
+            "malformed RIFF/WAVE header.",
+            ValueError,
+        )
+        _expect(bits in (8, 16, 32), f"Invalid bits_per_sample={bits} is detected.")
 
-        _expect(f.read(4) == b"data", "Expected 'data' chunk.")
-        data_size = struct.unpack("<I", f.read(4))[0]
+        _expect(
+            _read_exact(f, 4, "data chunk marker") == b"data",
+            "Expected 'data' chunk.",
+        )
+        data_size = struct.unpack("<I", _read_exact(f, 4, "data chunk size"))[0]
         bytes_per_sample = block_align // n_channels
         max_frame = data_size // block_align
 
@@ -72,7 +109,7 @@ def wavread(
 
         f.seek(block_align * frame_offset, 1)
         n_read = (end_frame - frame_offset) * n_channels
-        raw = f.read(n_read * bytes_per_sample)
+        raw = _read_exact(f, n_read * bytes_per_sample, "PCM frames")
         data = np.frombuffer(raw, dtype=f"<i{bytes_per_sample}")
 
     if n_channels > 1 or return_2d:
