@@ -159,6 +159,90 @@ def main():
 
     smoke_host("gauss_ilrma_class_path", ilrma_cls)
 
+    # round 5: the single-class UX now covers EVERY family on the chip —
+    # one smoke per newly wired SC class engine
+    def fdica_cls():
+        from ssspy_tpu.bss.fdica import AuxLaplaceFDICA
+
+        return np.abs(AuxLaplaceFDICA(spatial_algorithm="IP1")(Xc, n_iter=3))
+
+    smoke_host("aux_fdica_class_path", fdica_cls)
+
+    def grad_iva_cls():
+        from ssspy_tpu.bss.iva import NaturalGradLaplaceIVA
+
+        return np.abs(NaturalGradLaplaceIVA()(Xc, n_iter=3))
+
+    smoke_host("natural_grad_iva_class_path", grad_iva_cls)
+
+    def faster_iva_cls():
+        import jax.numpy as jnp
+
+        from ssspy_tpu.bss.iva import FasterIVA
+
+        fi = FasterIVA(
+            contrast_fn=lambda y: 2 * jnp.linalg.norm(y, axis=1),
+            d_contrast_fn=lambda y: 2 * jnp.ones_like(y),
+        )
+        return np.abs(fi(Xc, n_iter=3))
+
+    smoke_host("faster_iva_class_path", faster_iva_cls)
+
+    def gauss_mnmf_cls():
+        from ssspy_tpu.bss.mnmf import GaussMNMF
+
+        mn = GaussMNMF(2, rng=np.random.default_rng(5), record_loss=False)
+        return np.abs(mn(Xc, n_iter=2))
+
+    smoke_host("gauss_mnmf_class_path", gauss_mnmf_cls)
+
+    def fast_mnmf_cls():
+        from ssspy_tpu.bss.mnmf import FastGaussMNMF
+
+        mn = FastGaussMNMF(2, rng=np.random.default_rng(5), record_loss=False)
+        return np.abs(mn(Xc, n_iter=3))
+
+    smoke_host("fast_gauss_mnmf_class_path", fast_mnmf_cls)
+
+    def ipsdta_cls():
+        from ssspy_tpu.bss.ipsdta import GaussIPSDTA
+
+        ip = GaussIPSDTA(
+            n_basis=2, n_blocks=11, rng=np.random.default_rng(5), record_loss=False
+        )
+        return np.abs(ip(Xc, n_iter=2))
+
+    smoke_host("gauss_ipsdta_class_path", ipsdta_cls)
+
+    def pds_iva_cls():
+        from ssspy_tpu.bss.iva import PDSIVA
+
+        return np.abs(PDSIVA(record_loss=False)(Xc, n_iter=3))
+
+    smoke_host("pds_iva_class_path", pds_iva_cls)
+
+    def admm_iva_cls():
+        from ssspy_tpu.bss.iva import ADMMIVA
+
+        return np.abs(ADMMIVA(record_loss=False)(Xc, n_iter=3))
+
+    smoke_host("admm_iva_class_path", admm_iva_cls)
+
+    def hva_cls():
+        from ssspy_tpu.bss.hva import HVA
+
+        return np.abs(HVA()(Xc, n_iter=3))
+
+    smoke_host("hva_class_path", hva_cls)
+
+    def cacgmm_cls():
+        from ssspy_tpu.bss.cacgmm import CACGMM
+
+        cm = CACGMM(rng=np.random.default_rng(5), record_loss=False)
+        return np.abs(cm(Xc, n_iter=3))
+
+    smoke_host("cacgmm_class_path", cacgmm_cls)
+
     # the standalone eigh embedding (IPA's workhorse) at production size
     H = rng.standard_normal((257, 7, 7)).astype(np.float32)
     H = H @ H.swapaxes(-1, -2) + np.eye(7, dtype=np.float32)
