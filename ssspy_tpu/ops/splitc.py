@@ -1594,6 +1594,29 @@ def lqpqm2_sc(
     )
 
 
+def _drop_row_col_sc(M, n):
+    """Delete row and column ``n`` of batched ``(I, N, N)`` matrices via
+    static slices + concats (gather-free, 4 HLO ops; the per-entry
+    nested-stack form it replaces emitted ``O(N^2)`` tiny slice/stack
+    ops per call and the IPA sweep is dispatch-latency-bound)."""
+    M = jnp.concatenate([M[:, :n], M[:, n + 1 :]], axis=1)
+    return jnp.concatenate([M[:, :, :n], M[:, :, n + 1 :]], axis=2)
+
+
+def _drop_col_sc(v, n):
+    """Delete column ``n`` of batched ``(I, N)`` vectors (see
+    :func:`_drop_row_col_sc`)."""
+    return jnp.concatenate([v[:, :n], v[:, n + 1 :]], axis=1)
+
+
+def _insert_col_sc(q, n, fill):
+    """Insert the ``(I,)`` column ``fill`` at position ``n`` of the
+    batched ``(I, N-1)`` matrix ``q`` — the inverse of
+    :func:`_drop_col_sc`'s indexing (``oth`` order is the sorted
+    complement of ``{n}``)."""
+    return jnp.concatenate([q[:, :n], fill[:, None], q[:, n:]], axis=1)
+
+
 def _ipa_qp_sc(
     Un_r,
     Un_i,
@@ -1622,15 +1645,15 @@ def _ipa_qp_sc(
     :func:`ipa_sweep_sc` (direct recompute and congruence-updated)."""
     n_sources = Un_r.shape[-1]
 
-    # C = rows/cols `oth` of conj(U_n^{-1}); d = its column n
-    Cr = jnp.stack(
-        [jnp.stack([Vr[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
-    )  # (I, N-1, N-1)
-    Ci = -jnp.stack(
-        [jnp.stack([Vi[:, s, t] for t in oth], axis=-1) for s in oth], axis=-2
-    )
-    dr = jnp.stack([Vr[:, s, n] for s in oth], axis=-1)  # (I, N-1)
-    di = -jnp.stack([Vi[:, s, n] for s in oth], axis=-1)
+    # C = rows/cols `oth` of conj(U_n^{-1}); d = its column n.
+    # `oth` is the sorted complement of {n}, so "rows/cols oth" is
+    # deleting row and column n — two concats of static slices per
+    # axis instead of the (N-1)^2 per-entry stacks this replaces (the
+    # sweep is dispatch-bound; see BENCHMARKS.md round-5 notes).
+    Cr = _drop_row_col_sc(Vr, n)  # (I, N-1, N-1)
+    Ci = -_drop_row_col_sc(Vi, n)
+    dr = jnp.concatenate([Vr[:, :n, n], Vr[:, n + 1 :, n]], axis=1)  # (I, N-1)
+    di = -jnp.concatenate([Vi[:, :n, n], Vi[:, n + 1 :, n]], axis=1)
 
     Cd_r, Cd_i = csolve(Cr, Ci, dr, di)
     dCd = jnp.sum(dr * Cd_r + di * Cd_i, axis=-1)  # Re(d^H C^{-1} d)
@@ -1664,24 +1687,13 @@ def _ipa_qp_sc(
     q_r = qc_r / a_sqrt - b_r / a_n
     q_i = qc_i / a_sqrt - b_i / a_n
 
-    # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair — built by a
-    # static stack (oth is trace-time constant) instead of N-1
-    # scatter updates: one op each instead of 2(N-1)
+    # q_tilde = e_n - sum_s conj(q_s) e_s  (I, N) pair — one concat of
+    # static slices per component (oth is the sorted complement of {n})
     n_bins = Un_r.shape[0]
     one = jnp.ones((n_bins,), Un_r.dtype)
     zero = jnp.zeros((n_bins,), Un_r.dtype)
-    cols_r, cols_i = [], []
-    k = 0
-    for s in range(n_sources):
-        if s == n:
-            cols_r.append(one)
-            cols_i.append(zero)
-        else:
-            cols_r.append(-q_r[:, k])
-            cols_i.append(q_i[:, k])
-            k += 1
-    qt_r = jnp.stack(cols_r, axis=-1)
-    qt_i = jnp.stack(cols_i, axis=-1)
+    qt_r = _insert_col_sc(-q_r, n, one)
+    qt_i = _insert_col_sc(q_i, n, zero)
 
     Uq_r, Uq_i = csolve(Un_r, Un_i, qt_r, qt_i)
     qUq = jnp.sum(qt_r * Uq_r + qt_i * Uq_i, axis=-1)
@@ -1841,9 +1853,9 @@ def ipa_sweep_sc(
             prod_i = Yi[n][None] * Yr - Yr[n][None] * Yi
             b_all_r = jnp.einsum(eq_c, varphi, prod_r) / n_frames  # U_tilde[s,n,s]
             b_all_i = jnp.einsum(eq_c, varphi, prod_i) / n_frames
-            a_n = jnp.stack([a_all[:, s] for s in oth], axis=-1)  # (I, N-1)
-            b_r = jnp.stack([b_all_r[:, s] for s in oth], axis=-1)
-            b_i = jnp.stack([b_all_i[:, s] for s in oth], axis=-1)
+            a_n = _drop_col_sc(a_all, n)  # (I, N-1)
+            b_r = _drop_col_sc(b_all_r, n)
+            b_i = _drop_col_sc(b_all_i, n)
 
             eye = jnp.eye(n_sources, dtype=Yr.dtype)
             Un_r = Un_r + lam[:, n, None, None] * eye
@@ -1904,7 +1916,6 @@ def ipa_sweep_sc(
         )
 
         n_bins = Yr.shape[1]
-        one = jnp.ones((n_bins,), Yr.dtype)
         zero = jnp.zeros((n_bins,), Yr.dtype)
 
         # row n <- sum_s conj(p_s) Y_s; row s <- Y_s + conj(q_s) Y_n
@@ -1917,14 +1928,8 @@ def ipa_sweep_sc(
         # small ones — the sweep is op-dispatch-latency-bound (see
         # BENCHMARKS.md roofline), so fewer, larger ops is the lever.
         Ynr, Yni = Yr[n], Yi[n]
-        qf_r = jnp.stack(
-            [zero if s == n else q_r[:, oth.index(s)] for s in range(n_sources)],
-            axis=0,
-        )  # (N, I), row n = 0
-        qf_i = jnp.stack(
-            [zero if s == n else q_i[:, oth.index(s)] for s in range(n_sources)],
-            axis=0,
-        )
+        qf_r = _insert_col_sc(q_r, n, zero).T  # (N, I), row n = 0
+        qf_i = _insert_col_sc(q_i, n, zero).T
         Yr = Yr + (qf_r[:, :, None] * Ynr[None] + qf_i[:, :, None] * Yni[None])
         Yi = Yi + (qf_r[:, :, None] * Yni[None] - qf_i[:, :, None] * Ynr[None])
         Yr = Yr.at[n].set(PY_r)
@@ -1973,7 +1978,6 @@ def _ipa_sweep_congruence_sc(
     eye = jnp.eye(n_sources, dtype=dt)
     Gr = jnp.broadcast_to(eye, (n_bins, n_sources, n_sources))
     Gi = jnp.zeros((n_bins, n_sources, n_sources), dt)
-    one = jnp.ones((n_bins,), dt)
     zero = jnp.zeros((n_bins,), dt)
 
     for n in range(n_sources):
@@ -1988,10 +1992,12 @@ def _ipa_sweep_congruence_sc(
 
         # the scalar stats are ENTRIES of the stack (the direct path
         # recomputes them with two more T-length einsums + two (N, I, T)
-        # product temporaries — all gone here)
-        a_n = jnp.stack([Ur[:, s, n, n] + lam[:, s] for s in oth], axis=-1)
-        b_r = jnp.stack([Ur[:, s, n, s] for s in oth], axis=-1)
-        b_i = jnp.stack([Ui[:, s, n, s] for s in oth], axis=-1)
+        # product temporaries — all gone here); b[s] = U[s, n, s] is the
+        # (S, col) diagonal of row n — a mask-and-reduce instead of
+        # per-source gathers (see _drop_row_col_sc on dispatch cost)
+        a_n = _drop_col_sc(Ur[:, :, n, n] + lam, n)
+        b_r = _drop_col_sc(jnp.sum(Ur[:, :, n, :] * eye, axis=-1), n)
+        b_i = _drop_col_sc(jnp.sum(Ui[:, :, n, :] * eye, axis=-1), n)
 
         E = jnp.broadcast_to(eye, Un_r.shape)
         Vr, Vi = csolve_matrix(Un_r, Un_i, E, jnp.zeros_like(E))
@@ -2013,22 +2019,16 @@ def _ipa_sweep_congruence_sc(
             secular_trips=secular_trips,
         )
 
-        # T_n rows: s != n -> e_s + conj(q_s) e_n ; row n -> conj(p)^T
-        rows_r, rows_i = [], []
-        for s in range(n_sources):
-            if s == n:
-                rows_r.append(p_r)
-                rows_i.append(-p_i)
-            else:
-                k = oth.index(s)
-                cols_r = [one if t == s else zero for t in range(n_sources)]
-                cols_i = [zero for _ in range(n_sources)]
-                cols_r[n] = q_r[:, k]
-                cols_i[n] = -q_i[:, k]
-                rows_r.append(jnp.stack(cols_r, axis=-1))
-                rows_i.append(jnp.stack(cols_i, axis=-1))
-        Tr = jnp.stack(rows_r, axis=-2)  # (I, N, N)
-        Ti = jnp.stack(rows_i, axis=-2)
+        # T_n rows: s != n -> e_s + conj(q_s) e_n ; row n -> conj(p)^T.
+        # Assembled as (I - e_n e_n^T) + qcol e_n^T + e_n conj(p)^T —
+        # two rank-1 outer products on a constant base instead of the
+        # per-row/per-column stack loop (~2N(N+1) tiny ops) it replaces.
+        e_n = eye[n]  # (N,) constant
+        base = eye - e_n[:, None] * e_n[None, :]
+        qcol_r = _insert_col_sc(q_r, n, zero)  # (I, N): conj(q), 0 at n
+        qcol_i = _insert_col_sc(-q_i, n, zero)
+        Tr = base + qcol_r[:, :, None] * e_n + e_n[:, None] * p_r[:, None, :]
+        Ti = qcol_i[:, :, None] * e_n + e_n[:, None] * (-p_i)[:, None, :]
 
         # U[s] <- T U[s] T^H (planar congruence), then re-hermitize to
         # keep eigh-free inverses well-posed against rounding drift
