@@ -33,25 +33,36 @@ def main():
     Vb = jax.device_put((rng.random((M, K, T)) + 0.1).astype(np.float32))
     print(f"shapes: M={M} I={I} T={T}", flush=True)
 
-    for impl in ("direct", "congruence"):
+    cases = (
+        ("direct", "xla"),
+        ("congruence", "xla"),
+        ("congruence", "pallas"),
+    )
+    for stats, cong in cases:
         r = bench._chain_scan(
-            lambda c, impl=impl: sc.auxiva_ipa_step_sc(c, stats_impl=impl),
+            lambda c, stats=stats, cong=cong: sc.auxiva_ipa_step_sc(
+                c, stats_impl=stats, congruence_impl=cong
+            ),
             Ys,
             lambda c: c,
             n_iter=300,
             reps=3,
         )
-        print(f"auxiva_ipa[{impl}]: {r:.1f} it/s", flush=True)
+        print(f"auxiva_ipa[{stats}/{cong}]: {r['median']:.1f} it/s "
+              f"[{r['min']:.1f}, {r['max']:.1f}]", flush=True)
 
-    for impl in ("direct", "congruence"):
+    for stats, cong in cases:
         r = bench._chain_scan(
-            lambda c, impl=impl: sc.gauss_ilrma_ipa_step_sc(*c, stats_impl=impl),
+            lambda c, stats=stats, cong=cong: sc.gauss_ilrma_ipa_step_sc(
+                *c, stats_impl=stats, congruence_impl=cong
+            ),
             (Ys, Tb, Vb),
             lambda c: c[0],
             n_iter=300,
             reps=3,
         )
-        print(f"ilrma_ipa[{impl}]: {r:.1f} it/s", flush=True)
+        print(f"ilrma_ipa[{stats}/{cong}]: {r['median']:.1f} it/s "
+              f"[{r['min']:.1f}, {r['max']:.1f}]", flush=True)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ __all__ = [
     "prepare_xx_lanes",
     "iss1_sweep_pallas",
     "jacobi_eigh_lanes",
+    "ipa_congruence_lanes",
 ]
 
 # beyond this many frames the per-program tiles ((block_bins, M, T) x2 in
@@ -411,6 +412,88 @@ def planar_inv_sandwich_sc(
 
     Or_l, Oi_l, Sr_l, Si_l = outs
     return back(Or_l), back(Oi_l), back(Sr_l), back(Si_l)
+
+
+# ---- fused IPA congruence-stack update ---------------------------------------
+#
+# The IPA congruence sweep (ops/splitc.py:_ipa_sweep_congruence_sc) pushes each
+# source's per-bin linear update Y <- T Y through the weighted-covariance stack
+# as U[s] <- T U[s] T^H and the accumulator as G <- T G. Composed from XLA ops
+# that is 12 batched (bins*sources, m, m) einsums + 4 accumulator einsums per
+# source — at m = 8 each lowers to a dispatch-bound sub-50-us kernel, and the
+# round-4 stage profile shows the sweep is bound by exactly this op count.
+# The kernel below evaluates the whole per-source stack-plus-accumulator
+# update as lane FMAs in ONE dispatch, with the operands batch-in-lanes
+# (m, m, bins) so every multiply runs across the 128-lane axis.
+
+
+def _ipa_congruence_kernel(
+    tr_ref,
+    ti_ref,
+    thr_ref,
+    thi_ref,
+    ur_ref,
+    ui_ref,
+    gr_ref,
+    gi_ref,
+    our_ref,
+    oui_ref,
+    ogr_ref,
+    ogi_ref,
+    *,
+    m,
+    n_sources,
+):
+    # T/TH/G: (m, m, B); U: (S, m, m, B). TH is conj(T)^T, precomputed on
+    # the host so the kernel never transposes (Mosaic sublane shuffles
+    # are the thing to avoid; see _lane_cmatmul).
+    Tr, Ti = tr_ref[:], ti_ref[:]
+    THr, THi = thr_ref[:], thi_ref[:]
+    for s in range(n_sources):  # static unroll; S <= 8
+        Ar, Ai = _lane_cmatmul(Tr, Ti, ur_ref[s], ui_ref[s], m)
+        Cr, Ci = _lane_cmatmul(Ar, Ai, THr, THi, m)
+        our_ref[s] = Cr
+        oui_ref[s] = Ci
+    Gr, Gi = _lane_cmatmul(Tr, Ti, gr_ref[:], gi_ref[:], m)
+    ogr_ref[:] = Gr
+    ogi_ref[:] = Gi
+
+
+def ipa_congruence_lanes(
+    Tlr, Tli, ULr, ULi, GLr, GLi, impl: str = "pallas"
+):
+    """One IPA congruence round in batch-in-lanes layout.
+
+    ``Tl``: the per-bin update matrix pair ``(m, m, B)``; ``UL``: the
+    per-source covariance stack pair ``(S, m, m, B)``; ``GL``: the
+    accumulated-transform pair ``(m, m, B)``. Returns the updated
+    ``(UL, GL)`` pairs: ``U[s] <- T U[s] T^H`` and ``G <- T G``, all in
+    one kernel dispatch. ``B`` should be lane-padded by the caller (the
+    sweep pads bins once up front). ``impl``: ``"pallas"`` or
+    ``"interpret"`` (CPU parity tests)."""
+    n_sources, m, _, B = ULr.shape
+    # conj-transpose in lanes: swap the two matrix dims, negate imag
+    THr = jnp.swapaxes(Tlr, 0, 1)
+    THi = -jnp.swapaxes(Tli, 0, 1)
+
+    kernel = functools.partial(
+        _ipa_congruence_kernel, m=m, n_sources=n_sources
+    )
+    mat_spec = pl.BlockSpec((m, m, B), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    stack_spec = pl.BlockSpec(
+        (n_sources, m, m, B), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    stack_shape = jax.ShapeDtypeStruct((n_sources, m, m, B), ULr.dtype)
+    mat_shape = jax.ShapeDtypeStruct((m, m, B), ULr.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[mat_spec] * 4 + [stack_spec] * 2 + [mat_spec] * 2,
+        out_specs=[stack_spec, stack_spec, mat_spec, mat_spec],
+        out_shape=[stack_shape, stack_shape, mat_shape, mat_shape],
+        interpret=impl == "interpret",
+    )(Tlr, Tli, THr, THi, ULr, ULi, GLr, GLi)
 
 
 # ---- fused dense-MNMF model pass ---------------------------------------------

@@ -1716,6 +1716,7 @@ def ipa_sweep_sc(
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
     stats_impl: str = "auto",
+    congruence_impl: str = "auto",
 ):
     """IPA source sweep on planar operands (parity:
     ssspy/bss/_update_spatial_model.py:398-513 via
@@ -1786,19 +1787,27 @@ def ipa_sweep_sc(
             # ``secular_impl="solve"`` keeps the solver's own default.
             secular_trips = 6
     if stats_impl == "auto":
-        # measured (round 4, v5e): congruence takes ILRMA-IPA's per-bin
-        # (3-D varphi) step 161 -> 213 it/s (the direct path's six
-        # 3-D-weighted einsums + two (N, I, T) product temporaries per
-        # source dominate); with scalar 2-D weights (AuxIVA-IPA) the two
-        # paths are equal within tunnel noise (197.0 vs 192.5) — keep
-        # the reference data flow there
+        # measured (round 4, v5e): the xla congruence engine takes
+        # ILRMA-IPA's per-bin (3-D varphi) step 161 -> 213 it/s (the
+        # direct path's six 3-D-weighted einsums + two (N, I, T)
+        # product temporaries per source dominate) but is NEUTRAL with
+        # scalar 2-D weights (AuxIVA-IPA, 197.0 vs 192.5) and so kept
+        # the reference data flow there. The round-5 fused Pallas lanes
+        # engine (congruence_impl="pallas") changes that: one kernel
+        # dispatch per source replaces the 16 batched einsums, and
+        # congruence beats direct for BOTH weight shapes (AuxIVA-IPA
+        # 256.6 -> 321.2 it/s, ILRMA-IPA 156.7 -> 309.6; BENCHMARKS.md
+        # round-5 notes). Auto therefore picks congruence whenever the
+        # engine resolves to pallas; an explicit congruence_impl="xla"
+        # keeps the round-4 3-D-only heuristic.
+        lanes_auto = congruence_impl in ("auto", "pallas") and on_tpu
         stats_impl = (
             "congruence"
             if (
                 on_tpu
                 and Yr.dtype != jnp.float64
                 and psd_impl == "tikhonov"
-                and varphi.ndim == 3
+                and (varphi.ndim == 3 or lanes_auto)
             )
             else "direct"
         )
@@ -1818,6 +1827,7 @@ def ipa_sweep_sc(
             rel=rel,
             secular_impl=secular_impl,
             secular_trips=secular_trips,
+            congruence_impl=congruence_impl,
         )
 
     for n in range(n_sources):
@@ -1948,6 +1958,7 @@ def _ipa_sweep_congruence_sc(
     rel=1e-6,
     secular_impl="solve",
     secular_trips=None,
+    congruence_impl="auto",
 ):
     """IPA sweep with congruence-updated statistics (see
     :func:`ipa_sweep_sc` ``stats_impl="congruence"``).
@@ -1962,7 +1973,33 @@ def _ipa_sweep_congruence_sc(
     to the direct path (same updates, reassociated); f32 trajectories
     differ at rounding level, and the stack is rebuilt fresh from ``Y``
     every sweep so no drift accumulates across iterations.
+
+    ``congruence_impl``: ``"xla"`` evaluates the per-source stack
+    congruence + accumulator update as batched einsums (12 + 4 small
+    dispatch-bound ops per source at m = 8); ``"pallas"`` fuses the
+    whole round into ONE lane-FMA kernel dispatch
+    (:func:`ssspy_tpu.ops.pallas_kernels.ipa_congruence_lanes`) with the
+    stack kept batch-in-lanes across the sweep; ``"interpret"`` the
+    same via the Pallas interpreter (CPU parity tests); ``"auto"``:
+    pallas on TPU backends, xla elsewhere. The two paths compute the
+    same reassociated arithmetic — f32 results differ only at rounding
+    level (pinned by ``TestSweepStatsImpl``).
     """
+    if congruence_impl == "auto":
+        congruence_impl = "pallas" if _tpu_impl_selection() else "xla"
+    if congruence_impl in ("pallas", "interpret"):
+        return _ipa_sweep_congruence_lanes_sc(
+            Yr,
+            Yi,
+            varphi,
+            eps=eps,
+            lqpqm_normalization=lqpqm_normalization,
+            newton_iter=newton_iter,
+            rel=rel,
+            secular_impl=secular_impl,
+            secular_trips=secular_trips,
+            impl=congruence_impl,
+        )
     n_sources = Yr.shape[0]
     n_bins = Yr.shape[1]
     n_frames = Yr.shape[-1]
@@ -2059,6 +2096,113 @@ def _ipa_sweep_congruence_sc(
     return Yr_out, Yi_out
 
 
+def _ipa_sweep_congruence_lanes_sc(
+    Yr,
+    Yi,
+    varphi,
+    eps=1e-10,
+    lqpqm_normalization=True,
+    newton_iter=1,
+    rel=1e-6,
+    secular_impl="solve",
+    secular_trips=None,
+    impl="pallas",
+):
+    """Lane-layout engine of the congruence sweep (see
+    :func:`_ipa_sweep_congruence_sc` ``congruence_impl="pallas"``): the
+    covariance stack lives as a ``(S, m, m, bins)`` batch-in-lanes pair
+    for the whole sweep, each source's stack-plus-accumulator update is
+    ONE fused kernel dispatch
+    (:func:`ssspy_tpu.ops.pallas_kernels.ipa_congruence_lanes`), and
+    only source ``n``'s matrix is transposed back per round (the ridged
+    inverse input). Bins are lane-padded once with identity systems
+    (well-posed through every downstream solve — the LQPQM reduction on
+    an identity pencil takes its zero-``v`` branch and yields the
+    identity transform); the padding is sliced off before the final
+    spectrogram transform."""
+    from .pallas_kernels import ipa_congruence_lanes
+
+    n_sources = Yr.shape[0]
+    n_bins = Yr.shape[1]
+    dt = Yr.dtype
+
+    Ur, Ui = _scalar_weighted_covariance_sc(Yr, Yi, varphi)  # (I, S, m, m)
+    Ur = (Ur + jnp.swapaxes(Ur, -1, -2)) / 2
+    Ui = (Ui - jnp.swapaxes(Ui, -1, -2)) / 2
+
+    pad = (-n_bins) % 128
+    eye = jnp.eye(n_sources, dtype=dt)
+    ULr = jnp.transpose(Ur, (1, 2, 3, 0))  # (S, m, m, I)
+    ULi = jnp.transpose(Ui, (1, 2, 3, 0))
+    if pad:
+        eye_l = jnp.broadcast_to(
+            eye[None, :, :, None], (n_sources, n_sources, n_sources, pad)
+        )
+        ULr = jnp.concatenate([ULr, eye_l], axis=-1)
+        ULi = jnp.concatenate([ULi, jnp.zeros_like(eye_l)], axis=-1)
+    n_lanes = n_bins + pad
+
+    GLr = jnp.broadcast_to(eye[:, :, None], (n_sources, n_sources, n_lanes))
+    GLi = jnp.zeros((n_sources, n_sources, n_lanes), dt)
+    zero = jnp.zeros((n_lanes,), dt)
+
+    for n in range(n_sources):
+        oth = tuple(k for k in range(n_sources) if k != n)
+
+        # ridge per source from the stack's own trace (identical to the
+        # xla engine; the trace is a diag-sum einsum in lane layout)
+        lam = eps + rel * jnp.einsum("sjji->si", ULr) / n_sources  # (S, L)
+        a_n = _drop_col_sc((ULr[:, n, n, :] + lam).T, n)  # (L, N-1)
+        # b[s] = U[s][n, s]: the (source, col) diagonal of row n
+        b_r = _drop_col_sc(jnp.diagonal(ULr[:, n], axis1=0, axis2=1), n)
+        b_i = _drop_col_sc(jnp.diagonal(ULi[:, n], axis1=0, axis2=1), n)
+
+        Un_r = jnp.transpose(ULr[n], (2, 0, 1)) + lam[n][:, None, None] * eye
+        Un_i = jnp.transpose(ULi[n], (2, 0, 1))
+        E = jnp.broadcast_to(eye, Un_r.shape)
+        Vr, Vi = csolve_matrix(Un_r, Un_i, E, jnp.zeros_like(E))
+
+        q_r, q_i, p_r, p_i = _ipa_qp_sc(
+            Un_r,
+            Un_i,
+            Vr,
+            Vi,
+            a_n,
+            b_r,
+            b_i,
+            n,
+            oth,
+            eps=eps,
+            lqpqm_normalization=lqpqm_normalization,
+            newton_iter=newton_iter,
+            secular_impl=secular_impl,
+            secular_trips=secular_trips,
+        )
+
+        # T as in the xla engine (rank-1 assembly), then to lanes
+        e_n = eye[n]
+        base = eye - e_n[:, None] * e_n[None, :]
+        qcol_r = _insert_col_sc(q_r, n, zero)
+        qcol_i = _insert_col_sc(-q_i, n, zero)
+        Tr = base + qcol_r[:, :, None] * e_n + e_n[:, None] * p_r[:, None, :]
+        Ti = qcol_i[:, :, None] * e_n + e_n[:, None] * (-p_i)[:, None, :]
+        Tlr = jnp.transpose(Tr, (1, 2, 0))
+        Tli = jnp.transpose(Ti, (1, 2, 0))
+
+        ULr, ULi, GLr, GLi = ipa_congruence_lanes(
+            Tlr, Tli, ULr, ULi, GLr, GLi, impl=impl
+        )
+        # re-hermitize against rounding drift (matrix dims are axes 1, 2)
+        ULr = (ULr + jnp.swapaxes(ULr, 1, 2)) / 2
+        ULi = (ULi - jnp.swapaxes(ULi, 1, 2)) / 2
+
+    Gr = jnp.transpose(GLr[:, :, :n_bins], (2, 0, 1))
+    Gi = jnp.transpose(GLi[:, :, :n_bins], (2, 0, 1))
+    Yr_out = jnp.einsum("inm,mit->nit", Gr, Yr) - jnp.einsum("inm,mit->nit", Gi, Yi)
+    Yi_out = jnp.einsum("inm,mit->nit", Gr, Yi) + jnp.einsum("inm,mit->nit", Gi, Yr)
+    return Yr_out, Yi_out
+
+
 def auxiva_ipa_step_sc(
     Ys,
     eps=1e-10,
@@ -2068,6 +2212,7 @@ def auxiva_ipa_step_sc(
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
     stats_impl: str = "auto",
+    congruence_impl: str = "auto",
 ):
     """One AuxIVA-IPA iteration in split-complex form (parity:
     ssspy/bss/iva.py AuxIVA IPA dispatch; demix-free Y state)."""
@@ -2085,6 +2230,7 @@ def auxiva_ipa_step_sc(
         secular_impl=secular_impl,
         secular_trips=secular_trips,
         stats_impl=stats_impl,
+        congruence_impl=congruence_impl,
     )
     return jnp.stack([Yr, Yi], axis=0)
 
@@ -2103,6 +2249,7 @@ def gauss_ilrma_ipa_step_sc(
     secular_impl: str = "auto",
     secular_trips: Optional[int] = None,
     stats_impl: str = "auto",
+    congruence_impl: str = "auto",
 ):
     """One GaussILRMA MM/ME + IPA iteration in split-complex form (parity:
     ssspy/bss/ilrma.py:1794-1902 IPA dispatch; demix-free, power
@@ -2138,6 +2285,7 @@ def gauss_ilrma_ipa_step_sc(
         secular_impl=secular_impl,
         secular_trips=secular_trips,
         stats_impl=stats_impl,
+        congruence_impl=congruence_impl,
     )
 
     psi = jnp.maximum(jnp.sqrt(jnp.mean(Yr**2 + Yi**2, axis=(-2, -1))), eps)  # (N,)

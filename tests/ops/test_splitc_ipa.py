@@ -473,6 +473,47 @@ class TestSweepStatsImpl:
         assert np.abs(np.asarray(out[0])[:, -4:, :]).max() == 0.0
         assert np.abs(np.asarray(out[1])[:, -4:, :]).max() == 0.0
 
+    def test_lanes_engine_matches_xla(self):
+        """congruence_impl='interpret' (the Pallas lanes engine through
+        the interpreter) must reproduce the xla congruence engine — the
+        same reassociated arithmetic, one fused dispatch per source."""
+        rng = np.random.default_rng(11)
+        N, I, T = 4, 29, 40
+        Yr = jnp.asarray(rng.standard_normal((N, I, T)))
+        Yi = jnp.asarray(rng.standard_normal((N, I, T)))
+        varphi = jnp.asarray(0.5 + rng.random((N, T)))
+        kw = dict(
+            psd_impl="tikhonov",
+            secular_impl="solve",
+            rel=1e-6,
+            stats_impl="congruence",
+        )
+        a = ipa_sweep_sc(Yr, Yi, varphi, congruence_impl="xla", **kw)
+        b = ipa_sweep_sc(Yr, Yi, varphi, congruence_impl="interpret", **kw)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-10)
+
+    def test_lanes_engine_zero_padded_bins(self):
+        """f32 + zero-padded bins through the lanes engine: the lane
+        padding (identity systems) and the input's own zero bins must
+        both stay finite, and zero bins stay exactly zero."""
+        rng = np.random.default_rng(7)
+        N, I, T = 3, 17, 30
+        Y = rng.standard_normal((2, N, I, T)).astype(np.float32)
+        Y[:, :, -4:, :] = 0.0
+        out = ipa_sweep_sc(
+            jnp.asarray(Y[0]),
+            jnp.asarray(Y[1]),
+            jnp.asarray(0.5 + rng.random((N, T)).astype(np.float32)),
+            psd_impl="tikhonov",
+            secular_impl="solve",
+            stats_impl="congruence",
+            congruence_impl="interpret",
+        )
+        assert np.isfinite(np.asarray(out[0])).all()
+        assert np.abs(np.asarray(out[0])[:, -4:, :]).max() == 0.0
+        assert np.abs(np.asarray(out[1])[:, -4:, :]).max() == 0.0
+
 
 class TestSweepTripBudget:
     """The sweep's 6-trip secular budget is end-to-end equivalent.
