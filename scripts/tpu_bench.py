@@ -94,8 +94,20 @@ def main():
         try:
             t0 = time.perf_counter()
             value = fn()
-            results[name] = round(value, 3)
-            print(f"{name}: {value:.3f} (total {time.perf_counter()-t0:.0f}s)", flush=True)
+            results[name] = value
+            if isinstance(value, dict):  # _rate_stats row: median + spread
+                print(
+                    f"{name}: {value['median']:.3f} "
+                    f"[{value['min']:.3f}, {value['max']:.3f}] "
+                    f"(total {time.perf_counter()-t0:.0f}s)",
+                    flush=True,
+                )
+            else:
+                results[name] = round(value, 3)
+                print(
+                    f"{name}: {value:.3f} (total {time.perf_counter()-t0:.0f}s)",
+                    flush=True,
+                )
         except Exception as exc:
             results[name] = {"error": repr(exc)[:300]}
             print(f"{name}: FAILED {exc!r}", flush=True)
