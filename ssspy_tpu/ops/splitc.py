@@ -1800,7 +1800,9 @@ def ipa_sweep_sc(
         # round-5 notes). Auto therefore picks congruence whenever the
         # engine resolves to pallas; an explicit congruence_impl="xla"
         # keeps the round-4 3-D-only heuristic.
-        lanes_auto = congruence_impl in ("auto", "pallas") and on_tpu
+        # the lanes engine needs the REAL hardware probe (Mosaic cannot
+        # lower off-TPU; the HLO audit forces the TPU selection on CPU)
+        lanes_auto = congruence_impl in ("auto", "pallas") and _on_tpu_backend()
         stats_impl = (
             "congruence"
             if (
@@ -1986,7 +1988,11 @@ def _ipa_sweep_congruence_sc(
     level (pinned by ``TestSweepStatsImpl``).
     """
     if congruence_impl == "auto":
-        congruence_impl = "pallas" if _tpu_impl_selection() else "xla"
+        # the REAL hardware probe, not the forced TPU selection: Mosaic
+        # cannot lower off-TPU, so the HLO-collective audit (which
+        # forces the TPU selection on a CPU mesh) must get the xla
+        # engine — same precedent as the fused FastMNMF kernel.
+        congruence_impl = "pallas" if _on_tpu_backend() else "xla"
     if congruence_impl in ("pallas", "interpret"):
         return _ipa_sweep_congruence_lanes_sc(
             Yr,
