@@ -30,9 +30,23 @@ _COMPLEX_SUPPORT: dict = {}
 _COMPLEX_REJECTION_MARKERS = ("UNIMPLEMENTED", "complex", "Complex", "COMPLEX")
 
 
+# Platforms known to reject complex dtypes wholesale. Short-circuited
+# WITHOUT touching the device: on axon the dynamic probe itself is
+# destructive — the complex device_put is accepted (only the readback
+# fails, see CLAUDE.md), but it leaves the remote stream wedged so that
+# EVERY subsequent request, including plain f32 transfers, returns
+# UNIMPLEMENTED (observed round 5: all 27 kernel smokes passed, then the
+# first class path ran this probe and every later call in the process
+# failed, down to a float32 device_put).
+_KNOWN_COMPLEX_REJECTING = ("axon",)
+
+
 def _supports_complex(platform: str) -> bool:
     if platform in _COMPLEX_SUPPORT:
         return _COMPLEX_SUPPORT[platform]
+    if platform in _KNOWN_COMPLEX_REJECTING:
+        _COMPLEX_SUPPORT[platform] = False
+        return False
     import numpy as np
 
     try:

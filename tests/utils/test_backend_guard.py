@@ -11,6 +11,24 @@ def test_backend_supports_complex_on_cpu():
     assert backend_mod.backend_supports_complex() is True
 
 
+def test_known_rejecting_platform_short_circuits_without_device_contact(
+    monkeypatch,
+):
+    """On axon the dynamic probe is destructive: the complex device_put is
+    accepted but wedges the remote stream so every later request (even
+    f32 transfers) returns UNIMPLEMENTED. Known-rejecting platforms must
+    therefore resolve WITHOUT touching the device."""
+    import jax
+
+    def boom(*a, **k):
+        raise AssertionError("probe touched the device")
+
+    monkeypatch.setattr(jax, "device_put", boom)
+    monkeypatch.delitem(backend_mod._COMPLEX_SUPPORT, "axon", raising=False)
+    assert backend_mod._supports_complex("axon") is False
+    assert backend_mod._COMPLEX_SUPPORT["axon"] is False
+
+
 def test_class_path_raises_actionable_error_on_complex_free_backend(monkeypatch):
     """When the probe reports no complex support, a complex class run must
     raise a RuntimeError naming the fast-path alternative (not an opaque
