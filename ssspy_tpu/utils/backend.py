@@ -41,10 +41,37 @@ _COMPLEX_REJECTION_MARKERS = ("UNIMPLEMENTED", "complex", "Complex", "COMPLEX")
 _KNOWN_COMPLEX_REJECTING = ("axon",)
 
 
+def _platform_identifiers(platform: str) -> set:
+    """Every name the current default backend answers to.
+
+    ``jax.default_backend()`` returns the PJRT client's *platform*
+    attribute, which remote plugins set to the hardware class — axon
+    reports ``"tpu"`` even though it registers (and is selected) under
+    the plugin name ``"axon"`` (measured round 5: the ``"axon"``-only
+    short-circuit never fired and the probe wedged the stream anyway).
+    The registry keys and the ``jax_platforms`` selection string carry
+    the plugin name, so the known-rejecting check scans all three.
+    """
+    names = {platform}
+    try:
+        from jax._src import xla_bridge as xb
+
+        names.update(xb.backends().keys())
+    except Exception:  # noqa: BLE001 - identification must never raise
+        pass
+    try:
+        selection = jax.config.jax_platforms
+        if selection:
+            names.update(p.strip() for p in str(selection).split(","))
+    except Exception:  # noqa: BLE001
+        pass
+    return names
+
+
 def _supports_complex(platform: str) -> bool:
     if platform in _COMPLEX_SUPPORT:
         return _COMPLEX_SUPPORT[platform]
-    if platform in _KNOWN_COMPLEX_REJECTING:
+    if _platform_identifiers(platform) & set(_KNOWN_COMPLEX_REJECTING):
         _COMPLEX_SUPPORT[platform] = False
         return False
     import numpy as np

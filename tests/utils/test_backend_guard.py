@@ -29,6 +29,25 @@ def test_known_rejecting_platform_short_circuits_without_device_contact(
     assert backend_mod._COMPLEX_SUPPORT["axon"] is False
 
 
+def test_rejecting_plugin_detected_behind_generic_platform_name(monkeypatch):
+    """axon's PJRT client reports platform "tpu" (jax.default_backend()
+    never says "axon"); the plugin name only appears in the backend
+    registry and the jax_platforms selection string. The short-circuit
+    must fire from those — measured round 5: keying off the platform
+    name alone let the probe run and wedge the stream."""
+    import jax
+    from jax._src import xla_bridge as xb
+
+    def boom(*a, **k):
+        raise AssertionError("probe touched the device")
+
+    monkeypatch.setattr(jax, "device_put", boom)
+    monkeypatch.setattr(xb, "backends", lambda: {"axon": object()})
+    monkeypatch.setattr(backend_mod, "_COMPLEX_SUPPORT", {})
+    assert backend_mod._supports_complex("tpu") is False
+    assert backend_mod._COMPLEX_SUPPORT["tpu"] is False
+
+
 def test_class_path_raises_actionable_error_on_complex_free_backend(monkeypatch):
     """When the probe reports no complex support, a complex class run must
     raise a RuntimeError naming the fast-path alternative (not an opaque
