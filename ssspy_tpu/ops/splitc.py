@@ -2476,8 +2476,17 @@ def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10, impl: str = "auto"):
         B2 = block_embed(Br, Bi)
         B2 = (B2 + jnp.swapaxes(B2, -1, -2)) / 2
         L = _chol_unrolled(B2)
-        # logdet(E(B)) = 2 logdet(B); diag(L) contributes each twice
-        logdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        # logdet(E(B)) = 2 logdet(B); diag(L) contributes each twice.
+        # The diagonal is clamped before the log: when f32 rounding makes
+        # a ridge-floored B marginally indefinite, the pivot-floored
+        # Cholesky continues with NEGATIVE stored diagonals downstream of
+        # the breakdown column (measured -1e33 on-chip, round 5) and
+        # log() turns that into NaN that poisons every bin through the
+        # softmax. Clamped, the affected (source, bin) gets a garbage
+        # but finite logdet and the EM self-heals on the next M-step.
+        logdet = jnp.sum(
+            jnp.log(jnp.maximum(jnp.diagonal(L, axis1=-2, axis2=-1), 1e-20)), axis=-1
+        )
         Binv_r, Binv_i = _cinv(Br, Bi)
     else:
         lamb2, P2 = _herm_eigh_embed(Br, Bi)  # (N, I, 2M), (N, I, 2M, 2M)
@@ -2491,14 +2500,23 @@ def _cacgmm_estep_sc(Zr, Zi, alpha, Br, Bi, eps=1e-10, impl: str = "auto"):
         ) / 2
         logdet = jnp.sum(jnp.log(lamb2), axis=-1) / 2  # (N, I)
 
-    # ZBZ = Re(z^H B^{-1} z) batched over (N, I, T)
-    wr = jnp.einsum("nipq,qit->npit", Binv_r, Zr) - jnp.einsum(
-        "nipq,qit->npit", Binv_i, Zi
+    # ZBZ = Re(z^H B^{-1} z) batched over (N, I, T). Full-f32 precision
+    # is REQUIRED here (and in the M-step covariances below): with the
+    # TPU default (one-pass bf16 multiplies) the EM's posterior feedback
+    # amplifies the ~1e-2 relative quadratic-form error into a different
+    # trajectory entirely — measured on-chip (round 5): converged masks
+    # 88% rel-L2 from the CPU complex path at default precision vs 2.5%
+    # at highest, at identical cost on these small contractions.
+    hp = jax.lax.Precision.HIGHEST
+    wr = jnp.einsum("nipq,qit->npit", Binv_r, Zr, precision=hp) - jnp.einsum(
+        "nipq,qit->npit", Binv_i, Zi, precision=hp
     )
-    wi = jnp.einsum("nipq,qit->npit", Binv_r, Zi) + jnp.einsum(
-        "nipq,qit->npit", Binv_i, Zr
+    wi = jnp.einsum("nipq,qit->npit", Binv_r, Zi, precision=hp) + jnp.einsum(
+        "nipq,qit->npit", Binv_i, Zr, precision=hp
     )
-    ZBZ = jnp.einsum("pit,npit->nit", Zr, wr) + jnp.einsum("pit,npit->nit", Zi, wi)
+    ZBZ = jnp.einsum("pit,npit->nit", Zr, wr, precision=hp) + jnp.einsum(
+        "pit,npit->nit", Zi, wi, precision=hp
+    )
     ZBZ = jnp.maximum(ZBZ, eps)
 
     log_gamma = (jnp.log(alpha) - logdet)[:, :, None] - n_channels * jnp.log(ZBZ)
@@ -2519,6 +2537,7 @@ def cacgmm_step_sc(
     normalization=True,
     impl: str = "auto",
     covariance_impl: str = "einsum",
+    _chol_rel_ridge=None,
 ):
     """One cACGMM EM iteration in split-complex form.
 
@@ -2559,26 +2578,42 @@ def cacgmm_step_sc(
         # contracts were pinned against (the mean/mean form through the
         # shared wrapper drifts ~1e-5 after 3 f32 EM rounds, enough to
         # flip posterior permutation decisions at 4-source difficulty)
-        num_r = jnp.einsum("nit,pit,qit->nipq", G, Zr, Zr) + jnp.einsum(
-            "nit,pit,qit->nipq", G, Zi, Zi
+        # full-f32 precision: see the E-step note in _cacgmm_estep_sc
+        # (bf16-default multiplies derail the EM trajectory on TPU)
+        hp = jax.lax.Precision.HIGHEST
+        num_r = jnp.einsum("nit,pit,qit->nipq", G, Zr, Zr, precision=hp) + jnp.einsum(
+            "nit,pit,qit->nipq", G, Zi, Zi, precision=hp
         )
-        num_i = jnp.einsum("nit,pit,qit->nipq", G, Zi, Zr) - jnp.einsum(
-            "nit,pit,qit->nipq", G, Zr, Zi
+        num_i = jnp.einsum("nit,pit,qit->nipq", G, Zi, Zr, precision=hp) - jnp.einsum(
+            "nit,pit,qit->nipq", G, Zr, Zi, precision=hp
         )
-        denom = jnp.sum(gamma, axis=2)[:, :, None, None]
+        # The reference divides by the raw posterior sum
+        # (ssspy/bss/cacgmm.py:700-704) — safe in f64, but in f32 a dying
+        # component's posterior column underflows to EXACT zero (softmax
+        # underflows at ~88 nats of log_gamma spread vs ~745 in f64) and
+        # num/denom becomes 0/0 = NaN (measured on-chip round 5: NaN at
+        # EM iteration 2 from i.i.d.-noise input). Flooring is
+        # parity-neutral: num and denom are both linear in gamma, so the
+        # ratio only changes where denom < eps — exactly the dead
+        # components, whose B is then ridge-lifted to a multiple of I.
+        denom = jnp.maximum(jnp.sum(gamma, axis=2), eps)[:, :, None, None]
         Br = n_channels * num_r / denom
         Bi = n_channels * num_i / denom
     else:
         Ur, Ui = _scalar_weighted_covariance_sc(Zr, Zi, G, impl=covariance_impl)
         # num/denom = (mean_t G zz^H) / mean_t(gamma) — alpha IS the mean
-        denom = alpha[:, :, None, None]
+        # (same f32 dead-component guard as the einsum branch above)
+        denom = jnp.maximum(alpha, eps)[:, :, None, None]
         Br = n_channels * jnp.swapaxes(Ur, 0, 1) / denom
         Bi = n_channels * jnp.swapaxes(Ui, 0, 1) / denom
     if impl == "chol":
         Br = (Br + jnp.swapaxes(Br, -1, -2)) / 2
         Bi = (Bi - jnp.swapaxes(Bi, -1, -2)) / 2
         mean_diag = jnp.diagonal(Br, axis1=-2, axis2=-1).mean(-1)
-        rel = 1e-6 if Br.dtype != jnp.float64 else 1e-12
+        if _chol_rel_ridge is not None:
+            rel = _chol_rel_ridge
+        else:
+            rel = 1e-6 if Br.dtype != jnp.float64 else 1e-12
         lam = eps + rel * mean_diag
         Br = Br + lam[..., None, None] * jnp.eye(n_channels, dtype=Br.dtype)
     else:

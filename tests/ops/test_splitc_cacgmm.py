@@ -87,3 +87,30 @@ def test_cacgmm_chol_impl_matches_eigh_quality():
     a2, B2 = cacgmm_step_sc(Zs, jnp.asarray(alpha0), Bs0, impl="chol")
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=1e-5)
+
+
+def test_cacgmm_step_dead_component_stays_finite():
+    """A component whose posterior underflows to exact zero must not NaN
+    the M-step. The reference divides by the raw posterior sum
+    (ssspy/bss/cacgmm.py:700-704) — fine in f64, but f32 softmax
+    underflows to exact zero at ~88 nats of log_gamma spread (measured
+    on-chip round 5: NaN at EM iteration 2 from noise input). The SC
+    kernel floors the denominator; a dead component's covariance
+    ridge-lifts to a multiple of I and stays dead (alpha pinned at 0)."""
+    X, Z, alpha0, B0 = _setup(seed=2)
+    alpha0[1] = 0.0  # dead component: log(alpha)=-inf -> posterior 0 -> denom 0
+    alpha0 = alpha0 / alpha0.sum(axis=0)
+    Zs = jnp.asarray(np.stack([Z.real, Z.imag]))
+    alpha = jnp.asarray(alpha0)
+    Bs = jnp.asarray(np.stack([B0.real, B0.imag]))
+    for impl in ("eigh", "chol"):
+        a, B = alpha, Bs
+        step = jax.jit(functools.partial(cacgmm_step_sc, impl=impl))
+        for _ in range(3):
+            a, B = step(Zs, a, B)
+        a, B = np.asarray(a), np.asarray(B)
+        assert np.all(np.isfinite(a)), impl
+        assert np.all(np.isfinite(B)), impl
+        assert np.all(a[1] == 0.0), impl  # stays dead, does not resurrect
+        gamma = np.asarray(cacgmm_posterior_sc(Zs, jnp.asarray(a), jnp.asarray(B)))
+        assert np.all(np.isfinite(gamma)), impl
