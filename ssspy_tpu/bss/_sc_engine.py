@@ -194,7 +194,13 @@ def permutation_align_host(Y: np.ndarray, *args: np.ndarray, eps=1e-10):
     n_bins, n_sources, _ = Y.shape
     perms = np.array(list(itertools.permutations(range(n_sources))))
 
-    P = np.abs(Y)
+    # f64 + per-bin pre-scale: un-normalized trajectories (grad FDICA,
+    # the prox family's documented growth envelope) reach |Y| > 1e19
+    # where the f32 square overflows to inf and inf/inf turns the
+    # criteria into NaN. The unit-normalization below cancels any
+    # per-bin scale exactly, so the pre-scale is gauge-invariant.
+    P = np.abs(Y).astype(np.float64)
+    P = P / np.maximum(P.max(axis=(1, 2), keepdims=True), eps)
     norm = np.sqrt(np.sum(P**2, axis=1, keepdims=True))
     P = P / np.maximum(norm, eps)
     correlation = np.sum(P @ np.swapaxes(P, -2, -1), axis=(1, 2))

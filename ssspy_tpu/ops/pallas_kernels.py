@@ -541,9 +541,11 @@ def _model_traces_kernel(
     f32 = jnp.float32
     lamb = lamb_ref[0]  # (N, B)
 
-    # R_flat[pq, b] = sum_n H[n, pq] lamb[n, b]  (MXU matmul)
-    Rr_flat = jnp.dot(htr_ref[0], lamb, preferred_element_type=f32)  # (mm, B)
-    Ri_flat = jnp.dot(hti_ref[0], lamb, preferred_element_type=f32)
+    # R_flat[pq, b] = sum_n H[n, pq] lamb[n, b]  (MXU matmul, full f32:
+    # R feeds a ridge-level inverse, same hazard class as the traces)
+    _hp = jax.lax.Precision.HIGHEST
+    Rr_flat = jnp.dot(htr_ref[0], lamb, preferred_element_type=f32, precision=_hp)  # (mm, B)
+    Ri_flat = jnp.dot(hti_ref[0], lamb, preferred_element_type=f32, precision=_hp)
     # ridge: + eps on the diagonal (flat positions p*(m+1))
     pq_ids = jax.lax.broadcasted_iota(jnp.int32, Rr_flat.shape, 0)
     Rr_flat = Rr_flat + jnp.where(pq_ids % (m + 1) == 0, eps, 0.0).astype(f32)
@@ -558,23 +560,28 @@ def _model_traces_kernel(
     Br_flat, Bi_flat = Br.reshape(mm, B), Bi.reshape(mm, B)
     Mr_flat, Mi_flat = Mr.reshape(mm, B), Mi.reshape(mm, B)
 
-    # tr(M H_n) = sum_pq M[pq] H_n[pq] (H Hermitian): one matmul per plane
+    # tr(M H_n) = sum_pq M[pq] H_n[pq] (H Hermitian): one matmul per
+    # plane. Full-f32 precision: at the Mosaic default (one-pass bf16
+    # MXU) the t1/Q outputs carry ~5e-3 relative error per call, which
+    # compounds through the multiplicative T/V updates to a 10.6%
+    # converged-output delta (round-5 chip audit; 0.0 pinned)
+    hp = jax.lax.Precision.HIGHEST
     hfr, hfi = hfr_ref[0], hfi_ref[0]  # (N, mm)
-    t1_ref[0] = jnp.dot(hfr, Mr_flat, preferred_element_type=f32) + jnp.dot(
-        hfi, Mi_flat, preferred_element_type=f32
+    t1_ref[0] = jnp.dot(hfr, Mr_flat, preferred_element_type=f32, precision=hp) + jnp.dot(
+        hfi, Mi_flat, preferred_element_type=f32, precision=hp
     )
-    t2_ref[0] = jnp.dot(hfr, Br_flat, preferred_element_type=f32) + jnp.dot(
-        hfi, Bi_flat, preferred_element_type=f32
+    t2_ref[0] = jnp.dot(hfr, Br_flat, preferred_element_type=f32, precision=hp) + jnp.dot(
+        hfi, Bi_flat, preferred_element_type=f32, precision=hp
     )
 
     # P_n = sum_b lamb[n, b] R^-1[:, :, b]; Q_n likewise with M —
     # contractions over the lane axis as dot_general (padded lanes
     # carry lamb = 0, so they are exactly neutral)
     dims = (((1,), (1,)), ((), ()))
-    pr_ref[0] = jax.lax.dot_general(lamb, Br_flat, dims, preferred_element_type=f32)
-    pi_ref[0] = jax.lax.dot_general(lamb, Bi_flat, dims, preferred_element_type=f32)
-    qr_ref[0] = jax.lax.dot_general(lamb, Mr_flat, dims, preferred_element_type=f32)
-    qi_ref[0] = jax.lax.dot_general(lamb, Mi_flat, dims, preferred_element_type=f32)
+    pr_ref[0] = jax.lax.dot_general(lamb, Br_flat, dims, preferred_element_type=f32, precision=hp)
+    pi_ref[0] = jax.lax.dot_general(lamb, Bi_flat, dims, preferred_element_type=f32, precision=hp)
+    qr_ref[0] = jax.lax.dot_general(lamb, Mr_flat, dims, preferred_element_type=f32, precision=hp)
+    qi_ref[0] = jax.lax.dot_general(lamb, Mi_flat, dims, preferred_element_type=f32, precision=hp)
 
 
 def prepare_xx_lanes(XXr, XXi):

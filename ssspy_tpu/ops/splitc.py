@@ -13,6 +13,7 @@ The complex M x M solve becomes one real 2M x 2M solve via the
 standard block embedding ``[[Ar, -Ai], [Ai, Ar]] [xr; xi] = [br; bi]``.
 """
 
+import functools
 import os
 from typing import Optional
 
@@ -20,6 +21,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+# Full-f32 matmul precision for trajectory-sensitive kernels: the TPU
+# default (one-pass bf16 multiplies) measurably derails iterative
+# algorithms whose updates feed back through factorizations or
+# eigen/polar chains — round-5 chip-vs-CPU fidelity audit: cACGMM 88%
+# rel-L2 at default vs 2.5% at highest, IPSDTA NaN vs 0.0, AuxIVA-IP2
+# 10.7% vs 0.03%, FasterIVA 4.5% vs 0.0. Kernels with sub-percent
+# audit deltas keep the faster default.
+_HP = jax.lax.Precision.HIGHEST
 
 __all__ = [
     "to_split",
@@ -229,10 +239,17 @@ def csolve(Ar, Ai, br, bi, impl: str = "auto"):
     return x2[..., :n], x2[..., n:]
 
 
-def _csep(Wr, Wi, Xr, Xi):
-    """Planar demixing ``y = W x``: (I,N,M) x (M,I,T) -> (N,I,T) pair."""
-    Yr = jnp.einsum("inm,mit->nit", Wr, Xr) - jnp.einsum("inm,mit->nit", Wi, Xi)
-    Yi = jnp.einsum("inm,mit->nit", Wr, Xi) + jnp.einsum("inm,mit->nit", Wi, Xr)
+def _csep(Wr, Wi, Xr, Xi, precision=None):
+    """Planar demixing ``y = W x``: (I,N,M) x (M,I,T) -> (N,I,T) pair.
+
+    ``precision``: forwarded to the four einsums. Most callers keep the
+    TPU default (sub-percent audit deltas); FasterIVA pins ``_HP`` —
+    its eigenvector update compounds the separation error across
+    iterations (1.85% converged delta unpinned, round-5 audit).
+    """
+    es = functools.partial(jnp.einsum, precision=precision)
+    Yr = es("inm,mit->nit", Wr, Xr) - es("inm,mit->nit", Wi, Xi)
+    Yi = es("inm,mit->nit", Wr, Xi) + es("inm,mit->nit", Wi, Xr)
     return Yr, Yi
 
 
@@ -932,16 +949,17 @@ def ip2_pair_update_sc(Wr, Wi, Umr, Umi, Unr, Uni, pair, eps=1e-10):
     Ei = jnp.zeros_like(Er)
 
     def P_of(Ur_, Ui_):
-        Ar = Wr @ Ur_ - Wi @ Ui_
-        Ai = Wr @ Ui_ + Wi @ Ur_
-        return Ar, Ai
+        # full-f32 precision (_HP): the pair-pencil chain amplifies the
+        # default bf16 multiply error into a 10.7% converged-output
+        # delta (round-5 audit; 0.03% pinned)
+        return _cmatmul(Wr, Wi, Ur_, Ui_, precision=_HP)
 
     def pencil(Pr, Pi, Ur_, Ui_):
         # G = P^H U P: 2x2 Hermitian planar components. Per-column
         # matvecs: batched matmuls with a size-2 trailing dim lower
         # pathologically on TPU (measured ~30x slower than these einsums)
         def matvec(Mr, v):
-            return jnp.einsum("imk,ik->im", Mr, v)
+            return jnp.einsum("imk,ik->im", Mr, v, precision=_HP)
 
         UP0r = matvec(Ur_, Pr[..., 0]) - matvec(Ui_, Pi[..., 0])  # (I, M)
         UP0i = matvec(Ur_, Pi[..., 0]) + matvec(Ui_, Pr[..., 0])
@@ -1228,7 +1246,12 @@ def _spectral_sc(Ar, Ai, f, hermitize=False):
         Ar = (Ar + jnp.swapaxes(Ar, -1, -2)) / 2
         Ai = (Ai - jnp.swapaxes(Ai, -1, -2)) / 2
     lamb, P = _herm_eigh_embed(Ar, Ai)
-    F = (P * f(lamb)[..., None, :]) @ jnp.swapaxes(P, -1, -2)
+    # _HP reconstruction: callers rely on the result's PSD-ness at
+    # ridge level (square roots, inverse square roots); the bf16
+    # default reconstruction error exceeds the floors (round-5 audit)
+    F = jnp.matmul(
+        P * f(lamb)[..., None, :], jnp.swapaxes(P, -1, -2), precision=_HP
+    )
     n = Ar.shape[-1]
     Fr = (F[..., :n, :n] + F[..., n:, n:]) / 2
     Fi = (F[..., n:, :n] - F[..., :n, n:]) / 2
@@ -2968,16 +2991,25 @@ def gauss_mnmf_step_sc(
             else "off"
         )
 
+    # full-f32 matmul precision throughout the step (_HP): with the TPU
+    # default one-pass-bf16 multiplies the multiplicative T/V updates and
+    # the HQH Riccati chain drift ~0.7%/iteration from the CPU
+    # trajectory (10.6% converged-output delta at 10 iterations,
+    # round-5 chip fidelity audit; the reduction einsums here are not
+    # the step's bottleneck — the fused VMEM kernel is)
+    mv = functools.partial(jnp.einsum, precision=_HP)
+    cm = functools.partial(_cmatmul, precision=_HP)
+
     def lamb_of(T, V, Z):
         if Z is None:
-            return T @ V  # (N, I, K) @ (N, K, Tf)
-        return jnp.einsum("nk,ik,kt->nit", Z, T, V)
+            return jnp.matmul(T, V, precision=_HP)  # (N, I, K) @ (N, K, Tf)
+        return mv("nk,ik,kt->nit", Z, T, V)
 
     def model(T, V, Z):
         """R = to_psd(sum_n Lamb_n H_n) (I, Tf, M, M), planar."""
         Lamb = lamb_of(T, V, Z)
-        Rr = jnp.einsum("nit,nipq->itpq", Lamb, Hr)
-        Ri = jnp.einsum("nit,nipq->itpq", Lamb, Hi)
+        Rr = mv("nit,nipq->itpq", Lamb, Hr)
+        Ri = mv("nit,nipq->itpq", Lamb, Hi)
         return _psd_project_sc(Rr, Ri, eps, psd_impl)
 
     def traces(T, V, Z):
@@ -3003,10 +3035,10 @@ def gauss_mnmf_step_sc(
                 Rr, Ri, XXr, XXi, impl=inv_impl
             )
             # tr(R^-1 XX R^-1 H) = sum_ab (R^-1 XX R^-1)[a,b] H[b,a]
-            tr_RXXRH = jnp.einsum("itab,niba->nit", Mr, Hr) - jnp.einsum(
+            tr_RXXRH = mv("itab,niba->nit", Mr, Hr) - mv(
                 "itab,niba->nit", Mi, Hi
             )
-            tr_RH = jnp.einsum("itab,niba->nit", Rinv_r, Hr) - jnp.einsum(
+            tr_RH = mv("itab,niba->nit", Rinv_r, Hr) - mv(
                 "itab,niba->nit", Rinv_i, Hi
             )
         if bin_mask is not None:
@@ -3021,11 +3053,11 @@ def gauss_mnmf_step_sc(
     # ---- MM updates of basis then activation (mnmf.py:836-968) ---------------
     num, denom = traces(T, V, Z)
     if Z is None:
-        n_ = jnp.einsum("nkt,nit->nik", V, num)
-        d_ = jnp.einsum("nkt,nit->nik", V, denom)
+        n_ = mv("nkt,nit->nik", V, num)
+        d_ = mv("nkt,nit->nik", V, denom)
     else:
-        n_ = jnp.einsum("nk,kt,nit->ik", Z, V, num)
-        d_ = jnp.einsum("nk,kt,nit->ik", Z, V, denom)
+        n_ = mv("nk,kt,nit->ik", Z, V, num)
+        d_ = mv("nk,kt,nit->ik", Z, V, denom)
     T_new = jnp.maximum(T * jnp.sqrt(n_ / d_), eps)
     if bin_mask is not None:
         keep_T = bin_mask[None, :, None] if Z is None else bin_mask[:, None]
@@ -3034,11 +3066,11 @@ def gauss_mnmf_step_sc(
 
     num, denom = traces(T, V, Z)
     if Z is None:
-        n_ = jnp.einsum("nik,nit->nkt", T, num)
-        d_ = jnp.einsum("nik,nit->nkt", T, denom)
+        n_ = mv("nik,nit->nkt", T, num)
+        d_ = mv("nik,nit->nkt", T, denom)
     else:
-        n_ = jnp.einsum("nk,ik,nit->kt", Z, T, num)
-        d_ = jnp.einsum("nk,ik,nit->kt", Z, T, denom)
+        n_ = mv("nk,ik,nit->kt", Z, T, num)
+        d_ = mv("nk,ik,nit->kt", Z, T, denom)
     V = jnp.maximum(V * jnp.sqrt(n_ / d_), eps)
 
     # ---- spatial update H <- P^{-1} # HQH (mnmf.py:970-1016) ------------------
@@ -3053,11 +3085,11 @@ def gauss_mnmf_step_sc(
         Rinv_r, Rinv_i, RXXRr, RXXRi = planar_inv_sandwich_sc(
             Rr, Ri, XXr, XXi, impl=inv_impl
         )
-        Pr = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_r)
-        Pi = jnp.einsum("nit,itpq->nipq", Lamb, Rinv_i)
-        Qr = jnp.einsum("nit,itpq->nipq", Lamb, RXXRr)
-        Qi = jnp.einsum("nit,itpq->nipq", Lamb, RXXRi)
-    HQHr, HQHi = _cmatmul(*_cmatmul(Hr, Hi, Qr, Qi), Hr, Hi)
+        Pr = mv("nit,itpq->nipq", Lamb, Rinv_r)
+        Pi = mv("nit,itpq->nipq", Lamb, Rinv_i)
+        Qr = mv("nit,itpq->nipq", Lamb, RXXRr)
+        Qi = mv("nit,itpq->nipq", Lamb, RXXRi)
+    HQHr, HQHi = cm(*cm(Hr, Hi, Qr, Qi), Hr, Hi)
     Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
     HQHr, HQHi = _psd_project_sc(HQHr, HQHi, eps, psd_impl)
     Hr_new, Hi_new = gmean2_sc(Pr, Pi, HQHr, HQHi, impl=gmean_impl)
@@ -3083,8 +3115,8 @@ def gauss_mnmf_step_sc(
     # ---- latent update (partitioning, mnmf.py:1018-1073) ----------------------
     if Z is not None:
         num, denom = traces(T, V, Z)
-        n_ = jnp.einsum("ik,kt,nit->nk", T, V, num)
-        d_ = jnp.einsum("ik,kt,nit->nk", T, V, denom)
+        n_ = mv("ik,kt,nit->nk", T, V, num)
+        d_ = mv("ik,kt,nit->nk", T, V, denom)
         Z = Z * jnp.sqrt(n_ / d_)
         Z = Z / Z.sum(axis=0)
         return T, V, jnp.stack([Hr, Hi], axis=0), Z
@@ -3095,9 +3127,17 @@ def gauss_mnmf_step_sc(
 # ---- IPSDTA (block-decomposed PSDTF + VCD), split-complex --------------------
 
 
-def _cmatmul(Ar, Ai, Br, Bi):
-    """Planar complex matmul ``A @ B``."""
-    return Ar @ Br - Ai @ Bi, Ar @ Bi + Ai @ Br
+def _cmatmul(Ar, Ai, Br, Bi, precision=None):
+    """Planar complex matmul ``A @ B``.
+
+    ``precision``: forwarded to the four real matmuls. Pass ``_HP``
+    from kernels whose trajectories are measurably derailed by the TPU
+    default one-pass-bf16 multiplies (see the round-5 chip-vs-CPU
+    fidelity audit in BENCHMARKS.md); leave ``None`` where the audit
+    showed sub-percent deltas — the default is faster on the MXU.
+    """
+    mm = functools.partial(jnp.matmul, precision=precision)
+    return mm(Ar, Br) - mm(Ai, Bi), mm(Ar, Bi) + mm(Ai, Br)
 
 
 def _cinv(Ar, Ai, impl: str = "auto"):
@@ -3209,13 +3249,17 @@ def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0, impl: str = "eigh2"):
         EB = block_embed(Br, Bi)
         EB = (EB + jnp.swapaxes(EB, -1, -2)) / 2
         FT = jnp.swapaxes(F, -1, -2)
-        C = FT @ EB @ F
+        # _HP matmuls: the congruence + square-root chain feeds
+        # multiplicative model updates; bf16-default error here breaks
+        # the PD invariants downstream callers rely on (round-5 audit)
+        mm = functools.partial(jnp.matmul, precision=_HP)
+        C = mm(mm(FT, EB), F)
         C = (C + jnp.swapaxes(C, -1, -2)) / 2
         lamb, P = _real_symm_eigh(C)
-        S = (P * jnp.sqrt(jnp.maximum(lamb, 0.0))[..., None, :]) @ jnp.swapaxes(
-            P, -1, -2
+        S = mm(
+            P * jnp.sqrt(jnp.maximum(lamb, 0.0))[..., None, :], jnp.swapaxes(P, -1, -2)
         )
-        G2 = jnp.swapaxes(Finv, -1, -2) @ S @ Finv
+        G2 = mm(mm(jnp.swapaxes(Finv, -1, -2), S), Finv)
         Gr = (G2[..., :n, :n] + G2[..., n:, n:]) / 2
         Gi = (G2[..., n:, :n] - G2[..., :n, n:]) / 2
         return Gr, Gi
@@ -3231,15 +3275,17 @@ def gmean2_sc(Ar, Ai, Br, Bi, eps=0.0, impl: str = "eigh2"):
         ) / 2
 
     sqrt_l = jnp.sqrt(lamb2)
-    Ah_r, Ah_i = _extract((P2 * sqrt_l[..., None, :]) @ P2T)  # A^{1/2}
-    Aih_r, Aih_i = _extract((P2 / sqrt_l[..., None, :]) @ P2T)  # A^{-1/2}
+    mm = functools.partial(jnp.matmul, precision=_HP)
+    Ah_r, Ah_i = _extract(mm(P2 * sqrt_l[..., None, :], P2T))  # A^{1/2}
+    Aih_r, Aih_i = _extract(mm(P2 / sqrt_l[..., None, :], P2T))  # A^{-1/2}
 
-    Mr, Mi = _cmatmul(*_cmatmul(Ah_r, Ah_i, Br, Bi), Ah_r, Ah_i)
+    cm = functools.partial(_cmatmul, precision=_HP)
+    Mr, Mi = cm(*cm(Ah_r, Ah_i, Br, Bi), Ah_r, Ah_i)
     Mr = (Mr + jnp.swapaxes(Mr, -1, -2)) / 2
     Mi = (Mi - jnp.swapaxes(Mi, -1, -2)) / 2
     Sr, Si = _spectral_sc(Mr, Mi, lambda l: jnp.sqrt(jnp.maximum(l, 0.0)))
 
-    Gr, Gi = _cmatmul(*_cmatmul(Aih_r, Aih_i, Sr, Si), Aih_r, Aih_i)
+    Gr, Gi = cm(*cm(Aih_r, Aih_i, Sr, Si), Aih_r, Aih_i)
     Gr = (Gr + jnp.swapaxes(Gr, -1, -2)) / 2
     Gi = (Gi - jnp.swapaxes(Gi, -1, -2)) / 2
     return Gr, Gi
@@ -3253,8 +3299,11 @@ def _ipsdta_model_sc(Tr, Ti, V, eps, psd_impl, inv_impl: str = "auto"):
     """
     from .pallas_kernels import planar_inverse_sc
 
-    Rr = jnp.einsum("nkt,nkbij->ntbij", V, Tr)
-    Ri = jnp.einsum("nkt,nkbij->ntbij", V, Ti)
+    # _HP: the reconstructed R feeds a ridge-level PSD projection and
+    # the planar inverse; bf16-default assembly error can exceed the
+    # ridge (same failure class as the cACGMM M-step, round 5)
+    Rr = jnp.einsum("nkt,nkbij->ntbij", V, Tr, precision=_HP)
+    Ri = jnp.einsum("nkt,nkbij->ntbij", V, Ti, precision=_HP)
     Rr, Ri = _psd_project_sc(Rr, Ri, eps, psd_impl)
     return planar_inverse_sc(Rr, Ri, impl=inv_impl)
 
@@ -3288,17 +3337,19 @@ def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
             # RXY = RXX_in @ conj(w_n) as einsum matvecs: the (..., M, 1)
             # batched-matmul form hits the pathological small-trailing-dim
             # lowering on TPU (same finding as the IP2 pair solves)
-            RXYr = jnp.einsum("bjmp,bjp->bjm", RXX_inr, wr) + jnp.einsum(
-                "bjmp,bjp->bjm", RXX_ini, wi
-            )
-            RXYi = jnp.einsum("bjmp,bjp->bjm", RXX_ini, wr) - jnp.einsum(
-                "bjmp,bjp->bjm", RXX_inr, wi
-            )
+            # full-f32 precision (_HP): the VCD coordinate updates feed
+            # back through the quartic-root coefficients; at the TPU
+            # default bf16 precision the chip run went NON-FINITE within
+            # 10 iterations where the pinned run matches CPU to 0.0
+            # (round-5 fidelity audit)
+            mv = functools.partial(jnp.einsum, precision=_HP)
+            RXYr = mv("bjmp,bjp->bjm", RXX_inr, wr) + mv("bjmp,bjp->bjm", RXX_ini, wi)
+            RXYi = mv("bjmp,bjp->bjm", RXX_ini, wr) - mv("bjmp,bjp->bjm", RXX_inr, wi)
             gr = jnp.sum(pad * RXYr, axis=1)  # (B, M)
             gi = jnp.sum(pad * RXYi, axis=1)
 
             W_ir, W_ii = Wr[:, i], Wi[:, i]  # (B, N, M)
-            WUr, WUi = _cmatmul(W_ir, W_ii, U_inr, U_ini)
+            WUr, WUi = _cmatmul(W_ir, W_ii, U_inr, U_ini, precision=_HP)
             e_n = jnp.zeros((n_blocks_p, n_sources), Wr.dtype).at[:, n].set(1.0)
             if n_sources == U_inr.shape[-1]:
                 # stack the two independent solves (eta vs W U, eta_hat
@@ -3322,12 +3373,8 @@ def _vcd_sweep_sc(Wr, Wi, RXXr, RXXi, eps=1e-10, tiny=1e-30):
                 ehr, ehi = csolve(U_inr, U_ini, gr, gi)
 
             # z = eta^H U (row); xi = Re(z eta); xi_hat = z eta_hat
-            zr = jnp.einsum("bm,bmp->bp", etar, U_inr) + jnp.einsum(
-                "bm,bmp->bp", etai, U_ini
-            )
-            zi = jnp.einsum("bm,bmp->bp", etar, U_ini) - jnp.einsum(
-                "bm,bmp->bp", etai, U_inr
-            )
+            zr = mv("bm,bmp->bp", etar, U_inr) + mv("bm,bmp->bp", etai, U_ini)
+            zi = mv("bm,bmp->bp", etar, U_ini) - mv("bm,bmp->bp", etai, U_inr)
             xi = jnp.maximum(jnp.sum(zr * etar - zi * etai, axis=-1), 0)
             xhr = jnp.sum(zr * ehr - zi * ehi, axis=-1)
             xhi = jnp.sum(zr * ehi + zi * ehr, axis=-1)
@@ -3400,6 +3447,15 @@ def ipsdta_vcd_step_sc(
     if gmean_impl == "auto":
         gmean_impl = "chol" if (on_tpu and Xr.dtype != jnp.float64) else "eigh2"
 
+    # full-f32 matmul precision throughout this step (_HP): the
+    # multiplicative T/V updates and the VCD coordinate solves feed back
+    # through PSD projections; at the TPU default bf16 precision the
+    # chip trajectory went NON-FINITE within 10 iterations where the
+    # pinned run matches the CPU trajectory to 0.0 rel-L2 (round-5
+    # chip-vs-CPU fidelity audit, BENCHMARKS.md)
+    mv = functools.partial(jnp.einsum, precision=_HP)
+    cm = functools.partial(_cmatmul, precision=_HP)
+
     part_shapes = [(Tp.shape[3], Tp.shape[4]) for Tp in T_parts]  # (B_p, J_p)
 
     def split_bins(arr, axis):
@@ -3426,10 +3482,10 @@ def ipsdta_vcd_step_sc(
         Ypi = jnp.transpose(Yp[1], (0, 3, 1, 2))
         # einsum matvecs: the (..., J, J) @ (..., J, 1) batched-matmul
         # form lowers pathologically on this TPU backend (trailing dim 1)
-        ur = jnp.einsum("ntbij,ntbj->ntbi", Rinv_r, Ypr) - jnp.einsum(
+        ur = mv("ntbij,ntbj->ntbi", Rinv_r, Ypr) - mv(
             "ntbij,ntbj->ntbi", Rinv_i, Ypi
         )
-        ui = jnp.einsum("ntbij,ntbj->ntbi", Rinv_r, Ypi) + jnp.einsum(
+        ui = mv("ntbij,ntbj->ntbi", Rinv_r, Ypi) + mv(
             "ntbij,ntbj->ntbi", Rinv_i, Ypr
         )
         # RYYR = u u^H (R^{-1} is Hermitian)
@@ -3457,12 +3513,12 @@ def ipsdta_vcd_step_sc(
     pi = frame_weight(stats)
     new_T_parts = []
     for Tp, ((Rinv_r, Rinv_i), (RYYRr, RYYRi), _) in zip(T_parts, stats):
-        Pr = jnp.einsum("nkt,ntbij->nkbij", V, Rinv_r) / n_frames
-        Pi = jnp.einsum("nkt,ntbij->nkbij", V, Rinv_i) / n_frames
-        Qr = jnp.einsum("nkt,ntbij->nkbij", V, weight_frames(RYYRr, pi)) / n_frames
-        Qi = jnp.einsum("nkt,ntbij->nkbij", V, weight_frames(RYYRi, pi)) / n_frames
+        Pr = mv("nkt,ntbij->nkbij", V, Rinv_r) / n_frames
+        Pi = mv("nkt,ntbij->nkbij", V, Rinv_i) / n_frames
+        Qr = mv("nkt,ntbij->nkbij", V, weight_frames(RYYRr, pi)) / n_frames
+        Qi = mv("nkt,ntbij->nkbij", V, weight_frames(RYYRi, pi)) / n_frames
         if dof is None:
-            TQTr, TQTi = _cmatmul(*_cmatmul(Tp[0], Tp[1], Qr, Qi), Tp[0], Tp[1])
+            TQTr, TQTi = cm(*cm(Tp[0], Tp[1], Qr, Qi), Tp[0], Tp[1])
             Pr, Pi = _psd_project_sc(Pr, Pi, eps, psd_impl)
             TQTr, TQTi = _psd_project_sc(TQTr, TQTi, eps, psd_impl)
             Tr_new, Ti_new = gmean2_sc(Pr, Pi, TQTr, TQTi, impl=gmean_impl)
@@ -3472,10 +3528,10 @@ def ipsdta_vcd_step_sc(
             Qsr, Qsi = _spectral_sc(
                 Qr, Qi, lambda l: jnp.sqrt(jnp.maximum(l, 0.0)), hermitize=True
             )
-            Mr, Mi = _cmatmul(Qsr, Qsi, Tp[0], Tp[1])
-            Mr, Mi = _cmatmul(Mr, Mi, Pr, Pi)
-            Mr, Mi = _cmatmul(Mr, Mi, Tp[0], Tp[1])
-            Mr, Mi = _cmatmul(Mr, Mi, Qsr, Qsi)
+            Mr, Mi = cm(Qsr, Qsi, Tp[0], Tp[1])
+            Mr, Mi = cm(Mr, Mi, Pr, Pi)
+            Mr, Mi = cm(Mr, Mi, Tp[0], Tp[1])
+            Mr, Mi = cm(Mr, Mi, Qsr, Qsi)
             Mr, Mi = _psd_project_sc(Mr, Mi, eps, psd_impl)
             Invr, Invi = _spectral_sc(
                 Mr,
@@ -3483,9 +3539,9 @@ def ipsdta_vcd_step_sc(
                 lambda l: 1 / jnp.maximum(jnp.sqrt(jnp.maximum(l, 0.0)), eps),
                 hermitize=True,
             )
-            Gr, Gi = _cmatmul(Qsr, Qsi, Invr, Invi)
-            Gr, Gi = _cmatmul(Gr, Gi, Qsr, Qsi)
-            Tr_new, Ti_new = _cmatmul(*_cmatmul(Tp[0], Tp[1], Gr, Gi), Tp[0], Tp[1])
+            Gr, Gi = cm(Qsr, Qsi, Invr, Invi)
+            Gr, Gi = cm(Gr, Gi, Qsr, Qsi)
+            Tr_new, Ti_new = cm(*cm(Tp[0], Tp[1], Gr, Gi), Tp[0], Tp[1])
         Tr_new, Ti_new = _psd_project_sc(Tr_new, Ti_new, eps, psd_impl)
         new_T_parts.append(jnp.stack([Tr_new, Ti_new], axis=0))
     T_parts = new_T_parts
@@ -3496,12 +3552,12 @@ def ipsdta_vcd_step_sc(
     num = denom = 0.0
     for Tp, ((Rinv_r, Rinv_i), (RYYRr, RYYRi), _) in zip(T_parts, stats):
         num = num + (
-            jnp.einsum("ntbij,nkbji->nkt", weight_frames(RYYRr, pi), Tp[0])
-            - jnp.einsum("ntbij,nkbji->nkt", weight_frames(RYYRi, pi), Tp[1])
+            mv("ntbij,nkbji->nkt", weight_frames(RYYRr, pi), Tp[0])
+            - mv("ntbij,nkbji->nkt", weight_frames(RYYRi, pi), Tp[1])
         )
         denom = denom + (
-            jnp.einsum("ntbij,nkbji->nkt", Rinv_r, Tp[0])
-            - jnp.einsum("ntbij,nkbji->nkt", Rinv_i, Tp[1])
+            mv("ntbij,nkbji->nkt", Rinv_r, Tp[0])
+            - mv("ntbij,nkbji->nkt", Rinv_i, Tp[1])
         )
     V = V * jnp.sqrt(num / denom)
 
@@ -3526,16 +3582,16 @@ def ipsdta_vcd_step_sc(
         # RXX[b,i,j,n,p,q] = mean_t Rinv[n,t,b,j,i] x[p,b,i,t] conj(x[q,b,j,t])
         args = dict(optimize=True)
         RXXr = (
-            jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpr, Xpr, **args)
-            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpi, Xpi, **args)
-            - jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpi, Xpr, **args)
-            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpr, Xpi, **args)
+            mv("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpr, Xpr, **args)
+            + mv("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpi, Xpi, **args)
+            - mv("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpi, Xpr, **args)
+            + mv("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpr, Xpi, **args)
         ) / n_frames
         RXXi = (
-            jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpr, Xpr, **args)
-            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpi, Xpi, **args)
-            + jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpi, Xpr, **args)
-            - jnp.einsum("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpr, Xpi, **args)
+            mv("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpr, Xpr, **args)
+            + mv("ntbji,pbit,qbjt->bijnpq", Rinv_i, Xpi, Xpi, **args)
+            + mv("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpi, Xpr, **args)
+            - mv("ntbji,pbit,qbjt->bijnpq", Rinv_r, Xpr, Xpi, **args)
         ) / n_frames
         Wpr, Wpi = _vcd_sweep_sc(Wpr, Wpi, RXXr, RXXi, eps=eps)
         new_W.append((Wpr, Wpi))
@@ -3797,16 +3853,21 @@ def _polar_sc(Wr, Wi, tiny=1e-20, impl: str = "auto"):
         fro = jnp.maximum(fro, tiny)
         Xr, Xi = Wr / fro, Wi / fro
         eye2 = jnp.eye(2 * M, dtype=Wr.dtype)
+        # full-f32 precision (_HP) throughout the QDWH trips: the polar
+        # iteration compounds the default bf16 multiply error across
+        # trips — 4.5% converged FasterIVA delta at default vs 0.0
+        # pinned (round-5 chip-vs-CPU audit)
+        mm = functools.partial(jnp.matmul, precision=_HP)
         for a, b, c in _qdwh_schedule():
-            Gr = jnp.swapaxes(Xr, -1, -2) @ Xr + jnp.swapaxes(Xi, -1, -2) @ Xi
-            Gi = jnp.swapaxes(Xr, -1, -2) @ Xi - jnp.swapaxes(Xi, -1, -2) @ Xr
+            Gr = mm(jnp.swapaxes(Xr, -1, -2), Xr) + mm(jnp.swapaxes(Xi, -1, -2), Xi)
+            Gi = mm(jnp.swapaxes(Xr, -1, -2), Xi) - mm(jnp.swapaxes(Xi, -1, -2), Xr)
             E = block_embed(Gr, Gi)
             E = (E + jnp.swapaxes(E, -1, -2)) / 2
             L = _chol_unrolled(eye2 + c * E)
             Linv = _tri_lower_inv(L)
-            Qe = jnp.swapaxes(Linv, -1, -2) @ Linv  # (I + c G)^{-1} embedded
+            Qe = mm(jnp.swapaxes(Linv, -1, -2), Linv)  # (I + c G)^{-1} embedded
             Qr, Qi = Qe[..., :M, :M], Qe[..., M:, :M]
-            XQr, XQi = _cmatmul(Xr, Xi, Qr, Qi)
+            XQr, XQi = _cmatmul(Xr, Xi, Qr, Qi, precision=_HP)
             w = b / c
             Xr = w * Xr + (a - w) * XQr
             Xi = w * Xi + (a - w) * XQi
@@ -3893,13 +3954,17 @@ def _top_eigvec_shift_invert_sc(Ar, Ai, bisect_trips=12, inv_iters=3, tiny=1e-30
     eye2 = jnp.eye(2 * M, dtype=Ar.dtype)
 
     gersh = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
+    # matvecs pinned to full f32 (_HP): the shift-invert bracket and
+    # inverse iteration feed the FasterIVA chain whose default-precision
+    # converged delta measured 4.5% (round-5 audit; 0.0 pinned)
+    mv = functools.partial(jnp.einsum, precision=_HP)
     x = _psd_power_probe(E, tiny=tiny)
     for _ in range(2):
         x = x / jnp.maximum(jnp.sqrt(jnp.sum(x * x, axis=-1)), tiny)[..., None]
-        x = jnp.einsum("...ij,...j->...i", E, x)
-        x = jnp.einsum("...ij,...j->...i", E, x)
+        x = mv("...ij,...j->...i", E, x)
+        x = mv("...ij,...j->...i", E, x)
     den = jnp.sum(x * x, axis=-1)
-    Ex = jnp.einsum("...ij,...j->...i", E, x)
+    Ex = mv("...ij,...j->...i", E, x)
     rayleigh = jnp.where(
         den > 0, jnp.sum(Ex * x, axis=-1) / jnp.maximum(den, tiny), 0.0
     )
@@ -3918,8 +3983,8 @@ def _top_eigvec_shift_invert_sc(Ar, Ai, bisect_trips=12, inv_iters=3, tiny=1e-30
     v = x
     for _ in range(inv_iters):
         v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=-1)), tiny)[..., None]
-        v = jnp.einsum("...ij,...j->...i", Linv, v)
-        v = jnp.einsum("...ji,...j->...i", Linv, v)
+        v = mv("...ij,...j->...i", Linv, v)
+        v = mv("...ji,...j->...i", Linv, v)
     v = v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis=-1)), tiny)[..., None]
     return v[..., :M], v[..., M:]
 
@@ -3946,7 +4011,7 @@ def faster_iva_step_sc(Zs, Ws, eps=1e-10, eig_impl: str = "auto"):
         on_tpu = _tpu_impl_selection()
         eig_impl = "solve" if (on_tpu and Zr.dtype != jnp.float64) else "eigh"
 
-    Yr, Yi = _csep(Wr, Wi, Zr, Zi)
+    Yr, Yi = _csep(Wr, Wi, Zr, Zi, precision=_HP)
     norm = jnp.sqrt(jnp.sum(Yr**2 + Yi**2, axis=1))  # (N, T)
     varphi = 2 / jnp.maximum(2 * norm, eps)
 
